@@ -1,0 +1,180 @@
+"""Explicit finite-volume operators (the fvc:: namespace).
+
+Face-based gather/segment-sum formulations of Gauss interpolate/grad/div/
+laplacian/snGrad, matching the scheme definitions consumed from fvSchemes by
+the reference solver equations (solver/UEqn.H, YEEqn.H, pEqn.H).
+
+All functions take a MeshGeometry plus VolField/SurfaceField pytrees and are
+jit-traceable; the connectivity arrays come in through the geometry object.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .fields import SurfaceField, VolField, mag
+from .geometry import MeshGeometry
+
+__all__ = [
+    "interpolate",
+    "interpolate_weighted",
+    "sn_grad",
+    "grad",
+    "grad_scalar",
+    "div_flux",
+    "div_flux_psi",
+    "laplacian",
+    "surface_sum",
+    "flux",
+    "reconstruct",
+    "average_to_cells",
+    "volume_integrate",
+]
+
+
+def _wmul(w, x):
+    """Multiply face weights with (possibly vector) face-gathered values."""
+    if x.ndim == 2:
+        return w[:, None] * x
+    return w * x
+
+
+def interpolate(geom: MeshGeometry, f: VolField) -> SurfaceField:
+    """Linear (central) interpolation to faces; boundary = patch values."""
+    xo = f.i[geom.own]
+    xn = f.i[geom.nei]
+    return SurfaceField(_wmul(geom.w, xo) + _wmul(1.0 - geom.w, xn), f.b)
+
+
+def interpolate_weighted(geom: MeshGeometry, f: VolField, w: jnp.ndarray) -> SurfaceField:
+    """Interpolation with caller-supplied internal-face weights (schemes)."""
+    xo = f.i[geom.own]
+    xn = f.i[geom.nei]
+    return SurfaceField(_wmul(w, xo) + _wmul(1.0 - w, xn), f.b)
+
+
+def sn_grad(geom: MeshGeometry, f: VolField, b_grad: jnp.ndarray = None) -> SurfaceField:
+    """Surface-normal gradient (uncorrected). Boundary snGrad defaults to
+    dc*(b_value - cell_value); pass b_grad to override (fixedGradient BCs)."""
+    gi = _wmul(geom.dc, f.i[geom.nei] - f.i[geom.own])
+    if b_grad is None:
+        b_grad = _wmul(geom.b_dc, f.b - f.i[geom.b_own])
+    return SurfaceField(gi, b_grad)
+
+
+def surface_sum(geom: MeshGeometry, sf: SurfaceField) -> jnp.ndarray:
+    """Σ_faces of signed (outward) face values per cell."""
+    if sf.i.ndim == 2:
+        cols = [geom.surface_sum(sf.i[:, c], sf.b[:, c]) for c in range(sf.i.shape[1])]
+        return jnp.stack(cols, axis=1)
+    return geom.surface_sum(sf.i, sf.b)
+
+
+def div_flux(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
+    """fvc::div(phi): (1/V) Σ phi_f."""
+    return surface_sum(geom, phi) / geom.V
+
+
+def div_flux_psi(geom: MeshGeometry, phi: SurfaceField, psi_f: SurfaceField) -> jnp.ndarray:
+    """fvc::div(phi, psi) with face-interpolated psi_f: (1/V) Σ phi_f psi_f."""
+    pi = _wmul(phi.i, psi_f.i)
+    pb = _wmul(phi.b, psi_f.b)
+    return surface_sum(geom, SurfaceField(pi, pb)) / _col(geom.V, pi)
+
+
+def _col(V, like):
+    return V[:, None] if like.ndim == 2 else V
+
+
+def grad_scalar(geom: MeshGeometry, f: VolField) -> jnp.ndarray:
+    """Gauss linear gradient of a scalar: [nC,3]."""
+    pf = interpolate(geom, f)
+    num = surface_sum(
+        geom, SurfaceField(geom.Sf * pf.i[:, None], geom.b_Sf * pf.b[:, None])
+    )
+    return num / geom.V[:, None]
+
+
+def grad(geom: MeshGeometry, f: VolField) -> jnp.ndarray:
+    """Gauss linear gradient. Scalar → [nC,3]; vector → [nC,3,3] with
+    grad[c,i,j] = d(u_j)/d(x_i) (OpenFOAM convention: rows = direction)."""
+    if not f.is_vector:
+        return grad_scalar(geom, f)
+    pf = interpolate(geom, f)
+    # outer product Sf ⊗ u_f
+    gi = geom.Sf[:, :, None] * pf.i[:, None, :]
+    gb = geom.b_Sf[:, :, None] * pf.b[:, None, :]
+    cols = [
+        geom.surface_sum(gi[:, a, b_], gb[:, a, b_])
+        for a in range(3)
+        for b_ in range(3)
+    ]
+    g = jnp.stack(cols, axis=1).reshape(-1, 3, 3)
+    return g / geom.V[:, None, None]
+
+
+def laplacian(
+    geom: MeshGeometry,
+    gamma: SurfaceField,
+    f: VolField,
+    b_grad: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """fvc::laplacian(gamma, psi): (1/V) Σ gamma_f |Sf| snGrad_f."""
+    sg = sn_grad(geom, f, b_grad)
+    vi = _wmul(gamma.i * geom.magSf, sg.i)
+    vb = _wmul(gamma.b * geom.b_magSf, sg.b)
+    return surface_sum(geom, SurfaceField(vi, vb)) / _col(geom.V, vi)
+
+
+def flux(geom: MeshGeometry, u: VolField) -> SurfaceField:
+    """fvc::flux(U) = Sf · U_f (linear interpolation)."""
+    uf = interpolate(geom, u)
+    return SurfaceField(
+        jnp.einsum("fd,fd->f", geom.Sf, uf.i),
+        jnp.einsum("fd,fd->f", geom.b_Sf, uf.b),
+    )
+
+
+def dot_sf(geom: MeshGeometry, sf_vec: SurfaceField) -> SurfaceField:
+    """Contract a vector surface field with Sf."""
+    return SurfaceField(
+        jnp.einsum("fd,fd->f", geom.Sf, sf_vec.i),
+        jnp.einsum("fd,fd->f", geom.b_Sf, sf_vec.b),
+    )
+
+
+def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
+    """fvc::reconstruct(faceFlux) → cell vector:
+    inv(Σ Sf⊗Sf/|Sf|) & Σ (Sf/|Sf|) phi_f  (OpenFOAM reconstruct)."""
+    ii = geom.Sf[:, :, None] * geom.Sf[:, None, :] / geom.magSf[:, None, None]
+    bb = geom.b_Sf[:, :, None] * geom.b_Sf[:, None, :] / geom.b_magSf[:, None, None]
+    tens = jnp.stack(
+        [
+            geom.surface_sum(ii[:, a, b_], bb[:, a, b_])
+            for a in range(3)
+            for b_ in range(3)
+        ],
+        axis=1,
+    ).reshape(-1, 3, 3)
+    rhs = jnp.stack(
+        [
+            geom.surface_sum(
+                geom.Sf[:, a] / geom.magSf * phi.i, geom.b_Sf[:, a] / geom.b_magSf * phi.b
+            )
+            for a in range(3)
+        ],
+        axis=1,
+    )
+    return jnp.linalg.solve(tens, rhs[..., None])[..., 0]
+
+
+def average_to_cells(geom: MeshGeometry, sf: SurfaceField) -> jnp.ndarray:
+    """Area-weighted average of face values to cells (fvc::average)."""
+    num = geom.cell_sum_unsigned(geom.magSf * sf.i, geom.b_magSf * sf.b)
+    den = geom.cell_sum_unsigned(geom.magSf, geom.b_magSf)
+    return num / den
+
+
+def volume_integrate(geom: MeshGeometry, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(x * geom.V, axis=0)

@@ -1,1 +1,1 @@
-
+from .linear import solve_scalar, pcg, bicgstab, jacobi_smooth, SolverResult

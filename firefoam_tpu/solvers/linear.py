@@ -1,0 +1,198 @@
+"""Sparse linear solvers for FvMatrix systems, fully jit-compiled.
+
+TPU-native replacements for OpenFOAM's LDU solvers (PCG/DIC, smoothSolver/
+symGaussSeidel, PBiCGStab, GAMG — cases/steckler/system/fvSolution:19-80):
+
+  * `pcg`      — diagonal(Jacobi)-preconditioned conjugate gradients for
+                 symmetric systems (p_rgh, ph_rgh, G). Same convergence
+                 criteria (OpenFOAM normFactor, tolerance/relTol), more
+                 iterations than DIC-PCG but identical solutions.
+  * `bicgstab` — Jacobi-preconditioned BiCGStab for asymmetric systems
+                 (convection-dominated: U, Yi, h, k, Ii).
+  * `smooth`   — damped-Jacobi smoother with per-sweep convergence checks
+                 (smoothSolver role).
+
+All loops are lax.while_loop with static iteration caps; every reduction is
+a jnp.sum → psum-compatible when sharded. Returns (x, initial_residual,
+final_residual, n_iterations) matching the reference's solver log lines.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fvm import FvMatrix
+
+__all__ = ["SolverResult", "solve_scalar", "pcg", "bicgstab", "jacobi_smooth"]
+
+
+class SolverResult(NamedTuple):
+    x: jnp.ndarray
+    initial_residual: jnp.ndarray
+    final_residual: jnp.ndarray
+    n_iterations: jnp.ndarray
+
+
+def _norm_factor(matvec, x, b):
+    xref = jnp.mean(x)
+    Aref = matvec(jnp.full_like(x, xref))
+    Ax = matvec(x)
+    return Ax, jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + 1e-300
+
+
+def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
+    """Diagonal-preconditioned CG with OpenFOAM convergence semantics."""
+    rD = 1.0 / diag
+    Ax0, norm = _norm_factor(matvec, x0, b)
+    r0 = b - Ax0
+    res0 = jnp.sum(jnp.abs(r0)) / norm
+
+    def cond(state):
+        x, r, p, rz_old, it, res = state
+        return (res > jnp.maximum(tol, rel_tol * res0)) & (it < max_iter)
+
+    def body(state):
+        x, r, p, rz_old, it, _ = state
+        z = rD * r
+        rz = jnp.vdot(r, z)
+        beta = jnp.where(it == 0, 0.0, rz / rz_old)
+        p = z + beta * p
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        res = jnp.sum(jnp.abs(r)) / norm
+        return x, r, p, rz, it + 1, res
+
+    init = (x0, r0, jnp.zeros_like(x0), jnp.asarray(1.0, x0.dtype), jnp.asarray(0, jnp.int32), res0)
+    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, init)
+    return SolverResult(x, res0, res, it)
+
+
+def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
+    """Jacobi-preconditioned BiCGStab (PBiCGStab role) for asymmetric systems."""
+    rD = 1.0 / diag
+    Ax0, norm = _norm_factor(matvec, x0, b)
+    r0 = b - Ax0
+    res0 = jnp.sum(jnp.abs(r0)) / norm
+    small = jnp.asarray(1e-100, x0.dtype)
+
+    def cond(state):
+        x, r, rhat, p, v, rho, alpha, omega, it, res = state
+        return (res > jnp.maximum(tol, rel_tol * res0)) & (it < max_iter)
+
+    def body(state):
+        x, r, rhat, p, v, rho_old, alpha, omega, it, _ = state
+        rho = jnp.vdot(rhat, r)
+        # breakdown (rhat ⟂ r): restart with the current residual
+        restart = (jnp.abs(rho) < small * jnp.vdot(r, r)) | (it == 0)
+        rhat = jnp.where(restart, r, rhat)
+        rho = jnp.where(restart, jnp.vdot(r, r), rho)
+        beta = jnp.where(
+            restart,
+            0.0,
+            (rho / _nz(rho_old)) * (alpha / _nz(omega)),
+        )
+        p = r + beta * (p - omega * v)
+        phat = rD * p
+        v = matvec(phat)
+        alpha = rho / _nz(jnp.vdot(rhat, v))
+        s = r - alpha * v
+        shat = rD * s
+        t = matvec(shat)
+        omega = jnp.vdot(t, s) / _nz(jnp.vdot(t, t))
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        res = jnp.sum(jnp.abs(r)) / norm
+        return x, r, rhat, p, v, rho, alpha, omega, it + 1, res
+
+    one = jnp.asarray(1.0, x0.dtype)
+    init = (
+        x0,
+        r0,
+        r0,
+        jnp.zeros_like(x0),
+        jnp.zeros_like(x0),
+        one,
+        one,
+        one,
+        jnp.asarray(0, jnp.int32),
+        res0,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return SolverResult(out[0], res0, out[-1], out[-2])
+
+
+def _nz(x):
+    """Guard a denominator against exact zero, preserving sign."""
+    tiny = jnp.asarray(1e-300, x.dtype)
+    return jnp.where(jnp.abs(x) < tiny, jnp.where(x >= 0, tiny, -tiny), x)
+
+
+def jacobi_smooth(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
+                  n_sweeps=4, damping=0.8):
+    """Damped-Jacobi smoothSolver: nSweeps smoothing passes per convergence
+    check (the smoothSolver/symGaussSeidel role; Jacobi needs damping and
+    more sweeps for the same effect, but converges to the same solution)."""
+    rD = damping / diag
+    Ax0, norm = _norm_factor(matvec, x0, b)
+    res0 = jnp.sum(jnp.abs(b - Ax0)) / norm
+
+    def cond(state):
+        x, it, res = state
+        return (res > jnp.maximum(tol, rel_tol * res0)) & (it < max_iter)
+
+    def body(state):
+        x, it, _ = state
+
+        def sweep(_, x):
+            return x + rD * (b - matvec(x))
+
+        x = jax.lax.fori_loop(0, n_sweeps, sweep, x)
+        res = jnp.sum(jnp.abs(b - matvec(x))) / norm
+        return x, it + 1, res
+
+    init = (x0, jnp.asarray(0, jnp.int32), res0)
+    x, it, res = jax.lax.while_loop(cond, body, init)
+    return SolverResult(x, res0, res, it * n_sweeps)
+
+
+_SYM = {"PCG", "GAMG", "diagonal"}
+
+
+def solve_scalar(
+    m: FvMatrix,
+    x0: jnp.ndarray,
+    solver: str = "PCG",
+    tol: float = 1e-6,
+    rel_tol: float = 0.0,
+    max_iter: int = 1000,
+    component: int = None,
+) -> SolverResult:
+    """Solve one (component of an) FvMatrix system."""
+    diag_t = m.diag_total()
+    b = m.rhs_total()
+    if component is not None:
+        diag_c = diag_t[:, component] if diag_t.ndim == 2 else diag_t
+        b = b[:, component]
+    else:
+        diag_c = diag_t
+
+    def matvec(x):
+        return m.matvec(x, diag_c)
+
+    if solver in ("PCG", "GAMG"):
+        return pcg(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
+    if solver in ("PBiCGStab", "PBiCG"):
+        return bicgstab(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
+    if solver == "smoothSolver":
+        return jacobi_smooth(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
+    if solver == "diagonal":
+        # exact for diagonal systems (rhoEqn "diagonal" solver)
+        x = b / diag_c
+        z = jnp.asarray(0.0, x.dtype)
+        return SolverResult(x, z, z, jnp.asarray(0, jnp.int32))
+    raise ValueError(f"unknown linear solver '{solver}'")

@@ -2,13 +2,23 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh: multi-chip sharding is validated
 # without TPU hardware (the driver separately dry-runs the multichip path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: must be a hard override — the environment ships JAX_PLATFORMS=axon
+# (one real TPU chip through a tunnel) and a sitecustomize that registers the
+# axon PJRT plugin at interpreter startup. Running float64 reference-matching
+# tests there silently demotes f64→f32 AND pays tunnel RPC per op. The env
+# var alone is NOT enough once the plugin is registered; the config update
+# below (before any computation) is what actually pins the CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("FIREFOAM_TPU_DTYPE", "float64")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
