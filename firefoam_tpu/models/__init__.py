@@ -1,1 +1,2 @@
-
+from .firefoam import FireFoamSolver
+from .run import run_case

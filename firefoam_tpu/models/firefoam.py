@@ -1,0 +1,677 @@
+"""The fireFoam solver: buoyant reacting LES with PIMPLE pressure coupling.
+
+TPU-native re-design of the reference solver loop (solver/fireFoam.C:51-141):
+one `State` pytree, one jit-compiled `step(state) → (state, log)` containing
+rhoEqn → PIMPLE{ UEqn, YEEqn (species+energy), nCorr×pEqn, kEqn } with
+adaptive Δt, matching the equation set of:
+  solver/rhoEqn.H:32-46   continuity
+  solver/UEqn.H:1-34      momentum with buoyancy flux reconstruction
+  solver/YEEqn.H:1-119    multivariate species + sensible-enthalpy energy
+  solver/pEqn.H:1-60      p_rgh PISO corrector with hydrostatic splitting
+  solver/phrghEqn.H:1-62  hydrostatic initialisation
+  solver/setMultiRegionDeltaT.H:34-63  Courant-limited Δt growth
+
+Spray/film/pyrolysis sources enter through the `sources` hook (zero for the
+steckler gas slice: film=none, pyrolysis=none, cloud inactive per
+cases/steckler/constant/reactingCloud1Properties 'active false').
+Radiation: coupled through radiation.Sh (fvDOM module); falls back to an
+optically-thin radiant-fraction sink when fvDOM is disabled.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..combustion.edm import EddyDissipationModel
+from ..config import real_dtype
+from ..io import Case, read_field_file
+from ..io.foamdict import FoamDict, expand_env
+from ..mesh import build_case_mesh
+from ..ops import MeshGeometry, SurfaceField, VolField
+from ..ops import bcs as bcmod
+from ..ops import fvc, fvm
+from ..ops.bcs import FieldBCs, make_field_bcs, initial_boundary
+from ..solvers.linear import solve_scalar
+from ..thermo import GasThermo, SingleStepReaction
+from ..turbulence.kEqn import KEqnLES
+
+__all__ = ["FireFoamSolver"]
+
+
+def _solver_controls(fv_solution: FoamDict, name: str) -> dict:
+    d = fv_solution.get_dict("solvers").lookup(name)
+    return {
+        "solver": str(d.lookup("solver")),
+        "tolerance": d.get_scalar("tolerance", 1e-6),
+        "relTol": d.get_scalar("relTol", 0.0),
+        "maxIter": int(d.get_scalar("maxIter", 1000)),
+    }
+
+
+@dataclass
+class Controls:
+    dt0: float
+    end_time: float
+    adjust: bool
+    max_co: float
+    max_dt: float
+    write_interval: float
+    adjustable_write: bool
+    n_correctors: int
+    n_outer: int
+    momentum_predictor: bool
+    hydrostatic_init: bool
+    n_hydrostatic: int
+
+
+class FireFoamSolver:
+    """Host-side case setup + jitted step factory (the flagship model)."""
+
+    def __init__(self, case_dir: str, dtype=None, radiation=None):
+        self.dtype = dtype or real_dtype()
+        self.case = Case(case_dir)
+        self.cm = build_case_mesh(case_dir)
+        self.geom = MeshGeometry.from_polymesh(self.cm.mesh, dtype=self.dtype)
+        g = self.geom
+
+        # ---- thermo / chemistry ----
+        tp = self.case.constant("thermophysicalProperties")
+        self.fuel = tp.get_word("fuel", "C3H8")
+        self.inert = tp.get_word("inertSpecie", "N2")
+        rx_path = expand_env(str(tp.lookup("foamChemistryFile")), case_dir)
+        th_path = expand_env(str(tp.lookup("foamChemistryThermoFile")), case_dir)
+        from ..io.foamdict import parse_file
+
+        rx = parse_file(rx_path, case_dir=case_dir)
+        self.species: List[str] = [str(s) for s in rx.get_list("species")]
+        self.gas = GasThermo.from_dict(parse_file(th_path, case_dir=case_dir), self.species)
+        self.reaction = SingleStepReaction.from_case(rx, self.gas, self.fuel, self.inert)
+        self.combustion = EddyDissipationModel.from_case(
+            self.case.constant("combustionProperties"), self.reaction
+        )
+
+        # ---- turbulence ----
+        self.turb = KEqnLES.from_case(g, self.case.constant("turbulenceProperties"))
+
+        # ---- radiation (fvDOM module, optional) ----
+        self.radiation = radiation
+        rad_props = (
+            self.case.constant("radiationProperties")
+            if self.case.has_constant("radiationProperties")
+            else FoamDict()
+        )
+        self.rad_on = bool(rad_props) and rad_props.get_bool("radiation", False)
+        # optically-thin fallback radiant fraction (constRadFractionEmission
+        # EhrrCoeff — cases/steckler/constant/radiationProperties)
+        aec = rad_props.get_dict("constRadFractionEmissionCoeffs", FoamDict())
+        self.ehrr = aec.get_scalar("Ehrr2", aec.get_scalar("EhrrCoeff", 0.2))
+
+        # ---- gravity / reference values ----
+        gdict = self.case.constant("g")
+        self.g_vec = np.asarray(gdict.get_vector("value"))
+        href = self.case.constant("hRef").get_scalar("value", 0.0) if self.case.has_constant("hRef") else 0.0
+        mag_g = np.linalg.norm(self.g_vec)
+        gh_ref = -float(mag_g) * float(href)  # OpenFOAM: ghRef = −|g|·hRef
+        self.gh = jnp.asarray(np.asarray(g.C) @ self.g_vec - gh_ref, self.dtype)
+        self.ghf_i = jnp.asarray(np.asarray(g.Cf) @ self.g_vec - gh_ref, self.dtype)
+        self.ghf_b = jnp.asarray(np.asarray(g.b_Cf) @ self.g_vec - gh_ref, self.dtype)
+        self.p_ref = (
+            self.case.constant("pRef").get_scalar("value", 101325.0)
+            if self.case.has_constant("pRef")
+            else 101325.0
+        )
+
+        # ---- controls ----
+        cd = self.case.control_dict
+        pimple = self.case.fv_solution.get_dict("PIMPLE")
+        self.ctl = Controls(
+            dt0=cd.get_scalar("deltaT"),
+            end_time=cd.get_scalar("endTime"),
+            adjust=cd.get_bool("adjustTimeStep", False),
+            max_co=cd.get_scalar("maxCo", 1.0),
+            max_dt=cd.get_scalar("maxDeltaT", 1e6),
+            write_interval=cd.get_scalar("writeInterval", 1.0),
+            adjustable_write=str(cd.lookup("writeControl", "timeStep")) == "adjustableRunTime",
+            n_correctors=pimple.get_int("nCorrectors", 2),
+            n_outer=pimple.get_int("nOuterCorrectors", 1),
+            momentum_predictor=pimple.get_bool("momentumPredictor", True),
+            hydrostatic_init=pimple.get_bool("hydrostaticInitialization", False),
+            n_hydrostatic=pimple.get_int("nHydrostaticCorrectors", 5),
+        )
+        self.fv_solution = self.case.fv_solution
+
+        # ---- fields & BCs ----
+        self._read_initial_fields()
+
+    # ------------------------------------------------------------------
+    def _read_field(self, name: str, default_name: Optional[str] = None):
+        if self.case.has_field(name):
+            ff = self.case.field(name)
+        elif default_name is not None:
+            ff = self.case.field_or_default(name, default_name)
+        else:
+            raise FileNotFoundError(f"0/{name}")
+        g = self.geom
+        internal = jnp.asarray(ff.internal_array(g.n_cells), self.dtype)
+        boundary = initial_boundary(ff, g, self.dtype)
+        return VolField(internal, boundary), make_field_bcs(ff, g)
+
+    def _read_initial_fields(self):
+        g = self.geom
+        dt = self.dtype
+        self.U, self.U_bcs = self._read_field("U")
+        self.T, self.T_bcs = self._read_field("T")
+        self.p_rgh, self.p_rgh_bcs = self._read_field("p_rgh")
+        self.p, self.p_bcs = self._read_field("p")
+        self.k, self.k_bcs = self._read_field("k")
+        self.alphat, self.alphat_bcs = self._read_field("alphat")
+        self.nut, self.nut_bcs = self._read_field("nut")
+
+        Yi, Yb, self.Y_bcs = [], [], []
+        for sp in self.species:
+            f, b = self._read_field(sp, default_name="Ydefault")
+            Yi.append(f.i)
+            Yb.append(f.b)
+            self.Y_bcs.append(b)
+        # the inert specie is never solved: Y_inert = 1 − ΣY everywhere,
+        # including patch values (its 0/ file typically doesn't exist and
+        # Ydefault would leave the boundary mixture unnormalised)
+        inert = self.species.index(self.inert)
+        Yi[inert] = jnp.maximum(1.0 - sum(Yi[s] for s in range(len(Yi)) if s != inert), 0.0)
+        Yb[inert] = jnp.maximum(1.0 - sum(Yb[s] for s in range(len(Yb)) if s != inert), 0.0)
+        self.Y = VolField(jnp.stack(Yi, axis=1), jnp.stack(Yb, axis=1))
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> Dict:
+        """Build the State pytree: thermo init + hydrostatic initialisation."""
+        g = self.geom
+        dt = self.dtype
+        Y, T, p = self.Y, self.T, self.p
+
+        psi_i = self.gas.psi(T.i, Y.i)
+        psi_b = self.gas.psi(T.b, Y.b)
+        rho = VolField(psi_i * p.i, psi_b * p.b)
+        hs = VolField(self.gas.hs(T.i, Y.i), self.gas.hs(T.b, Y.b))
+        mu = VolField(self.gas.mu(T.i, Y.i), self.gas.mu(T.b, Y.b))
+        alpha = VolField(self.gas.alpha(T.i, Y.i), self.gas.alpha(T.b, Y.b))
+
+        # phi = rho * (U_f & Sf)
+        rho_f = fvc.interpolate(g, rho)
+        uflux = fvc.flux(g, self.U)
+        phi = SurfaceField(rho_f.i * uflux.i, rho_f.b * uflux.b)
+
+        state = {
+            "t": jnp.asarray(0.0, dt),
+            "dt": jnp.asarray(self.ctl.dt0, dt),
+            "U": self.U,
+            "p_rgh": self.p_rgh,
+            "p": p,
+            "p_old_i": p.i,
+            "rho": rho,
+            "rho_old_i": rho.i,
+            "Y": Y,
+            "hs": hs,
+            "T": T,
+            "psi": VolField(psi_i, psi_b),
+            "mu": mu,
+            "alpha": alpha,
+            "k": self.k,
+            "nut": VolField(self.turb.nut(self.k.i), self.turb.nut_b(self.k.b)),
+            "alphat": self.alphat,
+            "phi": phi,
+            "Qdot": jnp.zeros(g.n_cells, dt),
+            "ph_rgh_b": jnp.zeros(g.n_boundary, dt),
+            "dpdt": jnp.zeros(g.n_cells, dt),
+            "K_old_i": 0.5 * jnp.sum(self.U.i * self.U.i, axis=1),
+        }
+        if self.radiation is not None:
+            state["rad"] = self.radiation.initial_state()
+        if self.ctl.hydrostatic_init:
+            state = self._hydrostatic_init(state)
+        return state
+
+    # ------------------------------------------------------------------
+    def _hydrostatic_init(self, state: Dict) -> Dict:
+        """solver/phrghEqn.H: iterate lap(rho_f, ph_rgh) = div(phig) so the
+        initial pressure field is in hydrostatic balance."""
+        g = self.geom
+        dtp = self.dtype
+        ph = VolField(jnp.zeros(g.n_cells, dtp), jnp.zeros(g.n_boundary, dtp))
+        # ph_rgh BCs: fixed 0 on open boundaries (where p_rgh has a value BC),
+        # zero-gradient on walls — reuse the p_rgh BC kinds
+        Y, T = state["Y"], state["T"]
+        p = state["p"]
+        for it in range(self.ctl.n_hydrostatic):
+            psi_i = self.gas.psi(T.i, Y.i)
+            psi_b = self.gas.psi(T.b, Y.b)
+            rho = VolField(psi_i * p.i, psi_b * p.b)
+            rho_f = fvc.interpolate(g, rho)
+            sg_rho = fvc.sn_grad(g, rho)
+            phig = SurfaceField(
+                -rho_f.i * self.ghf_i * sg_rho.i * g.magSf,
+                -rho_f.b * self.ghf_b * sg_rho.b * g.b_magSf,
+            )
+            rhs = fvc.surface_sum(g, phig)  # div(phig)·V
+            # mixed BCs: fixedValue 0 where p_rgh BC is a value BC; otherwise
+            # constrainPressure semantics — snGrad(ph_rgh) = phig/(ρ_f·A) so
+            # the boundary buoyancy flux cancels (fixedFluxPressure walls)
+            f_list = []
+            for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
+                is_fixed = bc.kind in ("prghTotalHydrostaticPressure", "fixedValue", "totalPressure")
+                f_list.append(jnp.full((pch.n,), 1.0 if is_fixed else 0.0, dtp))
+            f = jnp.concatenate(f_list)
+            rv = jnp.zeros(g.n_boundary, dtp)
+            rg = phig.b / (rho_f.b * g.b_magSf)
+            gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
+            m = -fvm.laplacian(g, rho_f, ph, gic, gbc)
+            m = fvm.FvMatrix(
+                g, m.diag, m.lower, m.upper, m.source - rhs, m.internal_coeffs, m.boundary_coeffs, m.psi
+            )
+            ctl = _solver_controls(self.fv_solution, "ph_rgh")
+            res = solve_scalar(m, ph.i, solver="PCG", tol=ctl["tolerance"], rel_tol=ctl["relTol"])
+            ph_b = f * 0.0 + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
+            ph = VolField(res.x, ph_b)
+            p = VolField(
+                ph.i + rho.i * self.gh + self.p_ref,
+                ph.b + rho.b * self.ghf_b + self.p_ref,
+            )
+        state = dict(state)
+        state["p"] = VolField(p.i, state["p"].b)
+        state["p_rgh"] = VolField(ph.i, ph.b)
+        state["ph_rgh_b"] = ph.b
+        psi_i = self.gas.psi(T.i, Y.i)
+        state["rho"] = VolField(psi_i * p.i, state["rho"].b)
+        state["rho_old_i"] = state["rho"].i
+        state["psi"] = VolField(psi_i, state["psi"].b)
+        return state
+
+    # ------------------------------------------------------------------
+    def _ctx(self, state: Dict, overrides=None) -> dict:
+        alpha_eff_b = state["alphat"].b + state["alpha"].b
+        return {
+            "phi": state["phi"],
+            "rho": state["rho"],
+            "U": state["U"],
+            "t": state["t"],
+            "alphaEff_b": alpha_eff_b,
+            "ph_rgh_b": state["ph_rgh_b"],
+            "overrides": overrides or {},
+        }
+
+    # ------------------------------------------------------------------
+    def courant(self, state: Dict) -> jnp.ndarray:
+        """compressibleCourantNo: 0.5·max(Σ|φ| / (ρ V))·Δt."""
+        g = self.geom
+        sum_phi = g.cell_sum_unsigned(jnp.abs(state["phi"].i), jnp.abs(state["phi"].b))
+        return 0.5 * jnp.max(sum_phi / (state["rho"].i * g.V)) * state["dt"]
+
+    def new_dt(self, state: Dict) -> jnp.ndarray:
+        """setMultiRegionDeltaT: Courant-limited with damped 1.2× growth."""
+        co = self.courant(state)
+        fact = jnp.minimum(self.ctl.max_co / (co + 1e-12), 1.2)
+        dt = jnp.minimum(fact * state["dt"], self.ctl.max_dt)
+        if self.ctl.adjustable_write:
+            # Time::adjustDeltaT — land exactly on write times
+            interval = self.ctl.write_interval
+            t_next = (jnp.floor(state["t"] / interval) + 1.0) * interval
+            remain = jnp.maximum(t_next - state["t"], 1e-12)
+            n = jnp.floor(jnp.maximum(remain / dt, 1.0) + 0.99)
+            dt = remain / n
+        return dt
+
+    # ------------------------------------------------------------------
+    # equation pieces (all traced inside step)
+    # ------------------------------------------------------------------
+    def _u_eqn(self, state, log):
+        g = self.geom
+        U, rho, phi, mu = state["U"], state["rho"], state["phi"], state["mu"]
+        mu_eff = VolField(mu.i + rho.i * state["nut"].i, mu.b + rho.b * state["nut"].b)
+        ctx = self._ctx(state)
+
+        rv, rg, f = bcmod.resolve(self.U_bcs, g, U, ctx)
+        vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
+        gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
+
+        gradU = fvc.grad(g, U)
+        mu_eff_f = SurfaceField(fvc.interpolate(g, mu_eff).i, mu_eff.b)
+
+        m = (
+            fvm.ddt(g, rho.i, U, U.i, state["rho_old_i"], state["dt"])
+            + fvm.lust_div(g, phi, U, vic, vbc, gradU)
+            - fvm.laplacian(g, mu_eff_f, U, gic, gbc)
+        )
+        # explicit part of divDevRhoReff: −div(muEff·dev2(∇Uᵀ))
+        div_tau = self.turb.div_dev_rho_reff(U, mu_eff, gradU)
+        m = m.add_source(div_tau)
+
+        # buoyancy + pressure-gradient source (UEqn.H:22-31):
+        # reconstruct((−ghf·snGrad(rho) − snGrad(p_rgh))·magSf)
+        sg_rho = fvc.sn_grad(g, rho)
+        sg_p = fvc.sn_grad(g, state["p_rgh"])
+        face_src = SurfaceField(
+            (-self.ghf_i * sg_rho.i - sg_p.i) * g.magSf,
+            (-self.ghf_b * sg_rho.b - sg_p.b) * g.b_magSf,
+        )
+        m = m.add_source(fvc.reconstruct(g, face_src))
+
+        ctl = _solver_controls(self.fv_solution, "Ux")
+        xs = []
+        for c, comp in enumerate("xyz"):
+            res = solve_scalar(
+                m, U.i[:, c], solver=ctl["solver"], tol=ctl["tolerance"],
+                rel_tol=ctl["relTol"], max_iter=ctl["maxIter"], component=c,
+            )
+            xs.append(res.x)
+            log[f"U{comp}_res0"] = res.initial_residual
+            log[f"U{comp}_iters"] = res.n_iterations
+        U_new = VolField(jnp.stack(xs, axis=1), U.b)
+        U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctx)
+        return U_new, m
+
+    def _y_eqns(self, state, log):
+        """Species transport with EDM source (YEEqn.H:27-77)."""
+        g = self.geom
+        rho, phi = state["rho"], state["phi"]
+        Y = state["Y"]
+        dt = state["dt"]
+
+        eps = self.turb.epsilon(state["k"].i)
+        w_fuel = self.combustion.w_fuel(
+            rho.i, Y.i, state["k"].i, eps, state["alpha"].i, self.turb.delta, dt
+        )
+        qdot = self.combustion.qdot(w_fuel)
+
+        alpha_eff = VolField(
+            state["alphat"].i + state["alpha"].i, state["alphat"].b + state["alpha"].b
+        )
+        alpha_eff_f = SurfaceField(fvc.interpolate(g, alpha_eff).i, alpha_eff.b)
+        ctx = self._ctx(state)
+        ctl = _solver_controls(self.fv_solution, "Yi")
+
+        inert_idx = self.gas.index(self.inert)
+        new_cols_i = [None] * len(self.species)
+        new_cols_b = [None] * len(self.species)
+        for s, sp in enumerate(self.species):
+            if s == inert_idx:
+                continue
+            Ys = VolField(Y.i[:, s], Y.b[:, s])
+            rv, rg, f = bcmod.resolve(self.Y_bcs[s], g, Ys, ctx)
+            vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
+            gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
+            w = fvm.limited_linear_weights(g, phi.i, Ys, k=1.0, bound01=True)
+            m = (
+                fvm.ddt(g, rho.i, Ys, Ys.i, state["rho_old_i"], dt)
+                + fvm.div(g, phi, Ys, w, vic, vbc)
+                - fvm.laplacian(g, alpha_eff_f, Ys, gic, gbc)
+            )
+            m = m.add_source(self.combustion.R(w_fuel, s))
+            res = solve_scalar(
+                m, Ys.i, solver=ctl["solver"], tol=ctl["tolerance"],
+                rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
+            )
+            yi = jnp.maximum(res.x, 0.0)
+            ys_new = bcmod.evaluate(self.Y_bcs[s], g, VolField(yi, Ys.b), ctx)
+            new_cols_i[s] = ys_new.i
+            new_cols_b[s] = ys_new.b
+            log[f"{sp}_res0"] = res.initial_residual
+            log[f"{sp}_iters"] = res.n_iterations
+
+        # inert specie: Yt bookkeeping (YEEqn.H:62-66)
+        others_i = sum(c for i, c in enumerate(new_cols_i) if i != inert_idx)
+        others_b = sum(c for i, c in enumerate(new_cols_b) if i != inert_idx)
+        new_cols_i[inert_idx] = jnp.maximum(1.0 - others_i, 0.0)
+        new_cols_b[inert_idx] = jnp.maximum(1.0 - others_b, 0.0)
+        Y_new = VolField(jnp.stack(new_cols_i, axis=1), jnp.stack(new_cols_b, axis=1))
+        return Y_new, qdot
+
+    def _hs_bcs_from_T(self, state, Y_new):
+        """Derive sensible-enthalpy mixed BC coefficients from T's BCs
+        (fixedEnergy/gradientEnergy behaviour)."""
+        g = self.geom
+        ctx = self._ctx(state)
+        rvT, rgT, fT = bcmod.resolve(self.T_bcs, g, state["T"], ctx)
+        # refValue in energy space: hs(T_ref, Y_b); refGrad: cp_b·∂T/∂n
+        hs_ref = self.gas.hs(jnp.maximum(rvT, 10.0), Y_new.b)
+        cp_b = self.gas.cp(state["T"].b, Y_new.b)
+        return hs_ref, cp_b * rgT, fT
+
+    def _e_eqn(self, state, Y_new, qdot, log):
+        """Sensible-enthalpy energy equation (YEEqn.H:84-118)."""
+        g = self.geom
+        rho, phi, hs, U = state["rho"], state["phi"], state["hs"], state["U"]
+        dt = state["dt"]
+        alpha_eff = VolField(
+            state["alphat"].i + state["alpha"].i, state["alphat"].b + state["alpha"].b
+        )
+        alpha_eff_f = SurfaceField(fvc.interpolate(g, alpha_eff).i, alpha_eff.b)
+
+        rv, rg, f = self._hs_bcs_from_T(state, Y_new)
+        vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
+        gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
+        w = fvm.limited_linear_weights(g, phi.i, hs, k=1.0)
+
+        # kinetic-energy and dpdt terms (explicit)
+        K = VolField(0.5 * jnp.sum(U.i * U.i, axis=1), 0.5 * jnp.sum(U.b * U.b, axis=1))
+        ddtK = (rho.i * K.i - state["rho_old_i"] * state["K_old_i"]) / dt
+        divK = fvc.div_flux_psi(g, phi, fvc.interpolate(g, K))
+
+        # radiation coupling
+        if self.radiation is not None:
+            sh_rad = self.radiation.Sh(state, self.gas)
+        else:
+            sh_rad = -self.ehrr * qdot  # optically-thin fallback
+
+        m = (
+            fvm.ddt(g, rho.i, hs, hs.i, state["rho_old_i"], dt)
+            + fvm.div(g, phi, hs, w, vic, vbc)
+            - fvm.laplacian(g, alpha_eff_f, hs, gic, gbc)
+        )
+        m = m.add_source(qdot + sh_rad + state["dpdt"] - ddtK - divK)
+
+        ctl = _solver_controls(self.fv_solution, "h")
+        res = solve_scalar(
+            m, hs.i, solver=ctl["solver"], tol=ctl["tolerance"],
+            rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
+        )
+        log["h_res0"] = res.initial_residual
+        log["h_iters"] = res.n_iterations
+
+        # thermo.correct(): T(hs), boundary values, transport props
+        T_i = self.gas.T_from_hs(res.x, Y_new.i, state["T"].i)
+        hs_b = f * rv + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
+        T_b = self.gas.T_from_hs(hs_b, Y_new.b, state["T"].b)
+        T_new = VolField(T_i, T_b)
+        hs_new = VolField(res.x, hs_b)
+        psi_new = VolField(self.gas.psi(T_i, Y_new.i), self.gas.psi(T_b, Y_new.b))
+        mu_new = VolField(self.gas.mu(T_i, Y_new.i), self.gas.mu(T_b, Y_new.b))
+        alpha_new = VolField(self.gas.alpha(T_i, Y_new.i), self.gas.alpha(T_b, Y_new.b))
+        return hs_new, T_new, psi_new, mu_new, alpha_new
+
+    def _p_eqn(self, state, u_matrix, final: bool, log, corr: int):
+        """PISO pressure corrector (solver/pEqn.H)."""
+        g = self.geom
+        dt = state["dt"]
+        psi, p_rgh = state["psi"], state["p_rgh"]
+        rho = VolField(psi.i * state["p"].i, psi.b * state["p"].b)  # thermo.rho()
+
+        rAU = 1.0 / u_matrix.A()
+        rho_rAU_f = fvc.interpolate(g, VolField(rho.i * rAU, rho.b * rAU[g.b_own]))
+        HbyA_i = rAU[:, None] * u_matrix.H()
+        HbyA = VolField(HbyA_i, state["U"].b)
+
+        sg_rho = fvc.sn_grad(g, rho)
+        phig = SurfaceField(
+            -rho_rAU_f.i * self.ghf_i * sg_rho.i * g.magSf,
+            -rho_rAU_f.b * self.ghf_b * sg_rho.b * g.b_magSf,
+        )
+        rho_f = fvc.interpolate(g, rho)
+        hflux = fvc.flux(g, HbyA)
+        phi_hbya = SurfaceField(
+            rho_f.i * hflux.i + phig.i, rho_f.b * hflux.b + phig.b
+        )
+
+        # constrainPressure: fixedFluxPressure gradients so flux matches U_b
+        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, state["U"].b)
+        grad_override = (phi_hbya.b - u_flux_b) / (rho_rAU_f.b * g.b_magSf)
+        overrides = {}
+        for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
+            if bc.kind == "fixedFluxPressure":
+                overrides[("p_rgh", pch.name, "gradient")] = grad_override[pch.slice]
+        ctx = self._ctx(state, overrides)
+        ctx["_field"] = "p_rgh"
+
+        rv, rg, f = bcmod.resolve(self.p_rgh_bcs, g, p_rgh, ctx)
+        gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
+        m_lap = fvm.laplacian(g, rho_rAU_f, p_rgh, gic, gbc)
+
+        # p_rghEqn: psi·(ddt(p_rgh) implicit correction) + ddt(rho) + div(phiHbyA)
+        #           − lap(rhorAUf, p_rgh) = 0
+        m = -m_lap
+        m = fvm.FvMatrix(
+            g,
+            m.diag + psi.i * g.V / dt,
+            m.lower,
+            m.upper,
+            m.source
+            + psi.i * g.V / dt * p_rgh.i
+            - ((rho.i - state["rho_old_i"]) / dt) * g.V
+            - fvc.surface_sum(g, phi_hbya),
+            m.internal_coeffs,
+            m.boundary_coeffs,
+            m.psi,
+        )
+        name = "p_rghFinal" if final else "p_rgh"
+        ctl = _solver_controls(self.fv_solution, name)
+        res = solve_scalar(
+            m, p_rgh.i, solver="PCG", tol=ctl["tolerance"], rel_tol=ctl["relTol"]
+        )
+        log[f"p_rgh_res0_{corr}"] = res.initial_residual
+        log[f"p_rgh_iters_{corr}"] = res.n_iterations
+
+        # boundary update + flux reconstruction
+        p_rgh_b = f * rv + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
+        p_rgh_new = VolField(res.x, p_rgh_b)
+        lap_flux = fvm.FvMatrix(
+            g, m_lap.diag, m_lap.lower, m_lap.upper, m_lap.source,
+            m_lap.internal_coeffs, m_lap.boundary_coeffs, p_rgh_new
+        ).flux()
+        phi_new = SurfaceField(phi_hbya.i - lap_flux.i, phi_hbya.b - lap_flux.b)
+
+        # velocity correction
+        corr_flux = SurfaceField(
+            (phig.i - lap_flux.i) / rho_rAU_f.i, (phig.b - lap_flux.b) / rho_rAU_f.b
+        )
+        U_new_i = HbyA.i + rAU[:, None] * fvc.reconstruct(g, corr_flux)
+        ctxU = self._ctx(state)
+        ctxU["phi"] = phi_new
+        U_new = bcmod.evaluate(self.U_bcs, g, VolField(U_new_i, state["U"].b), ctxU)
+
+        # p = p_rgh + rho·gh + pRef (boundary too)
+        p_new = VolField(
+            p_rgh_new.i + rho.i * self.gh + self.p_ref,
+            p_rgh_new.b + rho.b * self.ghf_b + self.p_ref,
+        )
+        psi_new = state["psi"]
+        rho_new = VolField(psi_new.i * p_new.i, psi_new.b * p_new.b)
+
+        # continuity: rhoEqn "diagonal" solve + errors (rhoEqn.H:32-46)
+        rho_cont = state["rho_old_i"] - dt * fvc.div_flux(g, phi_new)
+        cont_local = jnp.sum(jnp.abs(rho_cont - rho_new.i) * g.V) / jnp.sum(
+            rho_new.i * g.V
+        )
+        cont_global = jnp.sum((rho_cont - rho_new.i) * g.V) / jnp.sum(rho_new.i * g.V)
+        log[f"cont_local_{corr}"] = cont_local
+        log[f"cont_global_{corr}"] = cont_global
+
+        return p_rgh_new, p_new, rho_new, phi_new, U_new
+
+    # ------------------------------------------------------------------
+    def step(self, state: Dict) -> Tuple[Dict, Dict]:
+        """One full time step (the jit target)."""
+        g = self.geom
+        log: Dict[str, jnp.ndarray] = {}
+        state = dict(state)
+        dt = state["dt"]
+
+        log["CoNum"] = self.courant(state)
+
+        # ---- rhoEqn (diagonal) ----
+        rho_i = state["rho_old_i"] - dt * fvc.div_flux(g, state["phi"])
+        state["rho"] = VolField(rho_i, state["rho"].b)
+
+        for outer in range(self.ctl.n_outer):
+            # ---- momentum predictor ----
+            U_new, u_matrix = self._u_eqn(state, log)
+            state["U"] = U_new
+
+            # ---- radiation field solve (fvDOM), every solverFreq steps ----
+            if self.radiation is not None:
+                state["rad"] = self.radiation.maybe_correct(state, self.gas)
+
+            # ---- species + energy ----
+            Y_new, qdot = self._y_eqns(state, log)
+            state["Qdot"] = qdot
+            hs_new, T_new, psi_new, mu_new, alpha_new = self._e_eqn(
+                state, Y_new, qdot, log
+            )
+            state["Y"] = Y_new
+            state["hs"] = hs_new
+            state["T"] = T_new
+            state["psi"] = psi_new
+            state["mu"] = mu_new
+            state["alpha"] = alpha_new
+            log["T_min"] = jnp.min(T_new.i)
+            log["T_max"] = jnp.max(T_new.i)
+
+            # ---- pressure correctors ----
+            for corr in range(self.ctl.n_correctors):
+                final = corr == self.ctl.n_correctors - 1
+                p_rgh_new, p_new, rho_new, phi_new, U_corr = self._p_eqn(
+                    state, u_matrix, final, log, corr
+                )
+                state["p_rgh"] = p_rgh_new
+                state["p"] = p_new
+                state["rho"] = rho_new
+                state["phi"] = phi_new
+                state["U"] = U_corr
+
+            state["dpdt"] = (state["p"].i - state["p_old_i"]) / dt
+
+            # ---- turbulence ----
+            ctx = self._ctx(state)
+            ctl_k = _solver_controls(self.fv_solution, "k")
+            k_new, nut_i, res_k = self.turb.correct(
+                state["k"], self.k_bcs, state["U"], state["rho"],
+                state["rho_old_i"], state["phi"], state["mu"], dt, ctx, ctl_k,
+            )
+            state["k"] = k_new
+            nut_b = self.turb.nut_b(k_new.b)
+            state["nut"] = VolField(nut_i, nut_b)
+            # alphat = rho·nut/Prt (+ wall functions on baffles)
+            state["alphat"] = VolField(
+                state["rho"].i * nut_i / self.turb.Prt,
+                state["rho"].b * nut_b / self.turb.Prt,
+            )
+            log["k_res0"] = res_k.initial_residual
+            log["k_iters"] = res_k.n_iterations
+
+        # ---- advance time, choose next dt ----
+        state["rho_old_i"] = state["rho"].i
+        state["p_old_i"] = state["p"].i
+        state["K_old_i"] = 0.5 * jnp.sum(state["U"].i * state["U"].i, axis=1)
+        state["t"] = state["t"] + dt
+        if self.ctl.adjust:
+            state["dt"] = self.new_dt(state)
+        log["Qdot_total"] = jnp.sum(state["Qdot"] * g.V)
+        return state, log
+
+    # ------------------------------------------------------------------
+    def make_step(self):
+        return jax.jit(self.step)

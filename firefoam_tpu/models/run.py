@@ -1,0 +1,109 @@
+"""Time-loop driver and CLI: `python -m firefoam_tpu.models.run --case <dir>`.
+
+Mirrors the reference's per-step log format (residuals, species min/ave/max,
+min/max(T), continuity errors, Courant number — solver/fireFoam.C:76-141 and
+YEEqn.H:72-77) so runs diff against the steckler golden log
+(cases/steckler/original/linux64/log.fireFoam).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .firefoam import FireFoamSolver
+
+__all__ = ["run_case", "main"]
+
+
+def _fmt(x) -> str:
+    return f"{float(x):.8g}"
+
+
+def run_case(
+    case_dir: str,
+    end_time: Optional[float] = None,
+    max_steps: int = 100000,
+    verbose: bool = True,
+    radiation: bool = True,
+    solver: Optional[FireFoamSolver] = None,
+):
+    """Run a case to end_time; returns (solver, final_state, step_logs)."""
+    if solver is None:
+        rad = None
+        if radiation:
+            from ..radiation.fvdom import FvDOM
+
+            rad = FvDOM.try_from_case(case_dir)
+        solver = FireFoamSolver(case_dir, radiation=rad)
+    state = solver.initial_state()
+    step = solver.make_step()
+    end = end_time if end_time is not None else solver.ctl.end_time
+
+    logs = []
+    t_start = time.time()
+    n = 0
+    while float(state["t"]) < end - 1e-12 and n < max_steps:
+        state, log = step(state)
+        n += 1
+        log = {k: np.asarray(v) for k, v in log.items()}
+        logs.append(log)
+        if verbose:
+            print(f"Courant Number max: {_fmt(log['CoNum'])}")
+            print(f"deltaT = {_fmt(state['dt'])}")
+            print(f"Time = {_fmt(state['t'])}\n")
+            for c in "xyz":
+                print(
+                    f"solve U{c}: initial residual = {_fmt(log[f'U{c}_res0'])},"
+                    f" iters {int(log[f'U{c}_iters'])}"
+                )
+            Y = np.asarray(state["Y"].i)
+            for s, sp in enumerate(solver.species):
+                print(
+                    f"{sp:>8s}\tmin/ave/max  =\t{Y[:,s].min():12.6g}\t"
+                    f"{Y[:,s].mean():12.6g}\t{Y[:,s].max():12.6g}"
+                )
+            print(f"min/max(T) = {_fmt(log['T_min'])}, {_fmt(log['T_max'])}")
+            for c in range(solver.ctl.n_correctors):
+                print(
+                    f"p_rgh corrector {c}: initial residual = "
+                    f"{_fmt(log[f'p_rgh_res0_{c}'])}, iters {int(log[f'p_rgh_iters_{c}'])}"
+                )
+                print(
+                    f"time step continuity errors : sum local = "
+                    f"{_fmt(log[f'cont_local_{c}'])}, global = {_fmt(log[f'cont_global_{c}'])}"
+                )
+            print(f"Qdot volIntegrate = {_fmt(log['Qdot_total'])} W")
+            print(f"ExecutionTime = {time.time()-t_start:.2f} s\n")
+    return solver, state, logs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native fireFoam")
+    ap.add_argument("--case", required=True)
+    ap.add_argument("--end-time", type=float, default=None)
+    ap.add_argument("--max-steps", type=int, default=100000)
+    ap.add_argument("--cpu", action="store_true", help="pin the CPU backend")
+    ap.add_argument("--no-radiation", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    solver, state, logs = run_case(
+        args.case,
+        end_time=args.end_time,
+        max_steps=args.max_steps,
+        verbose=not args.quiet,
+        radiation=not args.no_radiation,
+    )
+    print(f"End: t = {float(state['t']):.6g}, steps = {len(logs)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -65,7 +65,7 @@ def _zeros(p, ncomp, dtype):
 def _fcol(f, ncomp):
     """valueFraction broadcast: scalar-per-face f for vector fields."""
     if ncomp > 1 and f.ndim == 1:
-        return f[:, None]
+        return jnp.broadcast_to(f[:, None], (f.shape[0], ncomp))
     return f
 
 
@@ -153,16 +153,16 @@ def _pressure_inlet_outlet_velocity(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
 
 def _total_flow_rate_adv_diff(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     """totalFlowRateAdvectiveDiffusive (species inlet, burner):
-    valueFraction = 1 − 1/(1 + α_b·Δ·A/max(|phi|, small)); refValue =
-    massFluxFraction."""
+    total (advective+diffusive) patch flux = massFluxFraction·phi, giving
+    valueFraction = 1/(1 + α_b·Δc / max(|phi|/A, small)) — advection-dominated
+    inlets pin the value to massFluxFraction."""
     phi = _phi_b(ctx, p)
     alpha_b = ctx.get("alphaEff_b")
     if alpha_b is None:
         alpha_b = jnp.zeros((geom.n_boundary,), dt)
     a = alpha_b[p.slice]
-    f = 1.0 - 1.0 / (
-        1.0 + a * geom.b_dc[p.slice] * geom.b_magSf[p.slice] / jnp.maximum(jnp.abs(phi), 1e-30)
-    )
+    phi_per_area = jnp.maximum(jnp.abs(phi) / geom.b_magSf[p.slice], 1e-30)
+    f = 1.0 / (1.0 + a * geom.b_dc[p.slice] / phi_per_area)
     mf = jnp.asarray(bc.params.get("massFluxFraction", 0.0), dt)
     rv = jnp.full((p.n,), mf, dt)
     return rv, _zeros(p, nc, dt), f.astype(dt)

@@ -146,12 +146,17 @@ def dot_sf(geom: MeshGeometry, sf_vec: SurfaceField) -> SurfaceField:
 
 def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     """fvc::reconstruct(faceFlux) → cell vector:
-    inv(Σ Sf⊗Sf/|Sf|) & Σ (Sf/|Sf|) phi_f  (OpenFOAM reconstruct)."""
+    inv(Σ Sf⊗Sf/|Sf|) & Σ (Sf/|Sf|)·phi_f.
+
+    Both sums are OpenFOAM surfaceSum (unsigned over each cell's faces):
+    Sf⊗Sf and Sf·phi are orientation-invariant, so owner and neighbour both
+    accumulate positively — a signed sum would cancel to a singular tensor.
+    """
     ii = geom.Sf[:, :, None] * geom.Sf[:, None, :] / geom.magSf[:, None, None]
     bb = geom.b_Sf[:, :, None] * geom.b_Sf[:, None, :] / geom.b_magSf[:, None, None]
     tens = jnp.stack(
         [
-            geom.surface_sum(ii[:, a, b_], bb[:, a, b_])
+            geom.cell_sum_unsigned(ii[:, a, b_], bb[:, a, b_])
             for a in range(3)
             for b_ in range(3)
         ],
@@ -159,7 +164,7 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     ).reshape(-1, 3, 3)
     rhs = jnp.stack(
         [
-            geom.surface_sum(
+            geom.cell_sum_unsigned(
                 geom.Sf[:, a] / geom.magSf * phi.i, geom.b_Sf[:, a] / geom.b_magSf * phi.b
             )
             for a in range(3)

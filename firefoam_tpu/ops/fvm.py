@@ -274,6 +274,31 @@ def limited_linear_weights(
     return lim * geom.w + (1.0 - lim) * wu
 
 
+def lust_div(
+    geom: MeshGeometry,
+    phi,
+    psi: VolField,
+    vic,
+    vbc,
+    grad_psi: jnp.ndarray,
+) -> "FvMatrix":
+    """fvm::div with the LUST scheme (div(phi,U) Gauss LUST grad(U)):
+    0.75·linear + 0.25·linearUpwind. The upwind fraction's gradient
+    reconstruction enters as an explicit deferred correction
+    0.25·φ·(∇ψ)_up·(Cf − C_up)."""
+    wu = upwind_weights(geom, phi.i)
+    w = 0.75 * geom.w + 0.25 * wu
+    up = jnp.where(phi.i >= 0, geom.own, geom.nei)
+    d = geom.Cf - geom.C[up]
+    if psi.i.ndim == 2:
+        corr_i = 0.25 * jnp.einsum("fi,fij->fj", d, grad_psi[up])
+        corr_b = jnp.zeros_like(psi.b)
+    else:
+        corr_i = 0.25 * jnp.einsum("fi,fi->f", d, grad_psi[up])
+        corr_b = jnp.zeros_like(psi.b)
+    return div(geom, phi, psi, w, vic, vbc, correction=SurfaceField(corr_i, corr_b))
+
+
 # ---------------------------------------------------------------------------
 # implicit operators
 # ---------------------------------------------------------------------------
