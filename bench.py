@@ -1,0 +1,75 @@
+"""Benchmark: steckler cell-updates/sec/chip (BASELINE.md headline metric).
+
+Runs the full fireFoam step (all physics the slice currently has) on the
+steckler case on the default backend (TPU when available, float32), timing
+steady-state steps after compile+warmup. Baseline: the reference's 2017
+single-core golden log implies 3.4e4 cell-updates/s/core; the BASELINE.md
+target compares against a 16-core CPU run, so vs_baseline is measured
+against 16 x 3.4e4 = 5.44e5 cell-updates/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    # bench must run on the real accelerator; tests pin CPU, we do not.
+    import jax.numpy as jnp
+
+    from firefoam_tpu.models.firefoam import FireFoamSolver
+
+    case = "/root/reference/cases/steckler"
+    if not os.path.isdir(case):
+        from firefoam_tpu.utils.synthcase import write_box_fire_case
+        import tempfile
+
+        case = write_box_fire_case(
+            os.path.join(tempfile.mkdtemp(prefix="fftpu_bench_"), "box"), n=(30, 15, 20)
+        )
+
+    solver = FireFoamSolver(case)
+    n_cells = solver.geom.n_cells
+    state = solver.initial_state()
+    step = solver.make_step()
+
+    # compile + warmup (also moves past the quiescent start)
+    state, _ = step(state)
+    jax.block_until_ready(state["t"])
+    n_warm = 3
+    for _ in range(n_warm):
+        state, _ = step(state)
+    jax.block_until_ready(state["t"])
+
+    n_bench = int(os.environ.get("FIREFOAM_BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_bench):
+        state, log = step(state)
+    jax.block_until_ready(state["t"])
+    elapsed = time.perf_counter() - t0
+
+    cups = n_cells * n_bench / elapsed
+    baseline_16core = 3.4e4 * 16  # BASELINE.md: implied single-core x 16
+    result = {
+        "metric": "steckler cell-updates/sec/chip (full physics step)",
+        "value": round(cups, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(cups / baseline_16core, 3),
+    }
+    # sanity: state must still be finite or the number is meaningless
+    ok = bool(jnp.isfinite(state["T"].i).all()) and bool(
+        jnp.isfinite(state["U"].i).all()
+    )
+    if not ok:
+        result["value"] = 0.0
+        result["vs_baseline"] = 0.0
+        result["error"] = "non-finite state after bench steps"
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

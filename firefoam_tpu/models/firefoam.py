@@ -100,14 +100,23 @@ class FireFoamSolver:
         # ---- turbulence ----
         self.turb = KEqnLES.from_case(g, self.case.constant("turbulenceProperties"))
 
-        # ---- radiation (fvDOM module, optional) ----
-        self.radiation = radiation
+        # ---- radiation (fvDOM, selected from constant/radiationProperties) ----
         rad_props = (
             self.case.constant("radiationProperties")
             if self.case.has_constant("radiationProperties")
             else FoamDict()
         )
         self.rad_on = bool(rad_props) and rad_props.get_bool("radiation", False)
+        if radiation is True or (radiation is None and self.rad_on):
+            from ..radiation.fvdom import FvDOM
+
+            self.radiation = (
+                FvDOM.from_case_dict(rad_props, g, self.case) if self.rad_on else None
+            )
+        elif radiation is False:
+            self.radiation = None
+        else:
+            self.radiation = radiation
         # optically-thin fallback radiant fraction (constRadFractionEmission
         # EhrrCoeff — cases/steckler/constant/radiationProperties)
         aec = rad_props.get_dict("constRadFractionEmissionCoeffs", FoamDict())
@@ -611,13 +620,14 @@ class FireFoamSolver:
             U_new, u_matrix = self._u_eqn(state, log)
             state["U"] = U_new
 
-            # ---- radiation field solve (fvDOM), every solverFreq steps ----
-            if self.radiation is not None:
-                state["rad"] = self.radiation.maybe_correct(state, self.gas)
-
             # ---- species + energy ----
             Y_new, qdot = self._y_eqns(state, log)
             state["Qdot"] = qdot
+
+            # ---- radiation field solve (fvDOM), first step + every
+            # solverFreq steps, after combustion updates Qdot (YEEqn.H:80) ----
+            if self.radiation is not None:
+                state["rad"] = self.radiation.maybe_correct(state, self.gas)
             hs_new, T_new, psi_new, mu_new, alpha_new = self._e_eqn(
                 state, Y_new, qdot, log
             )

@@ -35,12 +35,7 @@ def run_case(
 ):
     """Run a case to end_time; returns (solver, final_state, step_logs)."""
     if solver is None:
-        rad = None
-        if radiation:
-            from ..radiation.fvdom import FvDOM
-
-            rad = FvDOM.try_from_case(case_dir)
-        solver = FireFoamSolver(case_dir, radiation=rad)
+        solver = FireFoamSolver(case_dir, radiation=None if radiation else False)
     state = solver.initial_state()
     step = solver.make_step()
     end = end_time if end_time is not None else solver.ctl.end_time

@@ -75,9 +75,10 @@ def _phi_b(ctx, p: PatchInfo):
 
 def _interp_table(table: np.ndarray, t):
     """Piecewise-linear table lookup (OpenFOAM Function1 'table')."""
-    ts = jnp.asarray(table[:, 0])
-    vs = jnp.asarray(table[:, 1])
-    return jnp.interp(t, ts, vs)
+    dt = t.dtype if hasattr(t, "dtype") else jnp.float64
+    ts = jnp.asarray(table[:, 0], dt)
+    vs = jnp.asarray(table[:, 1], dt)
+    return jnp.interp(jnp.asarray(t, dt), ts, vs)
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +262,8 @@ def _param_value(pd: FoamDict, key: str):
         return np.asarray(val, np.float64) if isinstance(val, list) else float(val)
     if isinstance(v, list) and v and v[0] == "table":
         return ("table", np.asarray(v[-1], np.float64))
+    if isinstance(v, list) and v and v[0] == "constant":
+        return float(v[1])
     if isinstance(v, list) and v and v[0] == "nonuniform":
         return np.asarray(v[-1], np.float64)
     if isinstance(v, (int, float)):

@@ -1,12 +1,295 @@
-"""fvDOM discrete-ordinates radiation (batched-ray TPU formulation).
+"""fvDOM discrete-ordinates radiation, TPU-native batched-ray formulation.
 
-Full implementation lands with the radiation milestone; FvDOM.try_from_case
-returns None until then so the solver uses the optically-thin radiant-
-fraction fallback.
+Re-designs the reference fvDOM stack (packages/thermophysicalModels/
+radiation/radiationModels/fvDOM — fvDOM.C:549-586 calculate,
+radiativeIntensityRay.C:267-322 per-ray RTE, radiationModel.C:209-244
+correct/Sh) as ONE vmapped solve over the ray axis instead of a C++ loop of
+nRay sequential sparse solves: the ordinate dimension is embarrassingly
+parallel and batches onto the TPU.
+
+Ray discretisation (matches the golden log's 32 rays / omega values):
+  θ ∈ nTheta bands of π (z polar), φ ∈ 4·nPhi sectors of 2π,
+  ω_r   = (cosθ₁ − cosθ₂)·Δφ
+  dAve_r = ∫∫ d̂ sinθ dθ dφ  (analytic, used for the convective flux d·Sf)
+
+Per-ray RTE (grey, absorption a, prescribed emission E = χ_r·Qdot from
+constRadFractionEmission — constRadFractionEmission.C:138-228):
+  div(I·dAve) + a·ω·I = ω·(a·σT⁴ + E/4)/π
+with greyDiffusiveRadiation walls: incoming rays get I = εσT_w⁴/π +
+(1−ε)·qin/π, outgoing rays are upwind-transparent.
+
+Energy coupling: Sh = a·G − 4aσT⁴ − E  (absorbed − emitted), with G = Σ I_r·ω_r.
+The radiation field solve runs on the first step then every `solverFreq`
+steps (radiationModel.C:209-226), matching the reference's stale-field
+behaviour between solves.
 """
 
+from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..io import Case
+from ..io.foamdict import FoamDict
+from ..ops import fvm
+from ..ops.fields import SurfaceField, VolField
+from ..ops.geometry import MeshGeometry
+from ..solvers.linear import bicgstab
+
+__all__ = ["FvDOM", "SIGMA"]
+
+SIGMA = 5.670367e-8  # Stefan–Boltzmann (OpenFOAM physicoChemical::sigma)
+
+
+def _ray_geometry(n_theta: int, n_phi: int, dtype):
+    """Directions, control angles and dAve for 4·nPhi·nTheta ordinates."""
+    d_theta = np.pi / n_theta
+    n_phi_tot = 4 * n_phi
+    d_phi = 2.0 * np.pi / n_phi_tot
+    omegas, d_aves = [], []
+    for i in range(n_theta):
+        t1, t2 = i * d_theta, (i + 1) * d_theta
+        for j in range(n_phi_tot):
+            p1, p2 = j * d_phi, (j + 1) * d_phi
+            omega = (np.cos(t1) - np.cos(t2)) * d_phi
+            st = 0.5 * (t2 - t1) - 0.25 * (np.sin(2 * t2) - np.sin(2 * t1))
+            dx = st * (np.sin(p2) - np.sin(p1))
+            dy = st * (np.cos(p1) - np.cos(p2))
+            dz = 0.5 * (np.sin(t2) ** 2 - np.sin(t1) ** 2) * d_phi
+            omegas.append(omega)
+            d_aves.append([dx, dy, dz])
+    return (
+        jnp.asarray(d_aves, dtype),
+        jnp.asarray(omegas, dtype),
+    )
+
+
+@dataclass
 class FvDOM:
+    geom: MeshGeometry
+    n_theta: int
+    n_phi: int
+    convergence: float
+    max_iter: int
+    solver_freq: int
+    a_const: float  # grey absorption coefficient (constRadFraction: small)
+    ehrr: float
+    ehrr1: float
+    ehrr2: float
+    rad_scaling: bool
+    patch1: tuple
+    patch2: tuple
+    emissivity: jnp.ndarray  # [nB]
+    d_ave: jnp.ndarray  # [nRay, 3]
+    omega: jnp.ndarray  # [nRay]
+    phi_ray: jnp.ndarray  # [nRay, nI] = dAve·Sf
+    phi_ray_b: jnp.ndarray  # [nRay, nB]
+    tol: float = 1e-4
+
+    # ------------------------------------------------------------ factory
     @classmethod
-    def try_from_case(cls, case_dir):
-        return None
+    def try_from_case(cls, case_dir: str, geom: Optional[MeshGeometry] = None):
+        case = Case(case_dir)
+        if not case.has_constant("radiationProperties"):
+            return None
+        rp = case.constant("radiationProperties")
+        if not rp.get_bool("radiation", False):
+            return None
+        if str(rp.lookup("radiationModel", "none")) != "fvDOM":
+            return None
+        if geom is None:
+            return _DeferredFvDOM(case_dir)
+        return cls.from_case_dict(rp, geom, case)
+
+    @classmethod
+    def from_case_dict(cls, rp: FoamDict, geom: MeshGeometry, case: Case) -> "FvDOM":
+        c = rp.get_dict("fvDOMCoeffs")
+        aem = str(rp.lookup("absorptionEmissionModel", "constRadFractionEmission"))
+        aec = rp.get_dict(aem + "Coeffs", FoamDict())
+        dtype = geom.dtype
+        n_theta = c.get_int("nTheta", 4)
+        n_phi = c.get_int("nPhi", 2)
+        d_ave, omega = _ray_geometry(n_theta, n_phi, dtype)
+        phi_ray = jnp.einsum("rd,fd->rf", d_ave, geom.Sf)
+        phi_ray_b = jnp.einsum("rd,fd->rf", d_ave, geom.b_Sf)
+        # grey absorption coefficient by submodel:
+        #   constRadFractionEmission: a = 0, e = 0 — transparent gas, pure
+        #   radiant-fraction emission (constRadFractionEmission.C:87-110)
+        #   constantAbsorptionEmission: a from its coeffs dict
+        if aem == "constantAbsorptionEmission":
+            cae = rp.get_dict("constantAbsorptionEmissionCoeffs", FoamDict())
+            a_const = cae.get_scalar("a", 0.01)
+        else:
+            a_const = 0.0
+        p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
+        p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
+        return cls(
+            geom=geom,
+            n_theta=n_theta,
+            n_phi=n_phi,
+            convergence=c.get_scalar("convergence", 0.0),
+            max_iter=c.get_int("maxIter", 1),
+            solver_freq=rp.get_int("solverFreq", 1),
+            a_const=a_const,
+            ehrr=aec.get_scalar("EhrrCoeff", 0.2),
+            ehrr1=aec.get_scalar("Ehrr1", 0.2),
+            ehrr2=aec.get_scalar("Ehrr2", 0.2),
+            rad_scaling=aec.get_bool("radScaling", False),
+            patch1=p1,
+            patch2=p2,
+            emissivity=jnp.ones((geom.n_boundary,), dtype),
+            d_ave=d_ave,
+            omega=omega,
+            phi_ray=phi_ray,
+            phi_ray_b=phi_ray_b,
+        )
+
+    @property
+    def n_rays(self) -> int:
+        return self.d_ave.shape[0]
+
+    # ----------------------------------------------------------- state
+    def initial_state(self) -> Dict:
+        g = self.geom
+        dtype = g.dtype
+        return {
+            "I": jnp.zeros((self.n_rays, g.n_cells), dtype),
+            "G": jnp.zeros((g.n_cells,), dtype),
+            "E": jnp.zeros((g.n_cells,), dtype),
+            "count": jnp.asarray(0, jnp.int32),
+            "chi": jnp.asarray(self.ehrr, dtype),
+        }
+
+    # ------------------------------------------------------- radiant frac
+    def _chi(self, state) -> jnp.ndarray:
+        """constRadFractionEmission radScaling: mass-loss-rate-weighted blend
+        of Ehrr1/Ehrr2 floored at min(Ehrr1,Ehrr2)."""
+        if not self.rad_scaling:
+            return jnp.asarray(self.ehrr, self.geom.dtype)
+        phi_b = state["phi"].b
+
+        def mlr(names):
+            tot = jnp.asarray(0.0, phi_b.dtype)
+            for p in self.geom.patches:
+                if p.name in names:
+                    tot = tot - jnp.sum(phi_b[p.slice])
+            return tot
+
+        m1, m2 = mlr(self.patch1), mlr(self.patch2)
+        chi = (m1 * self.ehrr1 + m2 * self.ehrr2) / jnp.maximum(m1 + m2, 1e-15)
+        return jnp.maximum(chi, min(self.ehrr1, self.ehrr2))
+
+    # ------------------------------------------------------------ solve
+    def _solve_rays(self, rad, state, gas):
+        """One fvDOM calculate(): solve all rays (vmapped), update G."""
+        g = self.geom
+        dtype = g.dtype
+        T = state["T"]
+        chi = self._chi(state)
+        E_tot = chi * state["Qdot"]
+        a = jnp.full((g.n_cells,), self.a_const, dtype)
+        a_b = jnp.full((g.n_boundary,), self.a_const, dtype)
+
+        emis = self.emissivity
+        # incident flux per boundary face for (1−ε) reflection: from current I
+        qin = jnp.einsum(
+            "rb,rb->b",
+            rad["I"][:, g.b_own],
+            jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf,
+        )
+        sigT4_w = SIGMA * T.b**4
+        I_wall = emis * sigT4_w / jnp.pi + (1.0 - emis) * qin / jnp.pi
+
+        src_cell = (a * SIGMA * T.i**4 + 0.25 * E_tot) / jnp.pi  # per ω
+
+        def solve_one(phi_i, phi_b, omega, I0):
+            psi = VolField(I0, I_wall)
+            phi = SurfaceField(phi_i, phi_b)
+            # upwind convection; walls: incoming rays fixed, outgoing zeroGrad
+            f = jnp.where(phi_b < 0.0, 1.0, 0.0).astype(dtype)
+            vic, vbc = fvm.mixed_value_coeffs(
+                I_wall, jnp.zeros_like(I_wall), f, g.b_dc
+            )
+            w_up = fvm.upwind_weights(g, phi_i)
+            m = fvm.div(g, phi, psi, w_up, vic, vbc) + fvm.Sp(g, a * omega, psi)
+            m = m.add_source(omega * src_cell)
+            dt_tot = m.diag_total()
+            b = m.rhs_total()
+            res = bicgstab(
+                lambda x: m.matvec(x, dt_tot), I0, b, dt_tot,
+                tol=self.tol, rel_tol=0.0, max_iter=500,
+            )
+            return jnp.maximum(res.x, 0.0), res.initial_residual, res.n_iterations
+
+        I_new, res0, iters = jax.vmap(solve_one)(
+            self.phi_ray, self.phi_ray_b, self.omega, rad["I"]
+        )
+        G = jnp.einsum("rc,r->c", I_new, self.omega)
+        return {
+            "I": I_new,
+            "G": G,
+            "E": E_tot,
+            "count": rad["count"] + 1,
+            "chi": chi,
+        }
+
+    def maybe_correct(self, state, gas) -> Dict:
+        """radiationModel::correct gating: first call, then every solverFreq
+        time steps (time index = count of completed radiation opportunities)."""
+        rad = state["rad"]
+        first = rad["count"] == 0
+        freq_hit = (rad["count"] % jnp.asarray(max(self.solver_freq, 1), jnp.int32)) == 0
+        do = first | freq_hit if self.solver_freq > 0 else first
+
+        def yes(rad):
+            return self._solve_rays(rad, state, gas)
+
+        def no(rad):
+            out = dict(rad)
+            out["count"] = rad["count"] + 1
+            return out
+
+        return jax.lax.cond(do, yes, no, rad)
+
+    # ------------------------------------------------------- energy source
+    def Sh(self, state, gas) -> jnp.ndarray:
+        """Net radiative source to sensible enthalpy [W/m³].
+
+        Matches radiationModel::Sh with fvDOM Ru/Rp: Ru = a·G − E where E is
+        recomputed EVERY step from the current Qdot and radScaling mass
+        fluxes (ECont is re-evaluated at each Sh — golden log prints a fresh
+        'Radiant Fraction' per step: 0.22 at step 1, 0.36 after), while G
+        stays stale between solverFreq ray solves. Rp ∝ eCont = 0 for
+        constRadFractionEmission, so there is no 4aσT⁴ term here."""
+        chi = self._chi(state)
+        E = chi * state["Qdot"]
+        return self.a_const * state["rad"]["G"] - E
+
+    # ------------------------------------------------------- diagnostics
+    def qr_boundary(self, rad) -> jnp.ndarray:
+        """Net radiative heat flux at boundary faces [W/m²] (into wall +)."""
+        g = self.geom
+        return jnp.einsum("rb,rb->b", rad["I"][:, g.b_own], self.phi_ray_b) / g.b_magSf
+
+
+def _aslist(v):
+    return v if isinstance(v, list) else [v]
+
+
+class _DeferredFvDOM:
+    """Placeholder returned before the geometry exists; the solver calls
+    bind(geom) during setup."""
+
+    def __init__(self, case_dir):
+        self.case_dir = case_dir
+
+    def bind(self, geom: MeshGeometry) -> Optional[FvDOM]:
+        case = Case(self.case_dir)
+        rp = case.constant("radiationProperties")
+        return FvDOM.from_case_dict(rp, geom, case)

@@ -1,0 +1,376 @@
+"""Synthetic minimal fire-case generator.
+
+Writes a complete, self-contained propane box-fire case (controlDict,
+fvSchemes, fvSolution, thermo/chemistry, 0/ fields) of arbitrary resolution —
+used for multichip dry-runs, benchmarks at scale, and tests that shouldn't
+depend on the reference tree. The physics setup mirrors the steckler case
+family (buoyant LES + EDM + burner inlet) at configurable size.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["write_box_fire_case"]
+
+
+def _w(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def write_box_fire_case(
+    root: str,
+    n=(8, 8, 8),
+    size=(1.0, 1.0, 1.0),
+    mdot: float = 0.002,
+    end_time: float = 0.1,
+    dt: float = 0.01,
+) -> str:
+    nx, ny, nz = n
+    lx, ly, lz = size
+    hb = 0.25 * lx  # burner half-width
+
+    _w(
+        f"{root}/constant/polyMesh/blockMeshDict",
+        f"""FoamFile {{ version 2.0; format ascii; class dictionary; object blockMeshDict; }}
+convertToMeters 1;
+vertices (
+    (0 0 0) ({lx} 0 0) ({lx} {ly} 0) (0 {ly} 0)
+    (0 0 {lz}) ({lx} 0 {lz}) ({lx} {ly} {lz}) (0 {ly} {lz})
+);
+blocks ( hex (0 1 2 3 4 5 6 7) ({nx} {ny} {nz}) simpleGrading (1 1 1) );
+edges ();
+boundary (
+    top   {{ type patch; faces ( (3 7 6 2) ); }}
+    sides {{ type patch; faces ( (0 4 7 3) (1 2 6 5) (0 3 2 1) (4 5 6 7) ); }}
+    base  {{ type wall;  faces ( (0 1 5 4) ); }}
+);
+mergePatchPairs ();
+""",
+    )
+    _w(
+        f"{root}/system/topoSetDictBurner",
+        f"""FoamFile {{ version 2.0; format ascii; class dictionary; object topoSetDict; }}
+actions (
+    {{ name f0; type faceSet; action new; source patchToFace;
+      sourceInfo {{ name base; }} }}
+    {{ name f0; type faceSet; action subset; source boxToFace;
+      sourceInfo {{ box ({lx/2-hb} -0.01 {lz/2-hb}) ({lx/2+hb} 0.01 {lz/2+hb}); }} }}
+    {{ name burner; type faceZoneSet; action new; source setToFaceZone;
+      sourceInfo {{ faceSet f0; }} }}
+);
+""",
+    )
+    _w(
+        f"{root}/system/createPatchDict",
+        """FoamFile { version 2.0; format ascii; class dictionary; object createPatchDict; }
+pointSync false;
+patches (
+    { name burner; patchInfo { type patch; } constructFrom set; set burner; }
+);
+""",
+    )
+    _w(
+        f"{root}/mesh.sh",
+        "runApplication blockMesh\n"
+        "runApplication topoSet -dict system/topoSetDictBurner\n"
+        "runApplication createPatch -overwrite\n",
+    )
+    _w(
+        f"{root}/system/controlDict",
+        f"""FoamFile {{ version 2.0; format ascii; class dictionary; object controlDict; }}
+application fireFoam;
+startFrom startTime; startTime 0;
+stopAt endTime; endTime {end_time};
+deltaT {dt};
+writeControl adjustableRunTime; writeInterval 1;
+adjustTimeStep yes; maxCo 0.9; maxDeltaT 0.1;
+runTimeModifiable no;
+""",
+    )
+    _w(
+        f"{root}/system/fvSchemes",
+        """FoamFile { version 2.0; format ascii; class dictionary; object fvSchemes; }
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes {
+    default none;
+    div(phi,U) Gauss LUST grad(U);
+    div(phi,k) Gauss limitedLinear 1;
+    div(phi,Yi_h) Gauss multivariateSelection {
+        O2 limitedLinear01 1; N2 limitedLinear01 1; C3H8 limitedLinear01 1;
+        H2O limitedLinear01 1; CO2 limitedLinear01 1; h limitedLinear 1; };
+    div(((rho*nuEff)*dev2(T(grad(U))))) Gauss linear;
+    div(Ji,Ii_h) Gauss upwind;
+}
+laplacianSchemes { default Gauss linear uncorrected; }
+interpolationSchemes { default linear; }
+snGradSchemes { default uncorrected; }
+""",
+    )
+    _w(
+        f"{root}/system/fvSolution",
+        """FoamFile { version 2.0; format ascii; class dictionary; object fvSolution; }
+solvers {
+    "rho.*" { solver diagonal; }
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-6; relTol 0.01; }
+    p_rghFinal { $p_rgh; relTol 0; }
+    ph_rgh { $p_rgh; }
+    "U.*" { solver PBiCGStab; preconditioner DILU; tolerance 1e-6; relTol 0; maxIter 50; }
+    "(Yi|h|k).*" { $U; tolerance 1e-8; }
+    Ii { solver PBiCGStab; tolerance 1e-4; relTol 0; }
+    G  { solver PCG; preconditioner DIC; tolerance 1e-6; relTol 0; }
+}
+PIMPLE {
+    momentumPredictor yes; nOuterCorrectors 1; nCorrectors 2;
+    nNonOrthogonalCorrectors 0;
+    hydrostaticInitialization yes; nHydrostaticCorrectors 3;
+}
+relaxationFactors { fields { ".*" 1; } }
+""",
+    )
+    _w(
+        f"{root}/constant/g",
+        "FoamFile { version 2.0; format ascii; class uniformDimensionedVectorField; object g; }\n"
+        "dimensions [0 1 -2 0 0 0 0];\nvalue (0 -9.81 0);\n",
+    )
+    _w(
+        f"{root}/constant/hRef",
+        "FoamFile { version 2.0; format ascii; class uniformDimensionedScalarField; object hRef; }\n"
+        f"dimensions [0 1 0 0 0 0 0];\nvalue {ly};\n",
+    )
+    _w(
+        f"{root}/constant/pRef",
+        "FoamFile { version 2.0; format ascii; class uniformDimensionedScalarField; object pRef; }\n"
+        "dimensions [1 -1 -2 0 0 0 0];\nvalue 101325;\n",
+    )
+    _w(
+        f"{root}/constant/thermophysicalProperties",
+        """FoamFile { version 2.0; format ascii; class dictionary; object thermophysicalProperties; }
+thermoType {
+    type hePsiThermo; mixture singleStepReactingMixture; transport sutherland;
+    thermo janaf; energy sensibleEnthalpy; equationOfState perfectGas; specie specie;
+}
+inertSpecie N2;
+fuel C3H8;
+chemistryReader foamChemistryReader;
+foamChemistryFile "$FOAM_CASE/constant/reactions";
+foamChemistryThermoFile "$FOAM_CASE/constant/thermo.gas";
+""",
+    )
+    _w(
+        f"{root}/constant/reactions",
+        """species ( O2 H2O C3H8 CO2 N2 );
+reactions {
+    propaneReaction {
+        type irreversibleinfiniteReaction;
+        reaction "C3H8 + 5O2 + 18.8N2 = 3CO2 + 4H2O + 18.8N2";
+    }
+}
+""",
+    )
+    _w(f"{root}/constant/thermo.gas", _THERMO_GAS)
+    _w(
+        f"{root}/constant/turbulenceProperties",
+        """FoamFile { version 2.0; format ascii; class dictionary; object turbulenceProperties; }
+simulationType LES;
+LES {
+    LESModel kEqn; delta cubeRootVol; turbulence on; printCoeffs off;
+    kEqnCoeffs { C 0.03; Prt 1; Ck 0.094; Ce 1.048; }
+    cubeRootVolCoeffs { deltaCoeff 1; }
+}
+""",
+    )
+    _w(
+        f"{root}/constant/combustionProperties",
+        """FoamFile { version 2.0; format ascii; class dictionary; object combustionProperties; }
+combustionModel eddyDissipationModel<psiThermoCombustion,gasHThermoPhysics>;
+eddyDissipationModelCoeffs { semiImplicit no; C_EDC 4.0; C_Diff 0; C_Stiff 1; active on; }
+""",
+    )
+    _w(
+        f"{root}/constant/radiationProperties",
+        """FoamFile { version 2.0; format ascii; class dictionary; object radiationProperties; }
+radiation on;
+radiationModel fvDOM;
+fvDOMCoeffs { nPhi 2; nTheta 2; convergence 1e-3; maxIter 1; }
+solverFreq 10;
+absorptionEmissionModel constRadFractionEmission;
+constRadFractionEmissionCoeffs { EhrrCoeff 0.2; radScaling false; Ehrr1 0.2; Ehrr2 0.2; patch1 (burner); patch2 (burner); }
+scatterModel constantScatter;
+constantScatterCoeffs { sigma sigma [0 -1 0 0 0 0 0] 0; C C [0 0 0 0 0 0 0] 0; }
+sootModel none;
+""",
+    )
+
+    def field(name, cls, dims, internal, patches):
+        body = "\n".join(
+            f"    {p} {{\n        {spec}\n    }}" for p, spec in patches.items()
+        )
+        _w(
+            f"{root}/0/{name}",
+            f"FoamFile {{ version 2.0; format ascii; class {cls}; object {name}; }}\n"
+            f"dimensions {dims};\ninternalField {internal};\nboundaryField {{\n{body}\n}}\n",
+        )
+
+    field(
+        "U",
+        "volVectorField",
+        "[0 1 -1 0 0 0 0]",
+        "uniform (0 0 0)",
+        {
+            "top": "type pressureInletOutletVelocity;\n        value uniform (0 0 0);",
+            "sides": "type pressureInletOutletVelocity;\n        value uniform (0 0 0);",
+            "base": "type noSlip;",
+            "burner": f"type flowRateInletVelocity;\n        massFlowRate constant {mdot};\n        value uniform (0 0 0);",
+        },
+    )
+    open_T = "type inletOutlet;\n        inletValue uniform 298.15;\n        value uniform 298.15;"
+    field(
+        "T",
+        "volScalarField",
+        "[0 0 0 1 0 0 0]",
+        "uniform 298.15",
+        {
+            "top": open_T,
+            "sides": open_T,
+            "base": "type fixedValue;\n        value uniform 298.15;",
+            "burner": "type fixedValue;\n        value uniform 298.15;",
+        },
+    )
+    field(
+        "p_rgh",
+        "volScalarField",
+        "[1 -1 -2 0 0 0 0]",
+        "uniform 0",
+        {
+            "top": "type prghTotalHydrostaticPressure;\n        value uniform 0;",
+            "sides": "type prghTotalHydrostaticPressure;\n        value uniform 0;",
+            "base": "type fixedFluxPressure;\n        value uniform 0;",
+            "burner": "type fixedFluxPressure;\n        value uniform 0;",
+        },
+    )
+    field(
+        "p",
+        "volScalarField",
+        "[1 -1 -2 0 0 0 0]",
+        "uniform 101325",
+        {p: "type calculated;\n        value uniform 101325;" for p in ("top", "sides", "base", "burner")},
+    )
+    open_k = "type inletOutlet;\n        inletValue uniform 1e-4;\n        value uniform 1e-4;"
+    field(
+        "k",
+        "volScalarField",
+        "[0 2 -2 0 0 0 0]",
+        "uniform 1e-4",
+        {
+            "top": open_k,
+            "sides": open_k,
+            "base": "type zeroGradient;",
+            "burner": "type fixedValue;\n        value uniform 1e-4;",
+        },
+    )
+    field(
+        "alphat",
+        "volScalarField",
+        "[1 -1 -1 0 0 0 0]",
+        "uniform 0",
+        {p: "type zeroGradient;" for p in ("top", "sides", "base", "burner")},
+    )
+    field(
+        "nut",
+        "volScalarField",
+        "[0 2 -1 0 0 0 0]",
+        "uniform 0",
+        {p: "type zeroGradient;" for p in ("top", "sides", "base", "burner")},
+    )
+    open_O2 = "type inletOutlet;\n        inletValue uniform 0.23301;\n        value uniform 0.23301;"
+    field(
+        "O2",
+        "volScalarField",
+        "[0 0 0 0 0 0 0]",
+        "uniform 0.23301",
+        {
+            "top": open_O2,
+            "sides": open_O2,
+            "base": "type zeroGradient;",
+            "burner": "type totalFlowRateAdvectiveDiffusive;\n        massFluxFraction 0;\n        value uniform 0;",
+        },
+    )
+    open_Y0 = "type inletOutlet;\n        inletValue uniform 0;\n        value uniform 0;"
+    field(
+        "C3H8",
+        "volScalarField",
+        "[0 0 0 0 0 0 0]",
+        "uniform 0",
+        {
+            "top": open_Y0,
+            "sides": open_Y0,
+            "base": "type zeroGradient;",
+            "burner": "type totalFlowRateAdvectiveDiffusive;\n        massFluxFraction 1;\n        value uniform 1;",
+        },
+    )
+    field(
+        "Ydefault",
+        "volScalarField",
+        "[0 0 0 0 0 0 0]",
+        "uniform 0",
+        {
+            "top": open_Y0,
+            "sides": open_Y0,
+            "base": "type zeroGradient;",
+            "burner": "type totalFlowRateAdvectiveDiffusive;\n        massFluxFraction 0;\n        value uniform 0;",
+        },
+    )
+    field(
+        "IDefault",
+        "volScalarField",
+        "[1 0 -3 0 0 0 0]",
+        "uniform 0",
+        {
+            p: "type greyDiffusiveRadiation;\n        T T;\n        emissivityMode lookup;\n        emissivity uniform 1;\n        value uniform 0;"
+            for p in ("top", "sides", "base", "burner")
+        },
+    )
+    return root
+
+
+_THERMO_GAS = """FoamFile { version 2.0; format ascii; class dictionary; object thermo.gas; }
+O2 {
+    specie { nMoles 1; molWeight 31.9988; }
+    thermodynamics { Tlow 200; Thigh 5000; Tcommon 1000;
+        highCpCoeffs ( 3.69758 0.00061352 -1.25884e-07 1.77528e-11 -1.13644e-15 -1233.93 3.18917 );
+        lowCpCoeffs  ( 3.21294 0.00112749 -5.75615e-07 1.31388e-09 -8.76855e-13 -1005.25 6.03474 ); }
+    transport { As 1.67212e-06; Ts 170.672; }
+}
+H2O {
+    specie { nMoles 1; molWeight 18.0153; }
+    thermodynamics { Tlow 200; Thigh 5000; Tcommon 1000;
+        highCpCoeffs ( 2.67215 0.00305629 -8.73026e-07 1.201e-10 -6.39162e-15 -29899.2 6.86282 );
+        lowCpCoeffs  ( 3.38684 0.00347498 -6.3547e-06 6.96858e-09 -2.50659e-12 -30208.1 2.59023 ); }
+    transport { As 1.67212e-06; Ts 170.672; }
+}
+C3H8 {
+    specie { nMoles 1; molWeight 44.0962; }
+    thermodynamics { Tlow 200; Thigh 5000; Tcommon 1000;
+        highCpCoeffs ( 7.5252 0.0188904 -6.2832e-06 9.18935e-10 -4.81241e-14 -16464.5 -17.8439 );
+        lowCpCoeffs  ( 0.93355 0.0264246 6.10597e-06 -2.19775e-08 9.51492e-12 -13958.5 19.2017 ); }
+    transport { As 1.67212e-06; Ts 170.672; }
+}
+CO2 {
+    specie { nMoles 1; molWeight 44.01; }
+    thermodynamics { Tlow 200; Thigh 5000; Tcommon 1000;
+        highCpCoeffs ( 4.45362 0.00314017 -1.27841e-06 2.394e-10 -1.66903e-14 -48967 -0.955396 );
+        lowCpCoeffs  ( 2.27572 0.00992207 -1.04091e-05 6.86669e-09 -2.11728e-12 -48373.1 10.1885 ); }
+    transport { As 1.67212e-06; Ts 170.672; }
+}
+N2 {
+    specie { nMoles 1; molWeight 28.0134; }
+    thermodynamics { Tlow 200; Thigh 5000; Tcommon 1000;
+        highCpCoeffs ( 2.92664 0.00148798 -5.68476e-07 1.0097e-10 -6.75335e-15 -922.798 5.98053 );
+        lowCpCoeffs  ( 3.29868 0.00140824 -3.96322e-06 5.64152e-09 -2.44486e-12 -1020.9 3.95037 ); }
+    transport { As 1.67212e-06; Ts 170.672; }
+}
+"""
