@@ -1,0 +1,502 @@
+"""Reacting spray cloud — fixed-capacity SoA parcels, fully jit-compiled.
+
+TPU-native re-design of the reference cloud stack (KinematicCloud →
+ThermoCloud → ReactingCloud, packages/lagrangian/intermediateNew/clouds/
+Templates/*): instead of linked parcel lists with per-parcel virtual calls,
+the cloud is one struct-of-arrays pytree with a static capacity and an alive
+mask. One `evolve(state, gas, dt)` performs (mirroring
+KinematicCloud::solve/evolveCloud, KinematicCloud.C:91-245):
+
+  1. injection (bounded candidate batches scattered into free slots),
+  2. NSUB substeps of { ballistic move + containment walk + physics calc },
+  3. source accumulation into per-cell arrays (rhoTrans/UTrans/UCoeff/
+     hsTrans/hsCoeff — KinematicCloud.H:467-515, ThermoCloud.H:362-388,
+     ReactingCloud.H:245-260) via segment-sums.
+
+Physics per substep (= the reference parcel calc chain,
+ReactingParcel.C:389-607 / ThermoParcel.C:137-255 / KinematicParcel.C:96-226):
+  - sphere drag (Schiller-Naumann CdRe) + gravity/buoyancy, Euler
+    (drag-implicit) velocity integration,
+  - Ranz-Marshall heat transfer (+ Bird evaporative-shielding correction),
+    analytic temperature integration,
+  - liquid evaporation/boiling (LiquidEvaporationBoil behaviour): Spalding
+    mass transfer below boiling, heat-balance-limited rate at the boiling
+    point; evaporated mass enters the carrier H2O species.
+
+Wall interaction is applied inside the walk (tracking.py). Film handoff
+(absorb) records mass/enthalpy per boundary face for the surface-film region
+model.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INT_DTYPE, real_dtype
+from ..io.foamdict import FoamDict
+from .injection import make_injector
+from .liquids import liquid_by_name
+from .tracking import (
+    INTERACT_ESCAPE,
+    INTERACT_FILM,
+    INTERACT_NONE,
+    INTERACT_REBOUND,
+    INTERACT_STICK,
+    WalkMesh,
+)
+
+__all__ = ["ReactingCloud"]
+
+_PI = math.pi
+
+
+def _sphere_mass(rho_l, d):
+    return rho_l * _PI / 6.0 * d**3
+
+
+@dataclass
+class CloudConfig:
+    active: bool
+    coupled: bool
+    capacity: int
+    n_sub: int
+    walk_steps: int
+    # constantProperties
+    rho0: float
+    T0: float
+    cp0: float
+    T_min: float
+    Tvap: float
+    Tbp: float
+    Pr: float
+    eps0: float  # epsilon0 (radiative emissivity)
+    f0: float  # scattering factor
+    min_mass: float
+    # submodel switches
+    drag: bool
+    gravity_on: bool
+    heat_transfer: bool
+    bird_correction: bool
+    phase_change: bool
+    # source relaxation (sourceTerms schemes <field> explicit <coeff>)
+    relax_rho: float
+    relax_U: float
+    relax_Yi: float
+    relax_h: float
+
+
+class ReactingCloud:
+    """Host-side cloud model built from constant/<name>Properties."""
+
+    def __init__(
+        self,
+        name: str,
+        props: FoamDict,
+        walk: WalkMesh,
+        geom,
+        case,
+        gas,
+        g_vec,
+        dt_max: float,
+        dtype=None,
+        capacity: Optional[int] = None,
+    ):
+        self.name = name
+        self.dtype = dtype or real_dtype()
+        self.walk = walk
+        self.geom = geom
+        self.gas = gas
+        self.g = jnp.asarray(np.asarray(g_vec, float), self.dtype)
+
+        sol = props.get_dict("solution")
+        cp = props.get_dict("constantProperties")
+        sub = props.get_dict("subModels")
+
+        schemes = sol.get_dict("sourceTerms", FoamDict()).get_dict("schemes", FoamDict())
+
+        def relax(key):
+            v = schemes.lookup(key, None)
+            if isinstance(v, list) and len(v) >= 2:
+                return float(v[-1])
+            return 1.0
+
+        forces = sub.get_dict("particleForces", FoamDict())
+        htm = sub.get_word("heatTransferModel", "none")
+        pcm = sub.get_word("phaseChangeModel", "none")
+        ht_coeffs = sub.get_dict("RanzMarshallCoeffs", None) or sub.get_dict(
+            "ranzMarshallCoeffs", FoamDict()
+        )
+
+        # composition: single liquid phase (singlePhaseMixture)
+        comp = sub.get_dict("singlePhaseMixtureCoeffs", FoamDict())
+        liq_name = "H2O"
+        phases = comp.get_list("phases") if comp.found("phases") else []
+        for ph in phases:
+            if isinstance(ph, FoamDict):
+                for k in ph:
+                    liq_name = k
+        self.liquid = liquid_by_name(liq_name)
+        self.vapour_index = gas.index(liq_name)
+
+        self.cfg = CloudConfig(
+            active=sol.get_bool("active", True),
+            coupled=sol.get_bool("coupled", True),
+            capacity=0,
+            n_sub=4,
+            walk_steps=5,
+            rho0=cp.get_scalar("rho0", 1000.0),
+            T0=cp.get_scalar("T0", 300.0),
+            cp0=cp.get_scalar("Cp0", 4187.0),
+            T_min=cp.get_scalar("TMin", 200.0),
+            Tvap=cp.get_scalar("Tvap", 273.0),
+            Tbp=cp.get_scalar("Tbp", 373.0),
+            Pr=cp.get_scalar("Pr", 0.7),
+            eps0=cp.get_scalar("epsilon0", 1.0),
+            f0=cp.get_scalar("f0", 0.5),
+            min_mass=cp.get_scalar("minParticleMass", 1e-15),
+            drag="sphereDrag" in forces or forces.found("sphereDrag"),
+            gravity_on="gravity" in forces or forces.found("gravity"),
+            heat_transfer=htm != "none",
+            bird_correction=ht_coeffs.get_bool("BirdCorrection", False),
+            phase_change=pcm != "none",
+            relax_rho=relax("rho"),
+            relax_U=relax("U"),
+            relax_Yi=relax("Yi"),
+            relax_h=relax("h"),
+        )
+
+        # injectors
+        inj_dict = sub.get_dict("injectionModels", FoamDict())
+        self.injectors = []
+        for iname, idict in inj_dict.subdicts():
+            self.injectors.append(make_injector(iname, idict, walk, case, self.dtype))
+        for inj in self.injectors:
+            inj.max_per_step = inj.capacity_for_dt(dt_max)
+
+        # patch interaction: standardWallInteraction type over wall patches;
+        # thermoSurfaceFilm marks film-covered patches (filmPatches arg later)
+        pim = sub.get_word("patchInteractionModel", "standardWallInteraction")
+        it = (
+            sub.get_dict("standardWallInteractionCoeffs", FoamDict()).get_word("type", "rebound")
+            if pim == "standardWallInteraction"
+            else "rebound"
+        )
+        code_of = {"escape": INTERACT_ESCAPE, "stick": INTERACT_STICK, "rebound": INTERACT_REBOUND}
+        wall_code = code_of.get(it, INTERACT_REBOUND)
+        b_code = np.zeros(geom.n_boundary, np.int64)
+        for p in geom.patches:
+            if p.ptype in ("wall",):
+                b_code[p.slice] = wall_code
+            elif p.ptype in ("patch", "inlet", "outlet"):
+                b_code[p.slice] = INTERACT_ESCAPE
+            # empty/symmetry: rebound (INTERACT_NONE path reflects too)
+            else:
+                b_code[p.slice] = INTERACT_REBOUND
+        self.film_patches: List[str] = []
+        sfm = sub.get_word("surfaceFilmModel", "none")
+        self.has_film_handoff = sfm != "none"
+        self.b_code = jnp.asarray(b_code, INT_DTYPE)
+        self.b_e = jnp.ones(geom.n_boundary, self.dtype)  # rebound elasticity
+
+        # capacity: generous default = what all injectors can make in ~2000 steps
+        if capacity is None:
+            per_step = sum(i.max_per_step for i in self.injectors) or 1
+            capacity = int(min(max(4096, per_step * 2048), 262144))
+        self.cfg.capacity = capacity
+
+    # ------------------------------------------------------------------
+    def set_film_patches(self, names: List[str]):
+        """Mark film-covered patches: parcels hitting them are absorbed."""
+        b_code = np.asarray(self.b_code)
+        for n in names:
+            b_code[self.geom.patch(n).slice] = INTERACT_FILM
+        self.b_code = jnp.asarray(b_code, INT_DTYPE)
+        self.film_patches = list(names)
+
+    # ------------------------------------------------------------------
+    def initial_state(self, seed: int = 7) -> Dict:
+        cap = self.cfg.capacity
+        dtp = self.dtype
+        st = {
+            "x": jnp.zeros((cap, 3), dtp),
+            "U": jnp.zeros((cap, 3), dtp),
+            "d": jnp.full((cap,), 1e-4, dtp),
+            "T": jnp.full((cap,), self.cfg.T0, dtp),
+            "nP": jnp.zeros((cap,), dtp),  # particles per parcel
+            "cell": jnp.zeros((cap,), INT_DTYPE),
+            "alive": jnp.zeros((cap,), bool),
+            "age": jnp.zeros((cap,), dtp),
+            "rng": jax.random.PRNGKey(seed),
+            "inj": [inj.init_state() for inj in self.injectors],
+        }
+        return st
+
+    # ------------------------------------------------------------------
+    def _mass(self, st) -> jnp.ndarray:
+        rho_l = self.liquid.rho(101325.0, st["T"])
+        return jnp.where(st["alive"], st["nP"] * _sphere_mass(rho_l, st["d"]), 0.0)
+
+    # ------------------------------------------------------------------
+    def _inject(self, st: Dict, t, dt, gas) -> Dict:
+        if not self.injectors:
+            return st
+        st = dict(st)
+        key, *keys = jax.random.split(st["rng"], len(self.injectors) + 1)
+        st["rng"] = key
+        inj_states = []
+        for inj, istate, k in zip(self.injectors, st["inj"], keys):
+            istate, cand = inj.inject(istate, k, t, dt, gas)
+            inj_states.append(istate)
+            st = self._scatter_new(st, cand)
+        st["inj"] = inj_states
+        return st
+
+    def _scatter_new(self, st: Dict, cand: Dict) -> Dict:
+        """Place candidate parcels into free slots (drop on overflow)."""
+        cap = self.cfg.capacity
+        m = cand["valid"].shape[0]
+        # free slots first: argsort(alive) puts False (free) lanes first
+        free = jnp.argsort(st["alive"].astype(jnp.int32), stable=True)[:m]
+        slot_free = ~st["alive"][free]
+        ok = cand["valid"] & slot_free
+        tgt = free
+
+        rho_l = self.liquid.rho(101325.0, jnp.full((m,), self.cfg.T0, self.dtype))
+        nP = cand["mass"] / jnp.maximum(_sphere_mass(rho_l, cand["d"]), 1e-300)
+
+        def put(a, v):
+            return a.at[tgt].set(jnp.where(_bmask(ok, v), v, a[tgt]))
+
+        st = dict(st)
+        st["x"] = put(st["x"], cand["x"])
+        st["U"] = put(st["U"], cand["U"])
+        st["d"] = put(st["d"], cand["d"])
+        st["T"] = put(st["T"], jnp.full((m,), self.cfg.T0, self.dtype))
+        st["nP"] = put(st["nP"], nP)
+        st["cell"] = st["cell"].at[tgt].set(jnp.where(ok, cand["cell"], st["cell"][tgt]))
+        st["alive"] = st["alive"].at[tgt].set(ok | st["alive"][tgt])
+        st["age"] = put(st["age"], jnp.zeros((m,), self.dtype))
+        # relocalise injected parcels from their seed cell (sprinkler offset)
+        x, U, cell, alive, hit, code = self.walk.walk(
+            st["x"], st["U"], st["cell"], st["alive"], self.b_code, self.b_e,
+            n_steps=max(self.cfg.walk_steps, 8),
+        )
+        st.update(x=x, U=U, cell=cell, alive=alive)
+        return st
+
+    # ------------------------------------------------------------------
+    def _calc(self, st: Dict, gas: Dict, dt_sub, src: Dict) -> Tuple[Dict, Dict]:
+        """One physics substep on all alive parcels + source accumulation."""
+        cfg = self.cfg
+        alive = st["alive"]
+        c = st["cell"]
+        mask = alive
+
+        # carrier values at the parcel cell (interpolationSchemes 'cell')
+        rho_c = gas["rho"][c]
+        U_c = gas["U"][c]
+        T_c = gas["T"][c]
+        p_c = gas["p"][c]
+        mu_c = gas["mu"][c]
+        kappa_c = gas["kappa"][c]
+        cp_c = gas["cp"][c]
+
+        T_p = jnp.maximum(st["T"], cfg.T_min)
+        d = jnp.maximum(st["d"], 1e-9)
+        rho_l = self.liquid.rho(p_c, T_p)
+        m1 = _sphere_mass(rho_l, d)  # single-particle mass
+        mass0 = st["nP"] * m1
+        cp_l = self.liquid.cp(p_c, T_p)
+
+        Urel = U_c - st["U"]
+        magUr = jnp.sqrt(jnp.sum(Urel * Urel, axis=1))
+        Re = jnp.maximum(rho_c * magUr * d / mu_c, 1e-6)
+        Pr_c = jnp.maximum(mu_c * cp_c / kappa_c, 1e-6)
+
+        # ---- phase change (LiquidEvaporationBoil behaviour) -------------
+        dm1 = jnp.zeros_like(d)  # evaporated mass per particle this substep
+        if cfg.phase_change:
+            pv = self.liquid.pv(p_c, T_p)
+            Dab = self.liquid.D(p_c, T_p)
+            Sc = mu_c / jnp.maximum(rho_c * Dab, 1e-30)
+            Sh = 2.0 + 0.6 * jnp.sqrt(Re) * Sc ** (1.0 / 3.0)
+            # molar concentration driving force (reference LiquidEvaporation):
+            # Cs = pSat/(R Ts), Cinf = Xv p/(R Tc)
+            Rgas = 8314.47 / self.liquid.W
+            RR = 8314.47
+            Ts = (T_p + 2.0 * T_c) / 3.0  # two-thirds rule film temperature
+            Cs = pv / (RR * Ts)
+            Yv = gas["Yv"][c]
+            W_mix = gas["W"][c]
+            Xv = Yv * W_mix / self.liquid.W
+            Cinf = Xv * p_c / (RR * T_c)
+            kc = Sh * Dab / d
+            dm_dt_evap = jnp.maximum(_PI * d**2 * kc * (Cs - Cinf) * self.liquid.W, 0.0)
+            # boiling: heat-balance-limited (all convective heat → latent)
+            hl = self.liquid.hl(p_c, T_p)
+            Nu0 = 2.0 + 0.6 * jnp.sqrt(Re) * Pr_c ** (1.0 / 3.0)
+            htc0 = Nu0 * kappa_c / d
+            dm_dt_boil = jnp.maximum(htc0 * _PI * d**2 * (T_c - T_p), 0.0) / hl
+            boiling = T_p >= cfg.Tbp - 1e-6
+            dm_dt = jnp.where(boiling, jnp.maximum(dm_dt_evap, dm_dt_boil), dm_dt_evap)
+            dm_dt = jnp.where(T_p > cfg.Tvap, dm_dt, 0.0)
+            dm1 = jnp.clip(dm_dt * dt_sub, 0.0, m1)
+
+        m1_new = jnp.maximum(m1 - dm1, 0.0)
+        evap_all = m1_new * st["nP"] <= cfg.min_mass
+        d_new = jnp.maximum((6.0 * m1_new / (_PI * rho_l)) ** (1.0 / 3.0), 1e-9)
+
+        # ---- heat transfer (Ranz-Marshall, analytic T integration) ------
+        T_new = T_p
+        q_conv1 = jnp.zeros_like(d)  # heat gained by one particle from gas
+        if cfg.heat_transfer:
+            Nu = 2.0 + 0.6 * jnp.sqrt(Re) * Pr_c ** (1.0 / 3.0)
+            htc = Nu * kappa_c / d
+            if cfg.bird_correction and cfg.phase_change:
+                # Bird et al. evaporative shielding: beta/(e^beta - 1)
+                beta = jnp.clip(
+                    (dm1 / jnp.maximum(dt_sub, 1e-300))
+                    * cp_l
+                    / jnp.maximum(htc * _PI * d**2, 1e-30),
+                    0.0,
+                    50.0,
+                )
+                corr = jnp.where(beta > 1e-7, beta / jnp.expm1(beta), 1.0)
+                htc = htc * corr
+            A = _PI * d**2
+            hl = self.liquid.hl(p_c, T_p) if cfg.phase_change else 0.0
+            mcp = jnp.maximum(m1_new * cp_l, 1e-30)
+            beta_T = htc * A / mcp
+            # effective bath temperature incl. latent-heat sink
+            T_eff = T_c - (dm1 / jnp.maximum(dt_sub, 1e-300)) * hl / jnp.maximum(
+                htc * A, 1e-30
+            )
+            T_new = T_eff + (T_p - T_eff) * jnp.exp(-beta_T * dt_sub)
+            T_new = jnp.clip(T_new, cfg.T_min, cfg.Tbp)
+            q_conv1 = m1_new * cp_l * (T_new - T_p) + dm1 * hl  # = ∫htc A (Tc−T)dt
+        T_new = jnp.where(mask, T_new, T_p)
+
+        # ---- momentum (sphere drag + gravity, drag-implicit Euler) ------
+        U_new = st["U"]
+        if cfg.drag:
+            CdRe = jnp.where(
+                Re > 1000.0, 0.424 * Re, 24.0 * (1.0 + (Re ** (2.0 / 3.0)) / 6.0)
+            )
+            tau_inv = 0.75 * mu_c * CdRe / (rho_l * d_new**2)
+            g_eff = self.g[None, :] * (1.0 - rho_c / rho_l)[:, None] if cfg.gravity_on else 0.0
+            U_new = (st["U"] + dt_sub * (tau_inv[:, None] * U_c + g_eff)) / (
+                1.0 + dt_sub * tau_inv
+            )[:, None]
+        elif cfg.gravity_on:
+            U_new = st["U"] + dt_sub * self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
+
+        # ---- source accumulation (per-cell segment sums) -----------------
+        nP = st["nP"]
+        w = jnp.where(mask, nP, 0.0)
+        nC = self.geom.n_cells
+        seg = lambda v: jax.ops.segment_sum(v, c, num_segments=nC)
+        dm = w * dm1  # mass to carrier
+        if self.cfg.coupled:
+            src = dict(src)
+            src["rhoTrans"] = src["rhoTrans"] + seg(dm)
+            # momentum: drag impulse on the gas = −m ΔU_drag; evaporated mass
+            # carries its own momentum into the carrier
+            dU = U_new - st["U"]
+            g_eff_v = (
+                self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
+                if cfg.gravity_on
+                else jnp.zeros_like(U_new)
+            )
+            dU_drag = dU - dt_sub * g_eff_v
+            mom = -(w * m1_new)[:, None] * dU_drag + (dm)[:, None] * st["U"]
+            src["UTrans"] = src["UTrans"] + seg(mom)
+            # energy: gas loses convective heat, gains vapour enthalpy
+            hv = self.gas.hs_species(T_new)[:, self.vapour_index]
+            q = -w * q_conv1 + dm * hv
+            src["hsTrans"] = src["hsTrans"] + seg(q)
+
+        # ---- commit parcel updates --------------------------------------
+        st = dict(st)
+        st["T"] = jnp.where(mask, T_new, st["T"])
+        st["U"] = jnp.where(mask[:, None], U_new, st["U"])
+        st["d"] = jnp.where(mask, d_new, st["d"])
+        st["alive"] = st["alive"] & ~(mask & evap_all)
+        st["age"] = st["age"] + jnp.where(mask, dt_sub, 0.0)
+        return st, src
+
+    # ------------------------------------------------------------------
+    def evolve(self, st: Dict, gas: Dict, dt) -> Tuple[Dict, Dict]:
+        """One gas-step evolution. `gas` holds per-cell carrier arrays:
+        rho,U,T,p,mu,kappa,cp,Yv,W. Returns (state, sources)."""
+        nC = self.geom.n_cells
+        dtp = self.dtype
+        src = {
+            "rhoTrans": jnp.zeros(nC, dtp),
+            "UTrans": jnp.zeros((nC, 3), dtp),
+            "hsTrans": jnp.zeros(nC, dtp),
+            "filmMass": jnp.zeros(self.geom.n_boundary, dtp),
+            "filmEnthalpy": jnp.zeros(self.geom.n_boundary, dtp),
+            "escapedMass": jnp.zeros((), dtp),
+        }
+        if not self.cfg.active:
+            return st, src
+
+        st = self._inject(st, gas["t"], dt, gas)
+
+        dt_sub = dt / self.cfg.n_sub
+        for _ in range(self.cfg.n_sub):
+            # ballistic move + containment walk (wall interactions inside)
+            mass_before = self._mass(st)
+            hit_T = st["T"]
+            x = st["x"] + jnp.where(st["alive"][:, None], st["U"] * dt_sub, 0.0)
+            x, U, cell, alive, hit, code = self.walk.walk(
+                x, st["U"], st["cell"], st["alive"], self.b_code, self.b_e,
+                n_steps=self.cfg.walk_steps,
+            )
+            died = st["alive"] & ~alive
+            st = dict(st)
+            st.update(x=x, U=U, cell=cell, alive=alive)
+            # film absorb / escape bookkeeping
+            to_film = died & (code == INTERACT_FILM) & (hit >= 0)
+            esc = died & (code == INTERACT_ESCAPE)
+            bidx = jnp.maximum(hit, 0)
+            cp_l = self.liquid.cp(101325.0, hit_T)
+            src["filmMass"] = src["filmMass"] + jax.ops.segment_sum(
+                jnp.where(to_film, mass_before, 0.0), bidx,
+                num_segments=self.geom.n_boundary,
+            )
+            src["filmEnthalpy"] = src["filmEnthalpy"] + jax.ops.segment_sum(
+                jnp.where(to_film, mass_before * cp_l * (hit_T - 298.15), 0.0), bidx,
+                num_segments=self.geom.n_boundary,
+            )
+            src["escapedMass"] = src["escapedMass"] + jnp.sum(
+                jnp.where(esc, mass_before, 0.0)
+            )
+            # physics + gas-side sources
+            st, src = self._calc(st, gas, dt_sub, src)
+
+        return st, src
+
+    # ------------------------------------------------------------------
+    def info(self, st: Dict) -> Dict:
+        m = self._mass(st)
+        return {
+            "nParcels": jnp.sum(st["alive"].astype(jnp.int32)),
+            "massInSystem": jnp.sum(m),
+            "Dmax": jnp.max(jnp.where(st["alive"], st["d"], 0.0)),
+            "D32": jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 3, 0.0))
+            / jnp.maximum(jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 2, 0.0)), 1e-300),
+        }
+
+
+def _bmask(mask, v):
+    """Broadcast a [N] bool mask against v of shape [N] or [N,3]."""
+    if v.ndim == 2:
+        return mask[:, None]
+    return mask

@@ -1,0 +1,381 @@
+"""Parcel injection models — cone sprays and FM-style sprinkler tables.
+
+TPU-native re-design of the reference injection stack:
+  - base contract (reference InjectionModel.H:282-364): each step an
+    injector yields `parcelsToInject` new parcels with position/cell/
+    properties. Here every injector emits a *fixed-capacity* candidate batch
+    (static shape) with a validity mask — data-dependent parcel counts
+    become masks, never dynamic shapes.
+  - `ConeInjection` (reference submodels/Kinematic/InjectionModel/
+    ConeInjection; configured in cases/steckler reactingCloud1Properties):
+    per-position cone spray between thetaInner/thetaOuter with a size
+    distribution and mass-based parcel weighting.
+  - `DetailedSprinklerInjection` (reference lib/injectionModels/
+    DetailedSprinklerInjection/DetailedSprinklerInjection.C — FM Global's
+    signature model): pressure-interpolated (elevation × azimuth) lookup
+    tables of volume flux / dv50 / velocity magnitude sampled per parcel,
+    K-factor total flow, truncated Rosin-Rammler (n = 2.6) diameters
+    (DetailedSprinklerInjection.C:1483-1499), RTI/C link activation against
+    gas T,|U| sampled at the sprinkler location (rtiCoeffs,
+    cases/detailedSprinklerInjection/constant/detailedSprinklerInjection:28-40).
+
+Injector state lives in the cloud-state pytree (cumulative counts, link
+temperatures) so checkpoints capture activation history.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import INT_DTYPE, real_dtype
+from ..io.foamdict import FoamDict
+
+__all__ = ["make_injector", "ConeInjection", "DetailedSprinklerInjection"]
+
+_PI = math.pi
+
+# gpm/psi^0.5 K-factor → m3/s at p[psig]:  Q[gpm] = K·√p;  1 gpm = 6.30902e-5 m3/s
+_GPM_TO_M3S = 6.30902e-5
+
+
+# ---------------------------------------------------------------------------
+# size distributions (reference: src distributionModels; configured like
+# cases/steckler reactingCloud1Properties sizeDistribution)
+# ---------------------------------------------------------------------------
+def _make_size_sampler(d: FoamDict):
+    kind = d.get_word("type")
+    cfg = d.get_dict(kind + "Distribution", None) or d.get_dict(kind, None) or d
+
+    if kind == "uniform":
+        lo = cfg.get_scalar("minValue")
+        hi = cfg.get_scalar("maxValue")
+
+        def sample(key, n):
+            return jax.random.uniform(key, (n,), minval=lo, maxval=hi)
+
+    elif kind == "fixedValue":
+        val = cfg.get_scalar("value")
+
+        def sample(key, n):
+            return jnp.full((n,), val)
+
+    elif kind == "normal":
+        mu = cfg.get_scalar("expectation")
+        sd = cfg.get_scalar("variance") ** 0.5 if cfg.found("variance") else cfg.get_scalar("standardDeviation")
+        lo = cfg.get_scalar("minValue")
+        hi = cfg.get_scalar("maxValue")
+
+        def sample(key, n):
+            return jnp.clip(mu + sd * jax.random.normal(key, (n,)), lo, hi)
+
+    elif kind in ("RosinRammler", "rosinRammler"):
+        dref = cfg.get_scalar("d")
+        nexp = cfg.get_scalar("n")
+        lo = cfg.get_scalar("minValue")
+        hi = cfg.get_scalar("maxValue")
+        K = 1.0 - math.exp(-(((hi - lo) / dref) ** nexp))
+
+        def sample(key, n):
+            y = jax.random.uniform(key, (n,))
+            return lo + dref * (-jnp.log(1.0 - y * K)) ** (1.0 / nexp)
+
+    else:
+        raise NotImplementedError(f"sizeDistribution type '{kind}'")
+    return sample
+
+
+def rosin_rammler_dv50(key, dv50, n_exp: float = 2.6):
+    """Truncated Rosin-Rammler sample given a (per-parcel) dv50 — reference
+    DetailedSprinklerInjection.C:1483-1499 (FDS-recommended n = 2.6)."""
+    d_ = dv50 / 0.693 ** (1.0 / n_exp)
+    max_v = d_ * 6.9077 ** (1.0 / n_exp)
+    min_v = jnp.maximum(2e-6, 0.001 * d_ * 0.1054 ** (1.0 / n_exp))
+    K = 1.0 - jnp.exp(-(((max_v - min_v) / (d_ + 1e-300)) ** n_exp))
+    y = jax.random.uniform(key, jnp.shape(dv50))
+    return min_v + d_ * (-jnp.log(1.0 - y * K)) ** (1.0 / n_exp)
+
+
+def _orthonormal_frame(axis: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    a = axis / np.linalg.norm(axis)
+    t = np.array([1.0, 0.0, 0.0]) if abs(a[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(a, t)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(a, e1)
+    return e1, e2
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class InjectorBase:
+    name: str
+    soi: float
+    duration: float
+    max_per_step: int = 0
+
+    def init_state(self) -> Dict:
+        return {"n_inj": jnp.zeros((), INT_DTYPE)}
+
+
+# ---------------------------------------------------------------------------
+class ConeInjection(InjectorBase):
+    """Multi-position cone spray (reference ConeInjection submodel)."""
+
+    def __init__(self, name: str, d: FoamDict, walk, dtype):
+        soi = d.get_scalar("SOI")
+        dur = d.get_scalar("duration")
+        super().__init__(name, soi, dur)
+        self.dtype = dtype
+        pa = d.get_list("positionAxis")
+        self.positions = np.array([np.asarray(p[0], float) for p in pa])
+        axes = [np.asarray(p[1], float) for p in pa]
+        self.axes = np.array([a / np.linalg.norm(a) for a in axes])
+        self.frames = np.array([_orthonormal_frame(a) for a in self.axes])
+        self.n_pos = len(self.positions)
+        self.mass_total = d.get_scalar("massTotal", 0.0)
+        self.pps = d.get_scalar("parcelsPerSecond")
+        self.umag = _constant_profile(d, "Umag")
+        self.theta_i = math.radians(_constant_profile(d, "thetaInner"))
+        self.theta_o = math.radians(_constant_profile(d, "thetaOuter"))
+        self.size_sampler = _make_size_sampler(d.get_dict("sizeDistribution"))
+        # flowRateProfile: only 'constant' supported → uniform mass rate
+        self.mass_rate = self.mass_total / max(dur, 1e-300)
+        self.cells = np.array([walk.find_cell_host(p) for p in self.positions])
+        if (self.cells < 0).any():
+            raise ValueError(f"{name}: injector position outside mesh")
+
+    def capacity_for_dt(self, dt_max: float) -> int:
+        return max(1, int(math.ceil(self.pps * dt_max)) + 1, self.n_pos)
+
+    def inject(self, st: Dict, key, t, dt, gas) -> Tuple[Dict, Dict]:
+        cap = self.max_per_step
+        dtp = self.dtype
+        # cumulative-count injection (reference InjectionModel::parcelsToInject)
+        el0 = jnp.clip(t - self.soi, 0.0, self.duration)
+        el1 = jnp.clip(t + dt - self.soi, 0.0, self.duration)
+        want = jnp.floor(el1 * self.pps).astype(INT_DTYPE) - st["n_inj"]
+        n_new = jnp.clip(want, 0, cap)
+        mass_new = self.mass_rate * (el1 - el0)
+
+        ks = jax.random.split(key, 4)
+        idx = jnp.arange(cap, dtype=INT_DTYPE)
+        valid = idx < n_new
+        pos_id = (st["n_inj"] + idx) % self.n_pos
+
+        x = jnp.asarray(self.positions, dtp)[pos_id]
+        cell = jnp.asarray(self.cells, INT_DTYPE)[pos_id]
+        axis = jnp.asarray(self.axes, dtp)[pos_id]
+        e1 = jnp.asarray(self.frames[:, 0], dtp)[pos_id]
+        e2 = jnp.asarray(self.frames[:, 1], dtp)[pos_id]
+
+        # uniform in solid angle between thetaInner and thetaOuter
+        u = jax.random.uniform(ks[0], (cap,), dtype=dtp)
+        cos_t = jnp.cos(self.theta_i) + u * (jnp.cos(self.theta_o) - jnp.cos(self.theta_i))
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t**2, 0.0))
+        phi = jax.random.uniform(ks[1], (cap,), dtype=dtp) * 2.0 * _PI
+        dirv = (
+            axis * cos_t[:, None]
+            + (e1 * jnp.cos(phi)[:, None] + e2 * jnp.sin(phi)[:, None]) * sin_t[:, None]
+        )
+        U = self.umag * dirv
+        dia = self.size_sampler(ks[2], cap).astype(dtp)
+        # mass-basis parcel weighting: this step's mass split over its parcels
+        mass_per = jnp.where(n_new > 0, mass_new / jnp.maximum(n_new, 1), 0.0)
+        st = {"n_inj": st["n_inj"] + n_new}
+        cand = {
+            "x": x, "U": U, "d": dia, "cell": cell, "valid": valid,
+            "mass": jnp.where(valid, mass_per, 0.0),
+        }
+        return st, cand
+
+
+def _constant_profile(d: FoamDict, key: str) -> float:
+    v = d.lookup(key)
+    if isinstance(v, list):  # e.g. "constant 4.0" parses as [String, 4.0]
+        return float(v[-1])
+    return float(v)
+
+
+# ---------------------------------------------------------------------------
+class DetailedSprinklerInjection(InjectorBase):
+    """FM Global detailed sprinkler spray from measured (ele×azi) tables."""
+
+    def __init__(self, name: str, d: FoamDict, walk, case, dtype):
+        soi = d.get_scalar("SOI")
+        dur = d.get_scalar("duration")
+        super().__init__(name, soi, dur)
+        self.dtype = dtype
+        lt = d.get_dict("lookupTableCoeffs")
+        self.table_name = lt.get_word("tableName")
+        self.p_op = lt.get_scalar("operatingPressure")  # psig
+        self.pps = d.get_scalar("parcelsPerSecond")
+        pl = d.get_list("positionList")
+        self.positions = np.array([np.asarray(p, float) for p in pl])
+        self.n_spr = len(self.positions)
+        self.direction = np.asarray(d.get_vector("direction"), float)
+        self.direction /= np.linalg.norm(self.direction)
+        self.arm = np.asarray(d.get_vector("armDirection"), float)
+        self.arm /= np.linalg.norm(self.arm)
+        self.radius = d.get_scalar("radiusToSprinkler")
+        rti = d.get_dict("rtiCoeffs", FoamDict())
+        self.rti_active = rti.get_bool("active", False)
+        self.RTI = rti.get_scalar("RTI", 50.0)
+        self.C = rti.get_scalar("C", 0.0)
+        self.T0_link = rti.get_scalar("initialTemperature", 298.15)
+        self.T_act = rti.get_scalar("activationTemperature", 347.0)
+
+        self._read_table(case)
+        self.cells = np.array([walk.find_cell_host(p) for p in self.positions])
+        if (self.cells < 0).any():
+            raise ValueError(f"{name}: sprinkler position outside mesh")
+        self.walk = walk
+
+    # -- table ingestion (reference readTableData :930-1000) ---------------
+    def _read_table(self, case):
+        tdict = case.constant(self.table_name)
+        self.k_factor = tdict.get_scalar("kFactor")  # gpm/psi^0.5
+        n_ele = tdict.get_int("nEle")
+        n_azi = tdict.get_int("nAzi")
+        press = tdict.get_dict("pressures")
+        entries = []
+        for pname, sub in press.subdicts():
+            p = sub.get_scalar("pressure")
+            def grab(k):
+                # 'phi List<scalar> 42 ( ... )' tokenises as
+                # [String('List<scalar>'), 42, [values...]] — unwrap to values
+                v = sub.get_list(k)
+                if v and isinstance(v[-1], list):
+                    v = v[-1]
+                return np.asarray(v, float).reshape(n_azi, n_ele)
+            entries.append(
+                (p, grab("phi"), grab("theta"), grab("volFlux"), grab("dv50"), grab("velMag"))
+            )
+        entries.sort(key=lambda e: e[0])
+        ps = np.array([e[0] for e in entries])
+        # linear interpolation in pressure at operating pressure (clamped)
+        po = np.clip(self.p_op, ps[0], ps[-1])
+        hi = int(np.searchsorted(ps, po, side="left").clip(1, len(ps) - 1))
+        lo = hi - 1
+        f = (po - ps[lo]) / max(ps[hi] - ps[lo], 1e-300)
+        blend = lambda i: (1 - f) * entries[lo][i] + f * entries[hi][i]
+        self.phi_tab = blend(1)  # deg [nAzi, nEle]
+        self.theta_tab = blend(2)
+        vol_flux = blend(3)  # L/m2/s
+        self.dv50_tab = blend(4) * 1e-3  # mm → m
+        self.vel_tab = blend(5)
+
+        # bin sampling probability ∝ volFlux · solid-angle weight(theta)
+        theta = np.radians(self.theta_tab)
+        w = vol_flux * np.maximum(np.sin(theta), 1e-3)
+        w = w.ravel()
+        self.bin_p = w / w.sum()
+        self.n_bins = w.size
+        self.n_ele, self.n_azi = n_ele, n_azi
+        # total volumetric flow from the K-factor at operating pressure
+        self.Q = self.k_factor * math.sqrt(max(self.p_op, 0.0)) * _GPM_TO_M3S  # m3/s
+
+    def capacity_for_dt(self, dt_max: float) -> int:
+        return max(1, int(math.ceil(self.pps * dt_max * self.n_spr)) + self.n_spr)
+
+    def init_state(self) -> Dict:
+        st = super().init_state()
+        st["Te"] = jnp.full((self.n_spr,), self.T0_link, self.dtype)
+        st["t_act"] = jnp.full((self.n_spr,), -1.0, self.dtype)
+        return st
+
+    def _update_links(self, st, t, dt, gas) -> Dict:
+        """RTI link ODE against gas T,|U| at the sprinkler cells — reference
+        DetailedSprinklerInjection activation & solver/rti.H:34-47."""
+        cells = jnp.asarray(self.cells, INT_DTYPE)
+        Tg = gas["T"][cells]
+        Ug = jnp.sqrt(jnp.sum(gas["U"][cells] ** 2, axis=1))
+        sqU = jnp.sqrt(jnp.maximum(Ug, 1e-6))
+        dTe_old = st["Te"] - self.T0_link
+        dTe = sqU / self.RTI * ((Tg - self.T0_link) - (1.0 + self.C / sqU) * dTe_old) * dt
+        Te = st["Te"] + dTe
+        newly = (Te >= self.T_act) & (st["t_act"] < 0.0)
+        st = dict(st)
+        st["Te"] = Te
+        st["t_act"] = jnp.where(newly, t, st["t_act"])
+        return st
+
+    def inject(self, st: Dict, key, t, dt, gas) -> Tuple[Dict, Dict]:
+        cap = self.max_per_step
+        dtp = self.dtype
+        if self.rti_active:
+            st = self._update_links(st, t, dt, gas)
+            active = st["t_act"] >= 0.0  # [nSpr]
+        else:
+            st = dict(st)
+            active = jnp.ones((self.n_spr,), bool)
+        in_window = (t >= self.soi) & (t < self.soi + self.duration)
+
+        per_spr = cap // self.n_spr
+        want = jnp.floor((jnp.clip(t + dt - self.soi, 0.0, self.duration)) * self.pps).astype(
+            INT_DTYPE
+        )
+        n_per = jnp.clip(want - st["n_inj"] // self.n_spr, 0, per_spr)
+
+        idx = jnp.arange(cap, dtype=INT_DTYPE)
+        spr = idx % self.n_spr
+        k_in_spr = idx // self.n_spr
+        valid = (k_in_spr < n_per) & active[spr] & in_window
+
+        ks = jax.random.split(key, 5)
+        # sample table bin ∝ volFlux·sinθ
+        cdf = jnp.cumsum(jnp.asarray(self.bin_p, dtp))
+        u = jax.random.uniform(ks[0], (cap,), dtype=dtp)
+        b = jnp.searchsorted(cdf, u).astype(INT_DTYPE)
+        theta = jnp.radians(jnp.asarray(self.theta_tab.ravel(), dtp))[b]
+        phi = jnp.radians(jnp.asarray(self.phi_tab.ravel(), dtp))[b]
+        dv50 = jnp.asarray(self.dv50_tab.ravel(), dtp)[b]
+        vmag = jnp.asarray(self.vel_tab.ravel(), dtp)[b]
+        # jitter within the bin + mirror the quarter-table over 4 quadrants
+        quad = jax.random.randint(ks[1], (cap,), 0, 4)
+        phi_full = jnp.where(quad % 2 == 0, phi, _PI - phi) + jnp.where(quad >= 2, _PI, 0.0)
+
+        a = jnp.asarray(self.direction, dtp)  # spray axis (down)
+        e1 = jnp.asarray(self.arm, dtp)
+        e2 = jnp.asarray(np.cross(self.direction, self.arm), dtp)
+        dirv = (
+            a * jnp.cos(theta)[:, None]
+            + (e1 * jnp.cos(phi_full)[:, None] + e2 * jnp.sin(phi_full)[:, None])
+            * jnp.sin(theta)[:, None]
+        )
+        x = jnp.asarray(self.positions, dtp)[spr] + self.radius * dirv
+        U = vmag[:, None] * dirv
+        dia = rosin_rammler_dv50(ks[2], dv50).astype(dtp)
+        # per-parcel mass: sprinkler volume flow split over this step's parcels
+        rho_l = 1000.0
+        mass_step = self.Q * rho_l * dt
+        mass_per = jnp.where(n_per > 0, mass_step / jnp.maximum(n_per, 1), 0.0)
+        cell = jnp.asarray(self.cells, INT_DTYPE)[spr]  # walk relocalises
+
+        n_new = jnp.sum(valid).astype(INT_DTYPE)
+        st["n_inj"] = st["n_inj"] + n_new
+        cand = {
+            "x": x, "U": U, "d": dia, "cell": cell, "valid": valid,
+            "mass": jnp.where(valid, mass_per, 0.0),
+        }
+        return st, cand
+
+
+# ---------------------------------------------------------------------------
+def make_injector(name: str, d: FoamDict, walk, case, dtype) -> InjectorBase:
+    kind = d.get_word("type")
+    if kind == "coneInjection":
+        return ConeInjection(name, d, walk, dtype)
+    if kind in (
+        "detailedSprinklerInjection",
+        "detailedSprinklerInjection2",
+        "lookupTableSprinklerInjection",
+        "lookupTableVolumeFluxSprinklerInjection",
+        "multiSprinklerInjection",
+    ):
+        return DetailedSprinklerInjection(name, d, walk, case, dtype)
+    raise NotImplementedError(f"injection model '{kind}'")

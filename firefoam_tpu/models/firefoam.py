@@ -156,6 +156,20 @@ class FireFoamSolver:
         )
         self.fv_solution = self.case.fv_solution
 
+        # ---- Lagrangian spray cloud (solver/createClouds.H:1-9) ----
+        self.cloud = None
+        if self.case.has_constant("reactingCloud1Properties"):
+            props = self.case.constant("reactingCloud1Properties")
+            if props.get_dict("solution").get_bool("active", True):
+                from ..lagrangian.cloud import ReactingCloud
+                from ..lagrangian.tracking import WalkMesh
+
+                walk = WalkMesh.from_polymesh(self.cm.mesh, dtype=self.dtype)
+                self.cloud = ReactingCloud(
+                    "reactingCloud1", props, walk, g, self.case, self.gas,
+                    self.g_vec, dt_max=min(self.ctl.max_dt, 0.1), dtype=self.dtype,
+                )
+
         # ---- fields & BCs ----
         self._read_initial_fields()
 
@@ -242,6 +256,8 @@ class FireFoamSolver:
         }
         if self.radiation is not None:
             state["rad"] = self.radiation.initial_state()
+        if self.cloud is not None:
+            state["cloud"] = self.cloud.initial_state()
         if self.ctl.hydrostatic_init:
             state = self._hydrostatic_init(state)
         return state
@@ -336,9 +352,56 @@ class FireFoamSolver:
         return dt
 
     # ------------------------------------------------------------------
+    def _evolve_cloud(self, state: Dict, log) -> Tuple[Dict, Dict]:
+        """parcels.evolve() (fireFoam.C:88) → per-volume gas sources.
+
+        Source conversion follows the explicit sourceTerms schemes
+        (reactingCloud1Properties solution.sourceTerms): S = c·Trans/(V·Δt).
+        """
+        g = self.geom
+        zeros = {
+            "Srho": jnp.zeros(g.n_cells, self.dtype),
+            "SU": jnp.zeros((g.n_cells, 3), self.dtype),
+            "SYv": jnp.zeros(g.n_cells, self.dtype),
+            "Sh": jnp.zeros(g.n_cells, self.dtype),
+        }
+        if self.cloud is None:
+            return state, zeros
+        Y, T = state["Y"], state["T"]
+        gas_ctx = {
+            "t": state["t"],
+            "rho": state["rho"].i,
+            "U": state["U"].i,
+            "T": T.i,
+            "p": state["p"].i,
+            "mu": state["mu"].i,
+            "kappa": self.gas.kappa(T.i, Y.i),
+            "cp": self.gas.cp(T.i, Y.i),
+            "Yv": Y.i[:, self.cloud.vapour_index],
+            "W": 8314.47 / self.gas.R(Y.i),
+        }
+        cst, src = self.cloud.evolve(state["cloud"], gas_ctx, state["dt"])
+        state = dict(state)
+        state["cloud"] = cst
+        inv_vdt = 1.0 / (g.V * state["dt"])
+        cfg = self.cloud.cfg
+        out = {
+            "Srho": cfg.relax_rho * src["rhoTrans"] * inv_vdt,
+            "SU": cfg.relax_U * src["UTrans"] * inv_vdt[:, None],
+            "SYv": cfg.relax_Yi * src["rhoTrans"] * inv_vdt,
+            "Sh": cfg.relax_h * src["hsTrans"] * inv_vdt,
+            "filmMass": src["filmMass"],
+            "filmEnthalpy": src["filmEnthalpy"],
+        }
+        info = self.cloud.info(cst)
+        log["cloud_nParcels"] = info["nParcels"]
+        log["cloud_mass"] = info["massInSystem"]
+        return state, out
+
+    # ------------------------------------------------------------------
     # equation pieces (all traced inside step)
     # ------------------------------------------------------------------
-    def _u_eqn(self, state, log):
+    def _u_eqn(self, state, log, srcs):
         g = self.geom
         U, rho, phi, mu = state["U"], state["rho"], state["phi"], state["mu"]
         mu_eff = VolField(mu.i + rho.i * state["nut"].i, mu.b + rho.b * state["nut"].b)
@@ -358,7 +421,7 @@ class FireFoamSolver:
         )
         # explicit part of divDevRhoReff: −div(muEff·dev2(∇Uᵀ))
         div_tau = self.turb.div_dev_rho_reff(U, mu_eff, gradU)
-        m = m.add_source(div_tau)
+        m = m.add_source(div_tau + srcs["SU"])  # + parcels.SU(U) (UEqn.H:9)
 
         # buoyancy + pressure-gradient source (UEqn.H:22-31):
         # reconstruct((−ghf·snGrad(rho) − snGrad(p_rgh))·magSf)
@@ -384,7 +447,7 @@ class FireFoamSolver:
         U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctx)
         return U_new, m
 
-    def _y_eqns(self, state, log):
+    def _y_eqns(self, state, log, srcs):
         """Species transport with EDM source (YEEqn.H:27-77)."""
         g = self.geom
         rho, phi = state["rho"], state["phi"]
@@ -420,7 +483,10 @@ class FireFoamSolver:
                 + fvm.div(g, phi, Ys, w, vic, vbc)
                 - fvm.laplacian(g, alpha_eff_f, Ys, gic, gbc)
             )
-            m = m.add_source(self.combustion.R(w_fuel, s))
+            src_s = self.combustion.R(w_fuel, s)
+            if self.cloud is not None and s == self.cloud.vapour_index:
+                src_s = src_s + srcs["SYv"]  # parcels.SYi (YEEqn.H:52)
+            m = m.add_source(src_s)
             res = solve_scalar(
                 m, Ys.i, solver=ctl["solver"], tol=ctl["tolerance"],
                 rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
@@ -451,7 +517,7 @@ class FireFoamSolver:
         cp_b = self.gas.cp(state["T"].b, Y_new.b)
         return hs_ref, cp_b * rgT, fT
 
-    def _e_eqn(self, state, Y_new, qdot, log):
+    def _e_eqn(self, state, Y_new, qdot, log, srcs):
         """Sensible-enthalpy energy equation (YEEqn.H:84-118)."""
         g = self.geom
         rho, phi, hs, U = state["rho"], state["phi"], state["hs"], state["U"]
@@ -482,7 +548,9 @@ class FireFoamSolver:
             + fvm.div(g, phi, hs, w, vic, vbc)
             - fvm.laplacian(g, alpha_eff_f, hs, gic, gbc)
         )
-        m = m.add_source(qdot + sh_rad + state["dpdt"] - ddtK - divK)
+        m = m.add_source(
+            qdot + sh_rad + srcs["Sh"] + state["dpdt"] - ddtK - divK
+        )  # + parcels.Sh (YEEqn.H:99)
 
         ctl = _solver_controls(self.fv_solution, "h")
         res = solve_scalar(
@@ -503,7 +571,7 @@ class FireFoamSolver:
         alpha_new = VolField(self.gas.alpha(T_i, Y_new.i), self.gas.alpha(T_b, Y_new.b))
         return hs_new, T_new, psi_new, mu_new, alpha_new
 
-    def _p_eqn(self, state, u_matrix, final: bool, log, corr: int):
+    def _p_eqn(self, state, u_matrix, final: bool, log, corr: int, srcs=None):
         """PISO pressure corrector (solver/pEqn.H)."""
         g = self.geom
         dt = state["dt"]
@@ -551,7 +619,8 @@ class FireFoamSolver:
             m.source
             + psi.i * g.V / dt * p_rgh.i
             - ((rho.i - state["rho_old_i"]) / dt) * g.V
-            - fvc.surface_sum(g, phi_hbya),
+            - fvc.surface_sum(g, phi_hbya)
+            + (srcs["Srho"] * g.V if srcs is not None else 0.0),
             m.internal_coeffs,
             m.boundary_coeffs,
             m.psi,
@@ -611,17 +680,24 @@ class FireFoamSolver:
 
         log["CoNum"] = self.courant(state)
 
-        # ---- rhoEqn (diagonal) ----
-        rho_i = state["rho_old_i"] - dt * fvc.div_flux(g, state["phi"])
+        # ---- parcels.evolve() (fireFoam.C:88) ----
+        state, srcs = self._evolve_cloud(state, log)
+
+        # ---- rhoEqn (diagonal, + parcels.Srho — rhoEqn.H:40) ----
+        rho_i = (
+            state["rho_old_i"]
+            - dt * fvc.div_flux(g, state["phi"])
+            + dt * srcs["Srho"]
+        )
         state["rho"] = VolField(rho_i, state["rho"].b)
 
         for outer in range(self.ctl.n_outer):
             # ---- momentum predictor ----
-            U_new, u_matrix = self._u_eqn(state, log)
+            U_new, u_matrix = self._u_eqn(state, log, srcs)
             state["U"] = U_new
 
             # ---- species + energy ----
-            Y_new, qdot = self._y_eqns(state, log)
+            Y_new, qdot = self._y_eqns(state, log, srcs)
             state["Qdot"] = qdot
 
             # ---- radiation field solve (fvDOM), first step + every
@@ -629,7 +705,7 @@ class FireFoamSolver:
             if self.radiation is not None:
                 state["rad"] = self.radiation.maybe_correct(state, self.gas)
             hs_new, T_new, psi_new, mu_new, alpha_new = self._e_eqn(
-                state, Y_new, qdot, log
+                state, Y_new, qdot, log, srcs
             )
             state["Y"] = Y_new
             state["hs"] = hs_new
@@ -644,7 +720,7 @@ class FireFoamSolver:
             for corr in range(self.ctl.n_correctors):
                 final = corr == self.ctl.n_correctors - 1
                 p_rgh_new, p_new, rho_new, phi_new, U_corr = self._p_eqn(
-                    state, u_matrix, final, log, corr
+                    state, u_matrix, final, log, corr, srcs
                 )
                 state["p_rgh"] = p_rgh_new
                 state["p"] = p_new
