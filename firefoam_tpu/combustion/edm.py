@@ -38,7 +38,12 @@ class EddyDissipationModel:
 
     @classmethod
     def from_case(cls, comb_dict, reaction: SingleStepReaction) -> "EddyDissipationModel":
-        coeffs = comb_dict.get_dict("eddyDissipationModelCoeffs")
+        # default-construct when the case selects a different model whose
+        # gas phase is never solved (pyrolysis1D picks infinitelyFastChemistry
+        # but runs with solvePrimaryRegion false)
+        from ..io.foamdict import FoamDict
+
+        coeffs = comb_dict.get_dict("eddyDissipationModelCoeffs", FoamDict())
         return cls(
             reaction=reaction,
             C_EDC=coeffs.get_scalar("C_EDC", 4.0),

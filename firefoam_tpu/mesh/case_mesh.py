@@ -120,7 +120,9 @@ def build_case_mesh(case_dir: str, mesh_script: str = "mesh.sh") -> CaseMesh:
                 if dpath
                 else _find_dict(case_dir, "extrudeToRegionMeshDict")
             )
-            st.extrude_dicts.append(parse_file(dpath, case_dir=case_dir))
+            d = parse_file(dpath, case_dir=case_dir)
+            st.extrude_dicts.append(d)
+            _extrude_adapt_mesh(st, d)
         elif cmd == "snappyHexMesh":
             raise NotImplementedError(
                 "snappyHexMesh is not implemented yet (singleBox case)"
@@ -129,6 +131,48 @@ def build_case_mesh(case_dir: str, mesh_script: str = "mesh.sh") -> CaseMesh:
             continue  # surfaceTransformPoints, cp, mv, rm, echo, mktemp, ...
 
     return ensure_block_mesh()
+
+
+def _extrude_adapt_mesh(st: CaseMesh, d: FoamDict):
+    """extrudeToRegionMesh adaptMesh behaviour on the PRIMARY mesh: the
+    faceZone's boundary faces are split out of their patches into a new
+    mappedWall patch `region0_to_<region>_<zone>` (the coupled patch the
+    case's 0/ fields reference — e.g. cases/wallFireSpread2D/0/T)."""
+    if not d.get_bool("adaptMesh", True):
+        return
+    from .meshedit import _remap_face_sets
+
+    region = d.get_word("region")
+    zones = [str(z) for z in d.get_list("faceZones")]
+    mesh = st.mesh
+    n_int = mesh.n_internal_faces
+    nb = mesh.n_boundary_faces
+    cur = np.zeros(nb, dtype=np.int64)
+    patch_defs = []
+    for pi, p in enumerate(mesh.patches):
+        cur[p.start - n_int : p.start - n_int + p.n_faces] = pi
+        patch_defs.append((p.name, p.ptype, p.extra))
+    changed = False
+    for zone in zones:
+        fz = st.face_zones.get(zone)
+        if fz is None:
+            continue
+        name = f"region0_to_{region}_{zone}"
+        if any(pd[0] == name for pd in patch_defs):
+            continue
+        bf = np.asarray(fz.faces)
+        bf = bf[bf >= n_int] - n_int
+        if bf.size == 0:
+            continue
+        new_pid = len(patch_defs)
+        patch_defs.append((name, "mappedWall", {"sampleRegion": region}))
+        cur[bf] = new_pid
+        changed = True
+    if changed:
+        new_mesh, old_to_new = mesh.reorder_boundary(cur, patch_defs)
+        st.mesh = new_mesh
+        st.sets.mesh = new_mesh
+        _remap_face_sets(st.sets, old_to_new)
 
 
 def _opt_value(args: List[str], flag: str) -> Optional[str]:

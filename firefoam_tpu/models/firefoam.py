@@ -45,8 +45,17 @@ from ..turbulence.kEqn import KEqnLES
 __all__ = ["FireFoamSolver"]
 
 
-def _solver_controls(fv_solution: FoamDict, name: str) -> dict:
-    d = fv_solution.get_dict("solvers").lookup(name)
+def _solver_controls(fv_solution: FoamDict, *names: str) -> dict:
+    """Look up solver controls, trying name variants in order (cases differ:
+    steckler has Ux/Uy/Uz entries, wallFireSpread2D a single U entry)."""
+    solvers = fv_solution.get_dict("solvers")
+    d = None
+    for name in names:
+        d = solvers.lookup(name, None)
+        if d is not None:
+            break
+    if d is None:
+        raise KeyError(f"none of {names} found in fvSolution solvers")
     return {
         "solver": str(d.lookup("solver")),
         "tolerance": d.get_scalar("tolerance", 1e-6),
@@ -170,8 +179,27 @@ class FireFoamSolver:
                     self.g_vec, dt_max=min(self.ctl.max_dt, 0.1), dtype=self.dtype,
                 )
 
+        # ---- additional controls + pyrolysis regions ----
+        ac = (
+            self.case.constant("additionalControls")
+            if self.case.has_constant("additionalControls")
+            else FoamDict()
+        )
+        self.solve_primary = ac.get_bool("solvePrimaryRegion", True)
+        self.solve_pyrolysis = ac.get_bool("solvePyrolysisRegion", True)
+        self.max_di = cd.get_scalar("maxDi", 10.0)
+        self.pyrolysis = None
+        if self.solve_pyrolysis and self.case.has_constant("pyrolysisZones"):
+            from ..regionmodels.pyrolysis import PyrolysisCollection
+
+            coll = PyrolysisCollection(case_dir, self.cm, self.dtype)
+            if coll.zones:
+                self.pyrolysis = coll
+
         # ---- fields & BCs ----
         self._read_initial_fields()
+        if self.pyrolysis is not None:
+            self._init_pyro_coupling()
 
     # ------------------------------------------------------------------
     def _read_field(self, name: str, default_name: Optional[str] = None):
@@ -258,6 +286,8 @@ class FireFoamSolver:
             state["rad"] = self.radiation.initial_state()
         if self.cloud is not None:
             state["cloud"] = self.cloud.initial_state()
+        if self.pyrolysis is not None:
+            state["pyro"] = self.pyrolysis.initial_state()
         if self.ctl.hydrostatic_init:
             state = self._hydrostatic_init(state)
         return state
@@ -299,7 +329,7 @@ class FireFoamSolver:
             m = fvm.FvMatrix(
                 g, m.diag, m.lower, m.upper, m.source - rhs, m.internal_coeffs, m.boundary_coeffs, m.psi
             )
-            ctl = _solver_controls(self.fv_solution, "ph_rgh")
+            ctl = _solver_controls(self.fv_solution, "ph_rgh", "p_rgh")
             res = solve_scalar(m, ph.i, solver="PCG", tol=ctl["tolerance"], rel_tol=ctl["relTol"])
             ph_b = f * 0.0 + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
             ph = VolField(res.x, ph_b)
@@ -338,9 +368,18 @@ class FireFoamSolver:
         return 0.5 * jnp.max(sum_phi / (state["rho"].i * g.V)) * state["dt"]
 
     def new_dt(self, state: Dict) -> jnp.ndarray:
-        """setMultiRegionDeltaT: Courant-limited with damped 1.2× growth."""
-        co = self.courant(state)
-        fact = jnp.minimum(self.ctl.max_co / (co + 1e-12), 1.2)
+        """setMultiRegionDeltaT: Courant/diffusion-limited, damped 1.2×
+        growth (solver/setMultiRegionDeltaT.H:34-63 +
+        solidRegionDiffusionNo.H)."""
+        if self.solve_primary:
+            co = self.courant(state)
+            fact = self.ctl.max_co / (co + 1e-12)
+        else:
+            fact = jnp.asarray(1.2, self.dtype)
+        if self.pyrolysis is not None:
+            di = self.pyrolysis.diffusion_number(state["pyro"], state["dt"])
+            fact = jnp.minimum(fact, self.max_di / (di + 1e-12))
+        fact = jnp.minimum(fact, 1.2)
         dt = jnp.minimum(fact * state["dt"], self.ctl.max_dt)
         if self.ctl.adjustable_write:
             # Time::adjustDeltaT — land exactly on write times
@@ -350,6 +389,76 @@ class FireFoamSolver:
             n = jnp.floor(jnp.maximum(remain / dt, 1.0) + 0.99)
             dt = remain / n
         return dt
+
+    # ------------------------------------------------------------------
+    def _init_pyro_coupling(self):
+        """Per-zone gas-coupling constants: patch-local face scatter maps and
+        the fuel-equivalence factor hocPyr/qFuel used by
+        flowRateInletVelocityPyrolysisCoupled (lib/fvPatchFieldsPyrolysis/
+        flowRateInletVelocityPyrolysisCoupled/...C:100-127,
+        hocChar = 32.8e6 W/kg hard-coded there)."""
+        self._pyro_maps = {}
+        for z in self.pyrolysis.zones:
+            pname = z.region.coupled_patch
+            try:
+                patch = self.geom.patch(pname)
+            except KeyError:
+                continue
+            loc = np.asarray(z.region.prim_bidx) - patch.start
+            # fuel-equivalence: read hocSolid from the gas U BC on the patch
+            scale = 1.0
+            ub = next(b for b in self.U_bcs.bcs if b.patch == pname)
+            hoc_solid = ub.params.get("hocSolid")
+            if hoc_solid is not None and z.chem.reactions:
+                rx = z.chem.reactions[0]
+                rho_v = float(z.thermo.rho_s[rx.lhs])
+                rho_c = float(z.thermo.rho_s[rx.rhs_solid]) if rx.rhs_solid >= 0 else 0.0
+                hoc_char = 32.8e6
+                hoc_pyr = (float(hoc_solid) * rho_v - hoc_char * rho_c) / max(
+                    rho_v - rho_c, 1e-300
+                )
+                scale = hoc_pyr / self.reaction.q_fuel()
+            self._pyro_maps[z.region_name] = (patch, loc, scale)
+
+    def _evolve_pyrolysis(self, state: Dict, log) -> Tuple[Dict, Dict]:
+        """pyrolysis.evolve() (fireFoam.C:92-95) + gas-side BC overrides."""
+        g = self.geom
+        q_conv: Dict = {}
+        qr: Dict = {}
+        for z in self.pyrolysis.zones:
+            if z.bc_exposed.kind == "coupled" and self.solve_primary:
+                bidx = jnp.asarray(z.region.prim_bidx)
+                T_b = state["T"].b[bidx]
+                Y_b = state["Y"].b[bidx]
+                cp_b = self.gas.cp(T_b, Y_b)
+                kappa_eff = (state["alpha"].b[bidx] + state["alphat"].b[bidx]) * cp_b
+                q_conv[z.region_name] = {
+                    "kDelta": kappa_eff * g.b_dc[bidx],
+                    "T_nbr": state["T"].i[g.b_own[bidx]],
+                }
+                if self.radiation is not None:
+                    qr[z.region_name] = self.radiation.qin_boundary(state["rad"])[bidx]
+        pstates, pouts = self.pyrolysis.evolve(
+            state["pyro"], state["dt"], q_conv or None, qr or None
+        )
+        state = dict(state)
+        state["pyro"] = pstates
+
+        ov: Dict = {}
+        total_mlr = 0.0
+        for z, out in zip(self.pyrolysis.zones, pouts):
+            m = self._pyro_maps.get(z.region_name)
+            log[f"pyro_{z.region_name}_T_max"] = out["T_max"]
+            log[f"pyro_{z.region_name}_mlr"] = jnp.sum(out["phiGas"])
+            if m is None or not self.solve_primary:
+                continue
+            patch, loc, scale = m
+            dtp = self.dtype
+            T_patch = jnp.zeros((patch.n,), dtp).at[loc].set(out["T_surface"])
+            mdot = jnp.zeros((patch.n,), dtp).at[loc].set(out["phiGas"] * scale)
+            ov[("T", patch.name, "value")] = T_patch
+            ov[("U", patch.name, "mdot")] = mdot
+        return state, ov
 
     # ------------------------------------------------------------------
     def _evolve_cloud(self, state: Dict, log) -> Tuple[Dict, Dict]:
@@ -405,7 +514,7 @@ class FireFoamSolver:
         g = self.geom
         U, rho, phi, mu = state["U"], state["rho"], state["phi"], state["mu"]
         mu_eff = VolField(mu.i + rho.i * state["nut"].i, mu.b + rho.b * state["nut"].b)
-        ctx = self._ctx(state)
+        ctx = self._ctx(state, srcs.get("_ov"))
 
         rv, rg, f = bcmod.resolve(self.U_bcs, g, U, ctx)
         vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
@@ -433,7 +542,7 @@ class FireFoamSolver:
         )
         m = m.add_source(fvc.reconstruct(g, face_src))
 
-        ctl = _solver_controls(self.fv_solution, "Ux")
+        ctl = _solver_controls(self.fv_solution, "Ux", "U")
         xs = []
         for c, comp in enumerate("xyz"):
             res = solve_scalar(
@@ -464,7 +573,7 @@ class FireFoamSolver:
             state["alphat"].i + state["alpha"].i, state["alphat"].b + state["alpha"].b
         )
         alpha_eff_f = SurfaceField(fvc.interpolate(g, alpha_eff).i, alpha_eff.b)
-        ctx = self._ctx(state)
+        ctx = self._ctx(state, srcs.get("_ov"))
         ctl = _solver_controls(self.fv_solution, "Yi")
 
         inert_idx = self.gas.index(self.inert)
@@ -506,11 +615,11 @@ class FireFoamSolver:
         Y_new = VolField(jnp.stack(new_cols_i, axis=1), jnp.stack(new_cols_b, axis=1))
         return Y_new, qdot
 
-    def _hs_bcs_from_T(self, state, Y_new):
+    def _hs_bcs_from_T(self, state, Y_new, ov=None):
         """Derive sensible-enthalpy mixed BC coefficients from T's BCs
         (fixedEnergy/gradientEnergy behaviour)."""
         g = self.geom
-        ctx = self._ctx(state)
+        ctx = self._ctx(state, ov)
         rvT, rgT, fT = bcmod.resolve(self.T_bcs, g, state["T"], ctx)
         # refValue in energy space: hs(T_ref, Y_b); refGrad: cp_b·∂T/∂n
         hs_ref = self.gas.hs(jnp.maximum(rvT, 10.0), Y_new.b)
@@ -527,7 +636,7 @@ class FireFoamSolver:
         )
         alpha_eff_f = SurfaceField(fvc.interpolate(g, alpha_eff).i, alpha_eff.b)
 
-        rv, rg, f = self._hs_bcs_from_T(state, Y_new)
+        rv, rg, f = self._hs_bcs_from_T(state, Y_new, srcs.get("_ov"))
         vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
         gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
         w = fvm.limited_linear_weights(g, phi.i, hs, k=1.0)
@@ -552,7 +661,7 @@ class FireFoamSolver:
             qdot + sh_rad + srcs["Sh"] + state["dpdt"] - ddtK - divK
         )  # + parcels.Sh (YEEqn.H:99)
 
-        ctl = _solver_controls(self.fv_solution, "h")
+        ctl = _solver_controls(self.fv_solution, "h", "hs")
         res = solve_scalar(
             m, hs.i, solver=ctl["solver"], tol=ctl["tolerance"],
             rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
@@ -597,7 +706,7 @@ class FireFoamSolver:
         # constrainPressure: fixedFluxPressure gradients so flux matches U_b
         u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, state["U"].b)
         grad_override = (phi_hbya.b - u_flux_b) / (rho_rAU_f.b * g.b_magSf)
-        overrides = {}
+        overrides = dict(srcs.get("_ov") or {}) if srcs is not None else {}
         for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
             if bc.kind == "fixedFluxPressure":
                 overrides[("p_rgh", pch.name, "gradient")] = grad_override[pch.slice]
@@ -647,7 +756,7 @@ class FireFoamSolver:
             (phig.i - lap_flux.i) / rho_rAU_f.i, (phig.b - lap_flux.b) / rho_rAU_f.b
         )
         U_new_i = HbyA.i + rAU[:, None] * fvc.reconstruct(g, corr_flux)
-        ctxU = self._ctx(state)
+        ctxU = self._ctx(state, (srcs or {}).get("_ov"))
         ctxU["phi"] = phi_new
         U_new = bcmod.evaluate(self.U_bcs, g, VolField(U_new_i, state["U"].b), ctxU)
 
@@ -678,10 +787,26 @@ class FireFoamSolver:
         state = dict(state)
         dt = state["dt"]
 
+        # ---- solid-only cases (additionalControls solvePrimaryRegion
+        # false — pyrolysis1D): evolve regions and advance time ----
+        if not self.solve_primary:
+            if self.pyrolysis is not None:
+                state, _ = self._evolve_pyrolysis(state, log)
+            state["t"] = state["t"] + dt
+            if self.ctl.adjust:
+                state["dt"] = self.new_dt(state)
+            return state, log
+
         log["CoNum"] = self.courant(state)
 
         # ---- parcels.evolve() (fireFoam.C:88) ----
         state, srcs = self._evolve_cloud(state, log)
+
+        # ---- pyrolysis regions (fireFoam.C:92-95) ----
+        ov: Dict = {}
+        if self.pyrolysis is not None:
+            state, ov = self._evolve_pyrolysis(state, log)
+        srcs["_ov"] = ov
 
         # ---- rhoEqn (diagonal, + parcels.Srho — rhoEqn.H:40) ----
         rho_i = (
@@ -731,8 +856,8 @@ class FireFoamSolver:
             state["dpdt"] = (state["p"].i - state["p_old_i"]) / dt
 
             # ---- turbulence ----
-            ctx = self._ctx(state)
-            ctl_k = _solver_controls(self.fv_solution, "k")
+            ctx = self._ctx(state, srcs.get("_ov"))
+            ctl_k = _solver_controls(self.fv_solution, "k", "kFinal")
             k_new, nut_i, res_k = self.turb.correct(
                 state["k"], self.k_bcs, state["U"], state["rho"],
                 state["rho_old_i"], state["phi"], state["mu"], dt, ctx, ctl_k,

@@ -48,6 +48,14 @@ def run_case(
         n += 1
         log = {k: np.asarray(v) for k, v in log.items()}
         logs.append(log)
+        if verbose and not solver.solve_primary:
+            # solid-only cases (pyrolysis1D): region log only
+            print(f"Time = {_fmt(state['t'])}")
+            for k, v in log.items():
+                if k.startswith("pyro_"):
+                    print(f"{k} = {_fmt(v)}")
+            print(f"ExecutionTime = {time.time()-t_start:.2f} s\n")
+            continue
         if verbose:
             print(f"Courant Number max: {_fmt(log['CoNum'])}")
             print(f"deltaT = {_fmt(state['dt'])}")

@@ -169,6 +169,33 @@ def _total_flow_rate_adv_diff(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     return rv, _zeros(p, nc, dt), f.astype(dt)
 
 
+def _coupled_wall_T(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
+    """Gas side of the conjugate wall ('In fluid' branch of the reference
+    turbulentTemperatureRadiationQinCoupledMixed — lib/fvPatchFieldsPyrolysis
+    /turbulentTemperatureRadiationQinCoupledMixed/...C:210-218): Dirichlet
+    T_wall = neighbour-region surface-cell T, injected per step through
+    ctx overrides. Falls back to the stored boundary value before coupling
+    is active."""
+    v = ctx.get("overrides", {}).get((ctx.get("_field"), p.name, "value"))
+    if v is None:
+        v = psi_b[p.slice]
+    return v, _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)
+
+
+def _flow_rate_pyro_coupled(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
+    """flowRateInletVelocityPyrolysisCoupled (lib/fvPatchFieldsPyrolysis/
+    flowRateInletVelocityPyrolysisCoupled): inlet velocity from the
+    neighbour pyrolysis region's fuel-equivalent pyrolysate flux
+    (phiGas·hocPyr/qFuel), supplied per face via ctx overrides [kg/s]."""
+    mdot = ctx.get("overrides", {}).get(("U", p.name, "mdot"))
+    if mdot is None:
+        return _zeros(p, nc, dt), _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)
+    rho_b = ctx["rho"].b[p.slice]
+    n = geom.b_Sf[p.slice] / geom.b_magSf[p.slice, None]
+    u = -n * (mdot / (rho_b * geom.b_magSf[p.slice]))[:, None]
+    return u, _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)
+
+
 def _prgh_total_hydrostatic(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     """p_rgh = ph_rgh − ½ρ|U|² on inflow, ph_rgh on outflow (fixedValue)."""
     phi = _phi_b(ctx, p)
@@ -207,6 +234,16 @@ _REGISTRY: Dict[str, Callable] = {
     # conjugate baffle: round-1 fallback (gap: 1-D solid conduction model)
     "compressible::thermalBaffle1D<hConstSolidThermoPhysics>": _zero_gradient,
     "greyDiffusiveRadiation": _calculated,  # handled by the fvDOM module
+    # conjugate gas↔solid coupling (pyrolysis/film regions)
+    "compressible::turbulentTemperatureRadiationQinCoupledMixed": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadiationQinQcScaleCoupledMixed": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadiationQinQcWallFunctionCoupledMixed": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadiationCoupledMixedST": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadCoupledMixed": _coupled_wall_T,
+    "filmPyrolysisTemperatureCoupled": _coupled_wall_T,
+    "flowRateInletVelocityPyrolysisCoupled": _flow_rate_pyro_coupled,
+    "flowRateInletVelocityFuelConvertCoupled": _flow_rate_pyro_coupled,
+    "filmPyrolysisVelocityCoupled": _flow_rate_pyro_coupled,
 }
 
 
@@ -287,7 +324,7 @@ def make_field_bcs(ff: FieldFile, geom: MeshGeometry) -> FieldBCs:
         kind = str(pd.lookup("type"))
         params = {}
         for key in ("value", "inletValue", "outletValue", "gradient",
-                    "massFluxFraction", "emissivity"):
+                    "massFluxFraction", "emissivity", "hocSolid", "hocPyr"):
             v = _param_value(pd, key)
             if v is not None and not isinstance(v, tuple):
                 params[key] = v

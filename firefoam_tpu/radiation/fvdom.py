@@ -277,6 +277,17 @@ class FvDOM:
         g = self.geom
         return jnp.einsum("rb,rb->b", rad["I"][:, g.b_own], self.phi_ray_b) / g.b_magSf
 
+    def qin_boundary(self, rad) -> jnp.ndarray:
+        """Incident radiative flux at boundary faces [W/m²] (fvDOM qin —
+        consumed by the pyrolysis conjugate BC as neighbourFieldRadiativeName
+        qin, reference turbulentTemperatureRadiationQinCoupledMixed)."""
+        g = self.geom
+        return jnp.einsum(
+            "rb,rb->b",
+            rad["I"][:, g.b_own],
+            jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf,
+        )
+
 
 def _aslist(v):
     return v if isinstance(v, list) else [v]

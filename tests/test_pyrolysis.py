@@ -1,0 +1,127 @@
+"""Pyrolysis region-model tests: tridiagonal solver, pure conduction vs the
+semi-infinite analytic solution, Arrhenius chemistry bookkeeping, and the
+reference pyrolysis1D case end-to-end (solid-only, solvePrimaryRegion off).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from firefoam_tpu.mesh import build_case_mesh
+from firefoam_tpu.regionmodels.oned import tridiag_solve
+from firefoam_tpu.regionmodels.pyrolysis import PyrolysisCollection, ReactingOneDim
+
+from conftest import reference_case
+
+
+def test_tridiag_vs_dense():
+    rng = np.random.default_rng(0)
+    n = 12
+    for _ in range(3):
+        a = rng.uniform(0.1, 1, (4, n))
+        c = rng.uniform(0.1, 1, (4, n))
+        b = 2.0 + a + c  # diagonally dominant
+        d = rng.uniform(-1, 1, (4, n))
+        x = np.asarray(tridiag_solve(jnp.array(a), jnp.array(b), jnp.array(c), jnp.array(d)))
+        for k in range(4):
+            M = np.diag(b[k]) + np.diag(a[k][1:], -1) + np.diag(c[k][:-1], 1)
+            np.testing.assert_allclose(x[k], np.linalg.solve(M, d[k]), rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def pyro1d():
+    case = reference_case("pyrolysis1D")
+    cm = build_case_mesh(case)
+    coll = PyrolysisCollection(case, cm)
+    return coll
+
+
+def test_pyrolysis1d_setup(pyro1d):
+    coll = pyro1d
+    assert len(coll.zones) == 1
+    z = coll.zones[0]
+    r = z.region
+    assert r.n_faces == 1 and r.n_layers == 8
+    assert r.total_thickness == pytest.approx(0.0234)
+    assert z.thermo.species == ["wood", "char"]
+    assert z.chem.gas_species == ["gas"]
+    rx = z.chem.reactions[0]
+    assert rx.exponent == pytest.approx(4.86)
+    assert rx.A == pytest.approx(7.83e10)
+    assert rx.sr == pytest.approx(11.5 / 114.7, rel=1e-6)  # char density share
+    assert z.bc_exposed.kind == "fixedIncidentRadiation"
+    assert z.bc_exposed.qr_incident == pytest.approx(60000.0)
+    assert z.bc_back.kind == "constH"
+    assert z.bc_back.h == 0.0
+    # greyMeanSolid emissivities parsed
+    assert z.thermo.emissivity_s[0] == pytest.approx(0.17)
+    assert z.thermo.emissivity_s[1] == pytest.approx(0.85)
+
+
+def test_conduction_semi_infinite(pyro1d):
+    """Constant absorbed flux into inert cold solid: surface T follows
+    T(0,t) = T0 + (2q/k)·sqrt(alpha t/pi) (semi-infinite slab)."""
+    z = pyro1d.zones[0]
+    st = z.initial_state()
+    # keep it inert by setting temperatures low (Tcrit = 400) and time short
+    dt = 0.05
+    t_end = 4.0
+    steps = int(t_end / dt)
+    evolve = jax.jit(lambda s: z.evolve(s, jnp.asarray(dt)))
+    for _ in range(steps):
+        st, out = evolve(st)
+    k = 0.135
+    rho, cp = 114.7, 696.0
+    alpha = k / (rho * cp)
+    T0 = 298.15
+    Ts = float(out["T_surface"][0])  # cell-0 centre, depth x₀ = dx/2
+    # semi-infinite slab, constant flux q, temperature at depth x:
+    #   T = T0 + (2q/k)[√(αt/π)·e^(−x²/4αt) − (x/2)·erfc(x/(2√(αt)))]
+    x0 = 0.0234 / 8 / 2
+    at = alpha * t_end
+    Tm = 0.5 * (T0 + Ts)  # re-emission at the mean surface temperature
+    q = 0.17 * (60000.0 - 5.670374419e-8 * Tm**4)
+    shape = math.sqrt(at / math.pi) * math.exp(-(x0**2) / (4 * at)) - (
+        x0 / 2.0
+    ) * math.erfc(x0 / (2.0 * math.sqrt(at)))
+    T_analytic = T0 + 2.0 * q / k * shape
+    assert Ts == pytest.approx(T_analytic, rel=0.05)
+    # no pyrolysis yet at ~350 K (< Tcrit 400)
+    assert float(st["addedGasMass"]) < 1e-8 or Ts > 400.0
+
+
+def test_pyrolysis1d_mass_loss(pyro1d):
+    """Run 100 s: panel pyrolyses, mass is conserved, char layer forms."""
+    z = pyro1d.zones[0]
+    st = z.initial_state()
+    dt = 0.2
+    evolve = jax.jit(lambda s: z.evolve(s, jnp.asarray(dt)))
+    mlr_hist = []
+    for i in range(500):
+        st, out = evolve(st)
+        mlr_hist.append(float(out["mlr"][0]))
+    Ts = float(out["T_surface"][0])
+    # surface heads toward radiative equilibrium (ε·60 kW in, εσT⁴ out
+    # → T_eq = (60000/σ)^0.25 ≈ 1014 K), still transient at 100 s
+    assert 600.0 < Ts < 1014.0
+    # pyrolysis happened: gas left the solid, surface density dropped
+    added = float(st["addedGasMass"])
+    lost = float(st["lostSolidMass"])
+    assert added > 1e-4
+    assert added == pytest.approx(lost, rel=1e-6)  # (1−sr)+sr−1 = 0 mass balance
+    rho_surf = float(st["rho"][0, 0])
+    assert rho_surf < 114.7
+    # char appears at the surface first
+    Y = np.asarray(st["Y"][0])
+    assert Y[0, 1] > Y[-1, 1]
+    # mlr is a few g/m²/s at 60 kW exposure
+    assert 1e-4 < max(mlr_hist) < 0.1
+    # energy: temperatures bounded and monotone into the depth (heated face)
+    T = np.asarray(st["T"][0])
+    assert (np.diff(T) <= 1e-6).all()
+    # diffusion number is finite and positive
+    di = float(z.diffusion_number(st, dt))
+    assert 0.0 < di < 1.0
