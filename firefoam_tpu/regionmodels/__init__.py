@@ -13,3 +13,8 @@ __all__ = [
     "SolidChemistry",
     "SolidThermo",
 ]
+
+from .film import ThermoSingleLayerFilm
+from .surfmesh import FilmMesh
+
+__all__ += ["ThermoSingleLayerFilm", "FilmMesh"]

@@ -1,0 +1,289 @@
+"""thermoSingleLayer surface film — shallow-water wall film, TPU-native.
+
+Re-design of the reference film stack (packages/regionModels/
+surfaceFilmModels — SURVEY §2.4): kinematicSingleLayer solves continuity /
+momentum / thickness-correction fvMatrix systems on a one-layer extruded
+region (kinematicSingleLayer.C:280,336,396), thermoSingleLayer adds energy +
+phase change (thermoSingleLayer.C:425, evolveRegion :828-884). Here the film
+is a per-wall-face array batch on a FilmMesh edge stencil, integrated with
+sub-stepped explicit upwind transport (film Courant-limited — the same
+stability constraint the reference's setMultiRegionDeltaT enforces globally):
+
+  ∂(δ)/∂t  + ∇ₛ·(δ U)   = (ṁ_imp − ṁ_evap)/ρ                (continuity)
+  ∂(δU)/∂t + ∇ₛ·(δ U U) = δ g_t + (τ_gas − τ_wall)/ρ + U ṁ_imp/ρ (momentum)
+  ∂(δ h)/∂t + ∇ₛ·(δ U h) = [q_wall + q_gas − ṁ_evap L + ṁ_imp h_imp]/ρ
+
+with τ_wall = 3μU/δ (laminar parabolic profile), τ_gas = Cf·ρg|Ug−U|(Ug−U)
+(turbulence 'laminar' Cf — surfaceFilmProperties laminarCoeffs.Cf),
+standardPhaseChange evaporation (Spalding mass transfer + boil limit), and
+dripping at rim edges where gravity points off the film (the
+drippingInjection role; dripped mass is returned for cloud re-injection).
+
+Coverage alpha (partial wetting, deltaWet/hydrophilic —
+thermoSingleLayerPw) gates the gas/wall exchange.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from ..io.foamdict import FoamDict
+from ..lagrangian.liquids import liquid_by_name
+from .surfmesh import FilmMesh
+
+__all__ = ["ThermoSingleLayerFilm"]
+
+SIGMA_SB = 5.670374419e-8
+
+
+class ThermoSingleLayerFilm:
+    """One film region over a set of wall faces."""
+
+    def __init__(
+        self,
+        fm: FilmMesh,
+        props: FoamDict,
+        g_vec,
+        dtype=None,
+        n_sub: int = 3,
+    ):
+        self.dtype = dtype or real_dtype()
+        self.fm = fm
+        self.n_sub = n_sub
+        coeffs = props.get_dict("thermoSingleLayerCoeffs", FoamDict())
+        self.liquid = liquid_by_name(coeffs.get_word("liquid", "H2O"))
+        lam = coeffs.get_dict("laminarCoeffs", FoamDict())
+        self.Cf = lam.get_scalar("Cf", coeffs.get_scalar("Cf", 0.005))
+        self.delta_wet = coeffs.get_scalar("deltaWet", 2e-4)
+        self.T_min = coeffs.get_scalar("Tmin", 200.0)
+        self.T_max = coeffs.get_scalar("Tmax", 500.0)
+        self.htc_wall = 1e3  # wall-side conduction coefficient [W/m²K]
+        self.htc_gas = 10.0  # gas-side convective fallback
+
+        g = np.asarray(g_vec, float)
+        n = np.asarray(fm.n_hat)
+        g_tan = g[None, :] - (n @ g)[:, None] * n
+        self.fm.g_tan = jnp.asarray(g_tan, self.dtype)
+        # dripping rim edges: gravity has a component out of the film there
+        be_m = np.asarray(fm.be_m)
+        self._drip_edge = jnp.asarray((be_m @ g) > 0.1 * np.linalg.norm(g) + 1e-12)
+
+    # ------------------------------------------------------------------
+    def initial_state(self, delta0: float = 0.0, T0: float = 298.15) -> Dict:
+        nF = self.fm.n_faces
+        dtp = self.dtype
+        return {
+            "delta": jnp.full((nF,), delta0, dtp),
+            "U": jnp.zeros((nF, 3), dtp),
+            "T": jnp.full((nF,), T0, dtp),
+            "drippedMass": jnp.zeros((), dtp),
+            "evaporatedMass": jnp.zeros((), dtp),
+        }
+
+    # ------------------------------------------------------------------
+    def alpha(self, delta: jnp.ndarray) -> jnp.ndarray:
+        """Wet coverage fraction (correctAlpha; partial-wetting smoothing)."""
+        return jnp.clip(delta / self.delta_wet, 0.0, 1.0)
+
+    def courant(self, st: Dict, dt) -> jnp.ndarray:
+        fm = self.fm
+        if fm.e_own.shape[0] == 0:
+            return jnp.asarray(0.0, self.dtype)
+        ue = 0.5 * (st["U"][fm.e_own] + st["U"][fm.e_nei])
+        un = jnp.abs(jnp.einsum("ed,ed->e", ue, fm.e_m))
+        return jnp.max(un * fm.e_dc) * dt
+
+    # ------------------------------------------------------------------
+    def _substep(self, st: Dict, dt_sub, inp: Dict) -> Tuple[Dict, Dict]:
+        fm = self.fm
+        dtp = self.dtype
+        delta, U, T = st["delta"], st["U"], st["T"]
+        p = 101325.0
+        rho = self.liquid.rho(p, T)
+        mu = self.liquid.mu(p, T)
+        cp = self.liquid.cp(p, T)
+        alpha = self.alpha(delta)
+        d_eff = jnp.maximum(delta, 1e-8)
+
+        # ---- sources ----
+        m_imp = inp.get("mass_imp")  # [nF] kg/m²/s impinging mass flux
+        if m_imp is None:
+            m_imp = jnp.zeros_like(delta)
+        h_imp = inp.get("h_imp")  # enthalpy flux of impinging mass [W/m²]
+        if h_imp is None:
+            h_imp = m_imp * cp * (298.15 - 298.15)
+        T_wall = inp.get("T_wall")
+        if T_wall is None:
+            T_wall = jnp.full_like(T, 298.15)
+        T_gas = inp.get("T_gas")
+        if T_gas is None:
+            T_gas = jnp.full_like(T, 298.15)
+        htc_gas = inp.get("htc_gas")
+        if htc_gas is None:
+            htc_gas = jnp.full_like(T, self.htc_gas)
+        U_gas = inp.get("U_gas")
+        if U_gas is None:
+            U_gas = jnp.zeros_like(U)
+        rho_gas = inp.get("rho_gas")
+        if rho_gas is None:
+            rho_gas = jnp.full_like(T, 1.2)
+        qr = inp.get("qr")  # absorbed radiation [W/m²]
+        if qr is None:
+            qr = jnp.zeros_like(T)
+        Yv_gas = inp.get("Yv_gas")
+        if Yv_gas is None:
+            Yv_gas = jnp.zeros_like(T)
+        p_gas = inp.get("p_gas")
+        if p_gas is None:
+            p_gas = jnp.full_like(T, 101325.0)
+
+        # ---- phase change (standardPhaseChange: Spalding + boil limit) ----
+        pv = self.liquid.pv(p_gas, T)
+        hl = self.liquid.hl(p_gas, T)
+        W_l = self.liquid.W
+        W_air = 28.96
+        Ys = pv * W_l / (pv * W_l + (p_gas - pv) * W_air)  # surface mass frac
+        B = jnp.clip((Ys - Yv_gas) / jnp.maximum(1.0 - Ys, 1e-6), 0.0, 50.0)
+        # mass-transfer coefficient from the gas-side heat-transfer analogy
+        kc = htc_gas / jnp.maximum(rho_gas * 1007.0, 1e-30)  # hm ≈ h/(ρ cp) Lewis≈1
+        m_evap = rho_gas * kc * jnp.log1p(B)  # kg/m²/s
+        q_in_tot = self.htc_wall * (T_wall - T) + htc_gas * (T_gas - T) + qr
+        m_boil = jnp.maximum(q_in_tot, 0.0) / hl
+        boiling = T >= 373.0
+        m_evap = jnp.where(boiling, jnp.maximum(m_evap, m_boil), m_evap)
+        m_evap = m_evap * alpha  # only where wet
+        m_evap = jnp.minimum(m_evap, rho * delta / jnp.maximum(dt_sub, 1e-300))
+
+        # ---- transport fluxes over edges (upwind) ----
+        if fm.e_own.shape[0] > 0:
+            ue = 0.5 * (U[fm.e_own] + U[fm.e_nei])
+            un = jnp.einsum("ed,ed->e", ue, fm.e_m)  # edge-normal velocity
+            q_edge = un * fm.e_len  # volumetric flux / thickness
+            d_up = fm.edge_upwind(q_edge, delta)
+            flux_m = q_edge * d_up  # δ·u_n·L
+            div_m = fm.div_edges(flux_m)
+            U_up = jnp.where((q_edge > 0.0)[:, None], U[fm.e_own], U[fm.e_nei])
+            div_mom = jnp.stack(
+                [fm.div_edges(flux_m * U_up[:, c]) for c in range(3)], axis=1
+            )
+            T_up = fm.edge_upwind(q_edge, T)
+            div_e = fm.div_edges(flux_m * T_up)
+        else:
+            div_m = jnp.zeros_like(delta)
+            div_mom = jnp.zeros_like(U)
+            div_e = jnp.zeros_like(T)
+
+        # ---- dripping at rim edges (drippingInjection role) ----
+        drip = jnp.zeros_like(delta)
+        if fm.be_face.shape[0] > 0:
+            u_out = jnp.maximum(
+                jnp.einsum("ed,ed->e", U[fm.be_face], fm.be_m), 0.0
+            )
+            u_out = jnp.where(self._drip_edge, u_out, 0.0)
+            drip_e = u_out * fm.be_len * delta[fm.be_face]  # m³/s of film
+            drip = drip.at[fm.be_face].add(drip_e) / fm.area
+
+        # ---- donor-limited continuity: scale every outgoing flux by the
+        # donor face's available film so δ ≥ 0 exactly and mass is conserved
+        out_rate = drip + m_evap / rho
+        if fm.e_own.shape[0] > 0:
+            out_rate = out_rate.at[fm.e_own].add(
+                jnp.maximum(flux_m, 0.0) / fm.area[fm.e_own]
+            )
+            out_rate = out_rate.at[fm.e_nei].add(
+                jnp.maximum(-flux_m, 0.0) / fm.area[fm.e_nei]
+            )
+        lim = jnp.minimum(
+            (delta / jnp.maximum(dt_sub, 1e-300) + m_imp / rho)
+            / jnp.maximum(out_rate, 1e-300),
+            1.0,
+        )
+        drip = drip * lim
+        m_evap = m_evap * lim
+        if fm.e_own.shape[0] > 0:
+            flux_m = jnp.where(
+                flux_m > 0.0, flux_m * lim[fm.e_own], flux_m * lim[fm.e_nei]
+            )
+            div_m = fm.div_edges(flux_m)
+            div_mom = jnp.stack(
+                [fm.div_edges(flux_m * U_up[:, c]) for c in range(3)], axis=1
+            )
+            div_e = fm.div_edges(flux_m * T_up)
+
+        ddelta = -div_m - drip + (m_imp - m_evap) / rho
+        delta_new = jnp.maximum(delta + dt_sub * ddelta, 0.0)
+
+        # ---- momentum ----
+        tau_gas = self.Cf * rho_gas[:, None] * (U_gas - U) * jnp.linalg.norm(
+            U_gas - U, axis=1, keepdims=True
+        )
+        tau_wall_coeff = 3.0 * mu / d_eff  # τ_w = 3 μ U / δ (implicit below)
+        mom = delta[:, None] * U
+        rhs = (
+            -div_mom
+            - (drip)[:, None] * U  # dripping mass carries its momentum away
+            + delta[:, None] * fm.g_tan
+            + (tau_gas + m_imp[:, None] * inp.get("U_imp", U * 0.0)) / rho[:, None]
+        )
+        mom_new = mom + dt_sub * rhs
+        d_new_eff = jnp.maximum(delta_new, 1e-8)
+        U_new = mom_new / d_new_eff[:, None]
+        # implicit wall drag: U/(1 + dt·3ν/δ²)
+        U_new = U_new / (1.0 + dt_sub * tau_wall_coeff / (rho * d_new_eff))[:, None]
+        # project onto the surface and kill velocity on dry faces
+        U_new = U_new - jnp.einsum("fd,fd->f", U_new, fm.n_hat)[:, None] * fm.n_hat
+        U_new = jnp.where((delta_new > 1e-8)[:, None], U_new, 0.0)
+
+        # ---- energy ----
+        q_net = (
+            self.htc_wall * (T_wall - T) * alpha
+            + htc_gas * (T_gas - T) * alpha
+            + qr * alpha
+            - m_evap * hl
+            + h_imp
+        )
+        en = delta * T
+        # dripping mass carries its enthalpy away (−drip·T)
+        en_new = en + dt_sub * (-div_e - drip * T + q_net / (rho * cp))
+        T_new = jnp.where(delta_new > 1e-8, en_new / d_new_eff, T_wall)
+        T_new = jnp.clip(T_new, self.T_min, self.T_max)
+
+        out = {
+            "m_evap": m_evap,  # kg/m²/s to the gas (H2O vapour)
+            "q_gas": htc_gas * (T_gas - T) * alpha,  # heat taken from gas
+            "drip": drip * rho,  # kg/m²/s leaving as drops
+        }
+        st2 = {
+            "delta": delta_new,
+            "U": U_new,
+            "T": T_new,
+            "drippedMass": st["drippedMass"] + jnp.sum(drip * rho * fm.area) * dt_sub,
+            "evaporatedMass": st["evaporatedMass"]
+            + jnp.sum(m_evap * fm.area) * dt_sub,
+        }
+        return st2, out
+
+    # ------------------------------------------------------------------
+    def evolve(self, st: Dict, dt, inp: Optional[Dict] = None) -> Tuple[Dict, Dict]:
+        """One gas-step film evolution (thermoSingleLayer::evolveRegion)."""
+        inp = inp or {}
+        dt_sub = dt / self.n_sub
+        acc = None
+        for _ in range(self.n_sub):
+            st, out = self._substep(st, dt_sub, inp)
+            if acc is None:
+                acc = {k: v / self.n_sub for k, v in out.items()}
+            else:
+                acc = {k: acc[k] + v / self.n_sub for k, v in out.items()}
+        acc["alpha"] = self.alpha(st["delta"])
+        acc["T_film"] = st["T"]
+        acc["delta_max"] = jnp.max(st["delta"])
+        acc["mass"] = jnp.sum(st["delta"] * self.liquid.rho(101325.0, st["T"]) * self.fm.area)
+        return st, acc
