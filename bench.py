@@ -8,14 +8,36 @@ target compares against a 16-core CPU run, so vs_baseline is measured
 against 16 x 3.4e4 = 5.44e5 cell-updates/s.
 """
 
+import contextlib
 import json
 import os
 import sys
 import time
 
 
-def main():
+def _cpu_staging():
+    """Build host-side state under the CPU backend: eager setup ops through
+    the TPU tunnel cost ~100 ms each (measured: 178 s vs 9.7 s setup)."""
     import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        return jax.default_device(cpu)
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
+def main():
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "cpu" not in plat:
+        os.environ["JAX_PLATFORMS"] = plat + ",cpu"
+    import jax
+
+    # persistent compile cache: the step graph is large (~5 min cold compile
+    # on TPU); cached recompiles are seconds
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     # bench must run on the real accelerator; tests pin CPU, we do not.
     import jax.numpy as jnp
@@ -31,9 +53,10 @@ def main():
             os.path.join(tempfile.mkdtemp(prefix="fftpu_bench_"), "box"), n=(30, 15, 20)
         )
 
-    solver = FireFoamSolver(case)
-    n_cells = solver.geom.n_cells
-    state = solver.initial_state()
+    with _cpu_staging():
+        solver = FireFoamSolver(case)
+        n_cells = solver.geom.n_cells
+        state = solver.initial_state()
     step = solver.make_step()
 
     # compile + warmup (also moves past the quiescent start)

@@ -201,6 +201,14 @@ class FireFoamSolver:
         if self.pyrolysis is not None:
             self._init_pyro_coupling()
 
+        # ---- function objects + rti probes (controlDict functions,
+        # lib/rtiProbes) ----
+        from ..functionobjects.fieldvalue import make_function_objects
+        from ..functionobjects.rtis import RtiProbes
+
+        self.function_objects = make_function_objects(self, cd)
+        self.rtis = RtiProbes.try_from_case(self, case_dir)
+
     # ------------------------------------------------------------------
     def _read_field(self, name: str, default_name: Optional[str] = None):
         if self.case.has_field(name):
@@ -288,6 +296,8 @@ class FireFoamSolver:
             state["cloud"] = self.cloud.initial_state()
         if self.pyrolysis is not None:
             state["pyro"] = self.pyrolysis.initial_state()
+        if self.rtis is not None and self.rtis.n > 0:
+            state["rtis"] = self.rtis.initial_state()
         if self.ctl.hydrostatic_init:
             state = self._hydrostatic_init(state)
         return state
@@ -542,17 +552,28 @@ class FireFoamSolver:
         )
         m = m.add_source(fvc.reconstruct(g, face_src))
 
+        # one vmapped solve over the 3 components (same matrix, 3 RHS) —
+        # a single while_loop in the graph instead of three
         ctl = _solver_controls(self.fv_solution, "Ux", "U")
-        xs = []
-        for c, comp in enumerate("xyz"):
-            res = solve_scalar(
-                m, U.i[:, c], solver=ctl["solver"], tol=ctl["tolerance"],
-                rel_tol=ctl["relTol"], max_iter=ctl["maxIter"], component=c,
+        from ..solvers.linear import bicgstab, jacobi_smooth, pcg
+
+        dtot = m.diag_total()
+        b = m.rhs_total()
+        fn = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
+            ctl["solver"], bicgstab
+        )
+
+        def solve_c(x0, d, bb):
+            return fn(
+                lambda x: m.matvec(x, d), x0, bb, d,
+                tol=ctl["tolerance"], rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
             )
-            xs.append(res.x)
-            log[f"U{comp}_res0"] = res.initial_residual
-            log[f"U{comp}_iters"] = res.n_iterations
-        U_new = VolField(jnp.stack(xs, axis=1), U.b)
+
+        res = jax.vmap(solve_c, in_axes=(1, 1, 1), out_axes=0)(U.i, dtot, b)
+        for c, comp in enumerate("xyz"):
+            log[f"U{comp}_res0"] = res.initial_residual[c]
+            log[f"U{comp}_iters"] = res.n_iterations[c]
+        U_new = VolField(res.x.T, U.b)
         U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctx)
         return U_new, m
 
@@ -577,35 +598,67 @@ class FireFoamSolver:
         ctl = _solver_controls(self.fv_solution, "Yi")
 
         inert_idx = self.gas.index(self.inert)
-        new_cols_i = [None] * len(self.species)
-        new_cols_b = [None] * len(self.species)
-        for s, sp in enumerate(self.species):
-            if s == inert_idx:
-                continue
+        solved = [s for s in range(len(self.species)) if s != inert_idx]
+
+        # per-species BC coefficients + sources resolved in Python (static
+        # BC kinds), stacked along a leading species axis
+        rvs, rgs, fs, srcss = [], [], [], []
+        for s in solved:
             Ys = VolField(Y.i[:, s], Y.b[:, s])
             rv, rg, f = bcmod.resolve(self.Y_bcs[s], g, Ys, ctx)
-            vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
-            gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
-            w = fvm.limited_linear_weights(g, phi.i, Ys, k=1.0, bound01=True)
-            m = (
-                fvm.ddt(g, rho.i, Ys, Ys.i, state["rho_old_i"], dt)
-                + fvm.div(g, phi, Ys, w, vic, vbc)
-                - fvm.laplacian(g, alpha_eff_f, Ys, gic, gbc)
-            )
+            rvs.append(rv)
+            rgs.append(rg)
+            fs.append(f)
             src_s = self.combustion.R(w_fuel, s)
             if self.cloud is not None and s == self.cloud.vapour_index:
                 src_s = src_s + srcs["SYv"]  # parcels.SYi (YEEqn.H:52)
-            m = m.add_source(src_s)
-            res = solve_scalar(
-                m, Ys.i, solver=ctl["solver"], tol=ctl["tolerance"],
-                rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
+            srcss.append(src_s)
+        rv_s = jnp.stack(rvs)
+        rg_s = jnp.stack(rgs)
+        f_s = jnp.stack(fs)
+        src_s = jnp.stack(srcss)
+        Yi_s = Y.i[:, jnp.asarray(solved)].T
+        Yb_s = Y.b[:, jnp.asarray(solved)].T
+
+        from ..solvers.linear import bicgstab, jacobi_smooth, pcg
+
+        fn = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
+            ctl["solver"], bicgstab
+        )
+        rho_old = state["rho_old_i"]
+
+        def assemble_solve(ys_i, ys_b, rv, rg, f, src):
+            # one species: assemble + solve (vmapped over species)
+            Ysf = VolField(ys_i, ys_b)
+            vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
+            gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
+            w = fvm.limited_linear_weights(g, phi.i, Ysf, k=1.0, bound01=True)
+            m = (
+                fvm.ddt(g, rho.i, Ysf, ys_i, rho_old, dt)
+                + fvm.div(g, phi, Ysf, w, vic, vbc)
+                - fvm.laplacian(g, alpha_eff_f, Ysf, gic, gbc)
             )
-            yi = jnp.maximum(res.x, 0.0)
-            ys_new = bcmod.evaluate(self.Y_bcs[s], g, VolField(yi, Ys.b), ctx)
+            m = m.add_source(src)
+            dtot = m.diag_total()
+            b = m.rhs_total()
+            return fn(
+                lambda x: m.matvec(x, dtot), ys_i, b, dtot,
+                tol=ctl["tolerance"], rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
+            )
+
+        res = jax.vmap(assemble_solve)(Yi_s, Yb_s, rv_s, rg_s, f_s, src_s)
+
+        new_cols_i = [None] * len(self.species)
+        new_cols_b = [None] * len(self.species)
+        for k, s in enumerate(solved):
+            yi = jnp.maximum(res.x[k], 0.0)
+            ys_new = bcmod.evaluate(
+                self.Y_bcs[s], g, VolField(yi, Y.b[:, s]), ctx
+            )
             new_cols_i[s] = ys_new.i
             new_cols_b[s] = ys_new.b
-            log[f"{sp}_res0"] = res.initial_residual
-            log[f"{sp}_iters"] = res.n_iterations
+            log[f"{self.species[s]}_res0"] = res.initial_residual[k]
+            log[f"{self.species[s]}_iters"] = res.n_iterations[k]
 
         # inert specie: Yt bookkeeping (YEEqn.H:62-66)
         others_i = sum(c for i, c in enumerate(new_cols_i) if i != inert_idx)
@@ -680,8 +733,11 @@ class FireFoamSolver:
         alpha_new = VolField(self.gas.alpha(T_i, Y_new.i), self.gas.alpha(T_b, Y_new.b))
         return hs_new, T_new, psi_new, mu_new, alpha_new
 
-    def _p_eqn(self, state, u_matrix, final: bool, log, corr: int, srcs=None):
-        """PISO pressure corrector (solver/pEqn.H)."""
+    def _p_eqn(self, state, u_matrix, final, srcs=None):
+        """PISO pressure corrector (solver/pEqn.H). `final` may be a traced
+        0/1 index selecting p_rgh vs p_rghFinal solver controls; returns the
+        updated fields plus a residual/continuity info dict (the corrector
+        loop is a lax.scan — one compiled body for all correctors)."""
         g = self.geom
         dt = state["dt"]
         psi, p_rgh = state["psi"], state["p_rgh"]
@@ -734,13 +790,22 @@ class FireFoamSolver:
             m.boundary_coeffs,
             m.psi,
         )
-        name = "p_rghFinal" if final else "p_rgh"
-        ctl = _solver_controls(self.fv_solution, name)
-        res = solve_scalar(
-            m, p_rgh.i, solver="PCG", tol=ctl["tolerance"], rel_tol=ctl["relTol"]
+        # corr-dependent tolerances enter as traced scalars so every
+        # corrector shares ONE compiled body (p_rgh vs p_rghFinal controls)
+        c0 = _solver_controls(self.fv_solution, "p_rgh")
+        c1 = _solver_controls(self.fv_solution, "p_rghFinal", "p_rgh")
+        tols = jnp.asarray([c0["tolerance"], c1["tolerance"]], self.dtype)
+        rels = jnp.asarray([c0["relTol"], c1["relTol"]], self.dtype)
+        sel = int(final) if isinstance(final, bool) else final
+        from ..solvers.linear import pcg
+
+        dtot = m.diag_total()
+        b = m.rhs_total()
+        res = pcg(
+            lambda x: m.matvec(x, dtot), p_rgh.i, b, dtot,
+            tol=tols[sel], rel_tol=rels[sel],
         )
-        log[f"p_rgh_res0_{corr}"] = res.initial_residual
-        log[f"p_rgh_iters_{corr}"] = res.n_iterations
+        info = {"res0": res.initial_residual, "iters": res.n_iterations}
 
         # boundary update + flux reconstruction
         p_rgh_b = f * rv + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
@@ -770,14 +835,13 @@ class FireFoamSolver:
 
         # continuity: rhoEqn "diagonal" solve + errors (rhoEqn.H:32-46)
         rho_cont = state["rho_old_i"] - dt * fvc.div_flux(g, phi_new)
-        cont_local = jnp.sum(jnp.abs(rho_cont - rho_new.i) * g.V) / jnp.sum(
+        info["cont_local"] = jnp.sum(jnp.abs(rho_cont - rho_new.i) * g.V) / jnp.sum(
             rho_new.i * g.V
         )
-        cont_global = jnp.sum((rho_cont - rho_new.i) * g.V) / jnp.sum(rho_new.i * g.V)
-        log[f"cont_local_{corr}"] = cont_local
-        log[f"cont_global_{corr}"] = cont_global
-
-        return p_rgh_new, p_new, rho_new, phi_new, U_new
+        info["cont_global"] = jnp.sum((rho_cont - rho_new.i) * g.V) / jnp.sum(
+            rho_new.i * g.V
+        )
+        return p_rgh_new, p_new, rho_new, phi_new, U_new, info
 
     # ------------------------------------------------------------------
     def step(self, state: Dict) -> Tuple[Dict, Dict]:
@@ -841,17 +905,27 @@ class FireFoamSolver:
             log["T_min"] = jnp.min(T_new.i)
             log["T_max"] = jnp.max(T_new.i)
 
-            # ---- pressure correctors ----
-            for corr in range(self.ctl.n_correctors):
-                final = corr == self.ctl.n_correctors - 1
-                p_rgh_new, p_new, rho_new, phi_new, U_corr = self._p_eqn(
-                    state, u_matrix, final, log, corr, srcs
-                )
-                state["p_rgh"] = p_rgh_new
-                state["p"] = p_new
-                state["rho"] = rho_new
-                state["phi"] = phi_new
-                state["U"] = U_corr
+            # ---- pressure correctors (single scanned body) ----
+            n_corr = self.ctl.n_correctors
+            base_state = dict(state)
+
+            def corr_body(carry, corr):
+                st2 = dict(base_state)
+                (st2["p_rgh"], st2["p"], st2["rho"], st2["phi"], st2["U"]) = carry
+                sel = jnp.where(corr == n_corr - 1, 1, 0)
+                *fields, info = self._p_eqn(st2, u_matrix, sel, srcs)
+                return tuple(fields), info
+
+            carry0 = (state["p_rgh"], state["p"], state["rho"], state["phi"], state["U"])
+            carry, infos = jax.lax.scan(
+                corr_body, carry0, jnp.arange(n_corr, dtype=jnp.int32)
+            )
+            (state["p_rgh"], state["p"], state["rho"], state["phi"], state["U"]) = carry
+            for c in range(n_corr):
+                log[f"p_rgh_res0_{c}"] = infos["res0"][c]
+                log[f"p_rgh_iters_{c}"] = infos["iters"][c]
+                log[f"cont_local_{c}"] = infos["cont_local"][c]
+                log[f"cont_global_{c}"] = infos["cont_global"][c]
 
             state["dpdt"] = (state["p"].i - state["p_old_i"]) / dt
 
@@ -877,10 +951,14 @@ class FireFoamSolver:
         state["rho_old_i"] = state["rho"].i
         state["p_old_i"] = state["p"].i
         state["K_old_i"] = 0.5 * jnp.sum(state["U"].i * state["U"].i, axis=1)
+        # rti link probes (solver/rti.H — before time advance, current fields)
+        if "rtis" in state and self.rtis is not None:
+            state["rtis"] = self.rtis.advance(state["rtis"], state)
         state["t"] = state["t"] + dt
         if self.ctl.adjust:
             state["dt"] = self.new_dt(state)
         log["Qdot_total"] = jnp.sum(state["Qdot"] * g.V)
+        log.update(self.function_objects.compute(state))
         return state, log
 
     # ------------------------------------------------------------------

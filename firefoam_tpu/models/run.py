@@ -34,9 +34,18 @@ def run_case(
     solver: Optional[FireFoamSolver] = None,
 ):
     """Run a case to end_time; returns (solver, final_state, step_logs)."""
-    if solver is None:
-        solver = FireFoamSolver(case_dir, radiation=None if radiation else False)
-    state = solver.initial_state()
+    import contextlib
+
+    stage = contextlib.nullcontext()
+    if jax.default_backend() not in ("cpu",):
+        try:
+            stage = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
+    with stage:
+        if solver is None:
+            solver = FireFoamSolver(case_dir, radiation=None if radiation else False)
+        state = solver.initial_state()
     step = solver.make_step()
     end = end_time if end_time is not None else solver.ctl.end_time
 
@@ -48,6 +57,9 @@ def run_case(
         n += 1
         log = {k: np.asarray(v) for k, v in log.items()}
         logs.append(log)
+        solver.function_objects.record(float(state["t"]), log)
+        if solver.rtis is not None and "rtis" in state:
+            solver.rtis.record(float(state["t"]), state["rtis"])
         if verbose and not solver.solve_primary:
             # solid-only cases (pyrolysis1D): region log only
             print(f"Time = {_fmt(state['t'])}")
@@ -104,6 +116,9 @@ def main(argv=None):
         verbose=not args.quiet,
         radiation=not args.no_radiation,
     )
+    solver.function_objects.write()
+    if solver.rtis is not None:
+        solver.rtis.write(solver.function_objects.out_dir)
     print(f"End: t = {float(state['t']):.6g}, steps = {len(logs)}")
     return 0
 

@@ -42,22 +42,22 @@ def _wmul(w, x):
 
 def interpolate(geom: MeshGeometry, f: VolField) -> SurfaceField:
     """Linear (central) interpolation to faces; boundary = patch values."""
-    xo = f.i[geom.own]
-    xn = f.i[geom.nei]
+    xo = geom.gather_own(f.i)
+    xn = geom.gather_nei(f.i)
     return SurfaceField(_wmul(geom.w, xo) + _wmul(1.0 - geom.w, xn), f.b)
 
 
 def interpolate_weighted(geom: MeshGeometry, f: VolField, w: jnp.ndarray) -> SurfaceField:
     """Interpolation with caller-supplied internal-face weights (schemes)."""
-    xo = f.i[geom.own]
-    xn = f.i[geom.nei]
+    xo = geom.gather_own(f.i)
+    xn = geom.gather_nei(f.i)
     return SurfaceField(_wmul(w, xo) + _wmul(1.0 - w, xn), f.b)
 
 
 def sn_grad(geom: MeshGeometry, f: VolField, b_grad: jnp.ndarray = None) -> SurfaceField:
     """Surface-normal gradient (uncorrected). Boundary snGrad defaults to
     dc*(b_value - cell_value); pass b_grad to override (fixedGradient BCs)."""
-    gi = _wmul(geom.dc, f.i[geom.nei] - f.i[geom.own])
+    gi = _wmul(geom.dc, geom.gather_nei(f.i) - geom.gather_own(f.i))
     if b_grad is None:
         b_grad = _wmul(geom.b_dc, f.b - f.i[geom.b_own])
     return SurfaceField(gi, b_grad)
@@ -152,7 +152,10 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     Sf⊗Sf and Sf·phi are orientation-invariant, so owner and neighbour both
     accumulate positively — a signed sum would cancel to a singular tensor.
     """
-    ii = geom.Sf[:, :, None] * geom.Sf[:, None, :] / geom.magSf[:, None, None]
+    # padded DIA slots have magSf=0; guard with a dtype-representable tiny
+    # (1e-300 underflows to 0 in float32 → 0/0 NaN at pad slots)
+    msf = jnp.maximum(geom.magSf, jnp.finfo(geom.magSf.dtype).tiny * 1e6)
+    ii = geom.Sf[:, :, None] * geom.Sf[:, None, :] / msf[:, None, None]
     bb = geom.b_Sf[:, :, None] * geom.b_Sf[:, None, :] / geom.b_magSf[:, None, None]
     tens = jnp.stack(
         [
@@ -165,7 +168,7 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     rhs = jnp.stack(
         [
             geom.cell_sum_unsigned(
-                geom.Sf[:, a] / geom.magSf * phi.i, geom.b_Sf[:, a] / geom.b_magSf * phi.b
+                geom.Sf[:, a] / msf * phi.i, geom.b_Sf[:, a] / geom.b_magSf * phi.b
             )
             for a in range(3)
         ],

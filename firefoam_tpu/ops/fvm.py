@@ -102,34 +102,21 @@ class FvMatrix:
         g = self.geom
         ic = self.internal_coeffs
         if ic.ndim == 2:
-            cols = [
-                jax.ops.segment_sum(ic[:, c], g.b_own, num_segments=g.n_cells)
-                for c in range(ic.shape[1])
-            ]
-            return self.diag[:, None] + jnp.stack(cols, axis=1)
-        return self.diag + jax.ops.segment_sum(ic, g.b_own, num_segments=g.n_cells)
+            return self.diag[:, None] + g.boundary_to_cell_sum(ic)
+        return self.diag + g.boundary_to_cell_sum(ic)
 
     def rhs_total(self) -> jnp.ndarray:
         """source including boundary coeffs (addBoundarySource)."""
         g = self.geom
-        bc = self.boundary_coeffs
-        if bc.ndim == 2:
-            cols = [
-                jax.ops.segment_sum(bc[:, c], g.b_own, num_segments=g.n_cells)
-                for c in range(bc.shape[1])
-            ]
-            return self.source + jnp.stack(cols, axis=1)
-        return self.source + jax.ops.segment_sum(bc, g.b_own, num_segments=g.n_cells)
+        return self.source + g.boundary_to_cell_sum(self.boundary_coeffs)
 
     def matvec(self, x: jnp.ndarray, diag_total: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """M·x for a scalar component (x: [nC])."""
         g = self.geom
         d = self.diag if diag_total is None else diag_total
         y = d * x
-        y = y + jax.ops.segment_sum(
-            self.upper * x[g.nei], g.own, num_segments=g.n_cells, indices_are_sorted=True
-        )
-        y = y + jax.ops.segment_sum(self.lower * x[g.own], g.nei, num_segments=g.n_cells)
+        y = y + g.face_to_own_sum(self.upper * g.gather_nei(x))
+        y = y + g.face_to_nei_sum(self.lower * g.gather_own(x))
         return y
 
     # ------------------------------------------------- OpenFOAM-style ops
@@ -152,12 +139,12 @@ class FvMatrix:
 
     def _H_cmpt(self, x, c):
         g = self.geom
-        off = jax.ops.segment_sum(
-            self.upper * x[g.nei], g.own, num_segments=g.n_cells, indices_are_sorted=True
-        ) + jax.ops.segment_sum(self.lower * x[g.own], g.nei, num_segments=g.n_cells)
+        off = g.face_to_own_sum(self.upper * g.gather_nei(x)) + g.face_to_nei_sum(
+            self.lower * g.gather_own(x)
+        )
         src = self.source if c is None else self.source[:, c]
         bc = self.boundary_coeffs if c is None else self.boundary_coeffs[:, c]
-        b = jax.ops.segment_sum(bc, g.b_own, num_segments=g.n_cells)
+        b = g.boundary_to_cell_sum(bc)
         return (-off + src + b) / g.V
 
     def flux(self) -> SurfaceField:
@@ -165,7 +152,7 @@ class FvMatrix:
         boundary internal_coeffs·x_own − boundary_coeffs (scalar psi only)."""
         g = self.geom
         x = self.psi.i
-        fi = self.upper * x[g.nei] - self.lower * x[g.own]
+        fi = self.upper * g.gather_nei(x) - self.lower * g.gather_own(x)
         fb = self.internal_coeffs * x[g.b_own] - self.boundary_coeffs
         return SurfaceField(fi, fb)
 
@@ -176,12 +163,12 @@ class FvMatrix:
         (D_new − D_old)·psi so the converged solution is unchanged."""
         g = self.geom
         # sum of internal off-diagonal magnitudes per row
-        s = jax.ops.segment_sum(
-            jnp.abs(self.upper), g.own, num_segments=g.n_cells, indices_are_sorted=True
-        ) + jax.ops.segment_sum(jnp.abs(self.lower), g.nei, num_segments=g.n_cells)
+        s = g.face_to_own_sum(jnp.abs(self.upper)) + g.face_to_nei_sum(
+            jnp.abs(self.lower)
+        )
         ic = self.internal_coeffs
         ics = ic if ic.ndim == 1 else jnp.mean(ic, axis=1)
-        bdiag = jax.ops.segment_sum(ics, g.b_own, num_segments=g.n_cells)
+        bdiag = g.boundary_to_cell_sum(ics)
         d0 = self.diag + bdiag  # full diagonal incl. boundary
         d = jnp.maximum(jnp.abs(d0), s) / alpha
         src = self.source + _bcol(d - d0, self.source) * self.psi.i
@@ -194,7 +181,7 @@ class FvMatrix:
         Ax = self.matvec(x, dt)
         xref = jnp.mean(x)
         Aref = self.matvec(jnp.full_like(x, xref), dt)
-        norm = jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + 1e-300
+        norm = jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + jnp.finfo(x.dtype).tiny * 1e6
         return jnp.sum(jnp.abs(b - Ax)) / norm
 
 
@@ -255,12 +242,17 @@ def limited_linear_weights(
     """
     from . import fvc
 
-    g = grad_for_r = fvc.grad_scalar(geom, psi)
-    own, nei = geom.own, geom.nei
-    d = geom.C[nei] - geom.C[own]
-    dpsi = psi.i[nei] - psi.i[own]
-    up = jnp.where(phi_i >= 0, own, nei)
-    gradf_up = jnp.einsum("fd,fd->f", d, g[up])
+    g = fvc.grad_scalar(geom, psi)
+    g_own = geom.gather_own(g)
+    g_nei = geom.gather_nei(g)
+    d = geom.gather_nei(geom.C) - geom.gather_own(geom.C)
+    dpsi = geom.gather_nei(psi.i) - geom.gather_own(psi.i)
+    up_own = phi_i >= 0
+    gradf_up = jnp.where(
+        up_own,
+        jnp.einsum("fd,fd->f", d, g_own),
+        jnp.einsum("fd,fd->f", d, g_nei),
+    )
     eps = jnp.asarray(1e-30, psi.i.dtype)
     r = 2.0 * gradf_up / jnp.where(jnp.abs(dpsi) < eps, jnp.where(dpsi >= 0, eps, -eps), dpsi) - 1.0
     if bound01:
@@ -288,13 +280,20 @@ def lust_div(
     0.25·φ·(∇ψ)_up·(Cf − C_up)."""
     wu = upwind_weights(geom, phi.i)
     w = 0.75 * geom.w + 0.25 * wu
-    up = jnp.where(phi.i >= 0, geom.own, geom.nei)
-    d = geom.Cf - geom.C[up]
+    up_own = (phi.i >= 0)
+    C_up = jnp.where(
+        up_own[:, None], geom.gather_own(geom.C), geom.gather_nei(geom.C)
+    )
+    d = geom.Cf - C_up
+    go = geom.gather_own(grad_psi)
+    gn = geom.gather_nei(grad_psi)
     if psi.i.ndim == 2:
-        corr_i = 0.25 * jnp.einsum("fi,fij->fj", d, grad_psi[up])
+        g_up = jnp.where(up_own[:, None, None], go, gn)
+        corr_i = 0.25 * jnp.einsum("fi,fij->fj", d, g_up)
         corr_b = jnp.zeros_like(psi.b)
     else:
-        corr_i = 0.25 * jnp.einsum("fi,fi->f", d, grad_psi[up])
+        g_up = jnp.where(up_own[:, None], go, gn)
+        corr_i = 0.25 * jnp.einsum("fi,fi->f", d, g_up)
         corr_b = jnp.zeros_like(psi.b)
     return div(geom, phi, psi, w, vic, vbc, correction=SurfaceField(corr_i, corr_b))
 
@@ -335,10 +334,7 @@ def div(
     upper = lower + phi.i
     # negSumDiag: Diag[owner] -= Lower, Diag[neighbour] -= Upper — this makes
     # the assembly the exact Gauss sum Σ_f phi_f (w ψ_P + (1−w) ψ_N)
-    diag = -(
-        jax.ops.segment_sum(lower, geom.own, num_segments=geom.n_cells, indices_are_sorted=True)
-        + jax.ops.segment_sum(upper, geom.nei, num_segments=geom.n_cells)
-    )
+    diag = -(geom.face_to_own_sum(lower) + geom.face_to_nei_sum(upper))
     ic = _bcol(phi.b, vic) * vic
     bc = -_bcol(phi.b, vbc) * vbc
     m = replace(m, lower=lower, upper=upper, diag=diag, internal_coeffs=ic, boundary_coeffs=bc)
@@ -369,10 +365,7 @@ def laplacian(
     """
     m = empty_matrix(geom, psi)
     gmsf = gamma.i * geom.magSf * geom.dc
-    diag = -(
-        jax.ops.segment_sum(gmsf, geom.own, num_segments=geom.n_cells, indices_are_sorted=True)
-        + jax.ops.segment_sum(gmsf, geom.nei, num_segments=geom.n_cells)
-    )
+    diag = -(geom.face_to_own_sum(gmsf) + geom.face_to_nei_sum(gmsf))
     gb = gamma.b * geom.b_magSf
     ic = _bcol(gb, gic) * gic
     bc = -_bcol(gb, gbc) * gbc

@@ -1,19 +1,38 @@
 """Device-side mesh geometry: fixed-shape arrays for the jit-compiled step.
 
-Extracted once from the host-side PolyMesh; device code only ever sees
-gathers (own/nei indexing) and segment-sums — no topology logic. This is the
-TPU-native replacement for OpenFOAM's fvMesh/surfaceInterpolation data
-(weights, deltaCoeffs, Sf, V) used by every operator in the reference solver.
+Extracted once from the host-side PolyMesh; device code only ever sees the
+layout-abstract primitives below — no topology logic. This is the TPU-native
+replacement for OpenFOAM's fvMesh/surfaceInterpolation data (weights,
+deltaCoeffs, Sf, V) used by every operator in the reference solver.
+
+Two face layouts:
+
+  * **DIA (offset-stencil)** — the TPU fast path. Internal faces live in a
+    padded array of nO·nC slots; slot (o, c) holds the face from cell c to
+    cell c + offsets[o] (zero-padded where absent). Every face↔cell motion
+    is then a static shift (lax slice/pad) plus elementwise math — no
+    gathers, no scatters. TPU scatter-adds serialise (measured ~5.4 ms per
+    9k-cell matvec on v5p-class hardware); shifts run at VPU speed
+    (~0.1 µs). blockMesh-derived meshes are lexicographic, so all five
+    reference cases qualify with 3 offsets (1, nx, nx·ny). Under pjit, the
+    shifts lower to ICI collective-permutes — the halo exchange of the
+    reference's processor patches (SURVEY §2.11) for free.
+  * **SEG (gather/segment-sum)** — general fallback for meshes that do not
+    fit a small offset set (arbitrary unstructured connectivity).
 
 Boundary faces are stored concatenated across patches; each patch is a
 static (start, n) slice so per-patch BC code unrolls at trace time.
+Boundary→cell scatter uses a one-hot f32 matmul on TPU (MXU-friendly;
+~0.1 ms) when it fits a memory budget, segment-sum otherwise.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Tuple
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,6 +40,9 @@ from ..config import INT_DTYPE, real_dtype
 from ..mesh.polymesh import PolyMesh
 
 __all__ = ["PatchInfo", "MeshGeometry"]
+
+_MAX_OFFSETS = 16
+_ONEHOT_BUDGET = int(2e8)  # max nC·nB entries for the dense boundary scatter
 
 
 @dataclass(frozen=True)
@@ -37,21 +59,27 @@ class PatchInfo:
 
 @dataclass
 class MeshGeometry:
-    """All arrays are jnp device arrays; metadata is static Python."""
+    """All arrays are jnp device arrays; metadata is static Python.
+
+    In DIA layout the internal-face arrays are padded to n_internal =
+    nO·n_cells slots; `face_mask` marks real faces. In SEG layout they have
+    the mesh's true internal-face count.
+    """
 
     n_cells: int
-    n_internal: int
+    n_internal: int  # allocated internal-face slots (padded in DIA)
     n_boundary: int
 
-    # internal faces
-    own: jnp.ndarray  # [nI] int32, sorted ascending (upper-tri order)
-    nei: jnp.ndarray  # [nI] int32
-    w: jnp.ndarray  # [nI] linear interpolation weight of owner
-    Sf: jnp.ndarray  # [nI,3]
-    magSf: jnp.ndarray  # [nI]
-    dc: jnp.ndarray  # [nI] deltaCoeffs (1/|d|)
-    nodc: jnp.ndarray  # [nI] non-orthogonal-stabilised deltaCoeffs
+    # internal faces (padded in DIA layout)
+    own: jnp.ndarray  # [nI] int32
+    nei: jnp.ndarray  # [nI] int32 (== own at pad slots)
+    w: jnp.ndarray  # [nI] linear interpolation weight of owner (0 at pads)
+    Sf: jnp.ndarray  # [nI,3] (0 at pads)
+    magSf: jnp.ndarray  # [nI] (0 at pads)
+    dc: jnp.ndarray  # [nI] deltaCoeffs (0 at pads)
+    nodc: jnp.ndarray  # [nI] non-orthogonal-stabilised deltaCoeffs (0 at pads)
     Cf: jnp.ndarray  # [nI,3]
+    face_mask: jnp.ndarray  # [nI] 1.0 at real faces
 
     # cells
     V: jnp.ndarray  # [nC]
@@ -68,35 +96,120 @@ class MeshGeometry:
     patches: Tuple[PatchInfo, ...]
     coupled: Dict[str, str] = None  # patch name -> coupled partner (baffles)
 
+    # layout metadata (static)
+    layout: str = "seg"  # "dia" | "seg"
+    offsets: Tuple[int, ...] = ()  # DIA cell-index offsets
+    n_internal_real: int = 0
+    _b_onehot: Optional[jnp.ndarray] = None  # [nC,nB] one-hot scatter matrix
+    face_perm: Optional[np.ndarray] = None  # host map: original face → slot
+
     # ---------------------------------------------------------------- build
     @classmethod
-    def from_polymesh(cls, mesh: PolyMesh, dtype=None) -> "MeshGeometry":
+    def from_polymesh(cls, mesh: PolyMesh, dtype=None, layout: Optional[str] = None) -> "MeshGeometry":
         dtype = dtype or real_dtype()
         n_int = mesh.n_internal_faces
+        nC = mesh.n_cells
         w = mesh.weights()
         dc_i, dc_b = mesh.delta_coeffs()
         nodc_i, nodc_b = mesh.non_orth_delta_coeffs()
+        own = mesh.owner[:n_int]
+        nei = mesh.neighbour
 
         patches = tuple(
             PatchInfo(p.name, p.ptype, p.start - n_int, p.n_faces)
             for p in mesh.patches
         )
+
+        # ---- try the DIA (offset-stencil) layout ----
+        if layout is None:
+            layout = os.environ.get("FIREFOAM_TPU_LAYOUT", "auto")
+        use_dia = False
+        offs = ()
+        if layout in ("auto", "dia") and n_int > 0:
+            d = nei - own
+            uniq = np.unique(d)
+            if (uniq > 0).all() and len(uniq) <= _MAX_OFFSETS:
+                o_idx = np.searchsorted(uniq, d)
+                key = o_idx.astype(np.int64) * nC + own
+                if len(np.unique(key)) == n_int:
+                    use_dia = True
+                    offs = tuple(int(o) for o in uniq)
+        if layout == "dia" and not use_dia:
+            raise ValueError("mesh is not DIA-compatible (offset stencil)")
+
         r = lambda a: jnp.asarray(a, dtype=dtype)
+
+        if use_dia:
+            nO = len(offs)
+            nIp = nO * nC
+            slot = o_idx.astype(np.int64) * nC + own
+
+            def pack(a, pad=0.0):
+                out = np.full((nIp,) + a.shape[1:], pad, dtype=np.float64)
+                out[slot] = a
+                return out
+
+            own_p = np.tile(np.arange(nC, dtype=np.int64), nO)
+            nei_p = own_p.copy()
+            mask = np.zeros(nIp)
+            mask[slot] = 1.0
+            nei_p[slot] = nei
+            cf_p = pack(mesh.Cf[:n_int])
+            # pad Cf with the owner cell centre (finite, unused)
+            cf_p[mask == 0.0] = mesh.C[own_p[mask == 0.0]]
+
+            geo = dict(
+                face_perm=slot,
+                n_internal=nIp,
+                own=jnp.asarray(own_p, INT_DTYPE),
+                nei=jnp.asarray(nei_p, INT_DTYPE),
+                w=r(pack(w)),
+                Sf=r(pack(mesh.Sf[:n_int])),
+                magSf=r(pack(mesh.magSf[:n_int])),
+                dc=r(pack(dc_i)),
+                nodc=r(pack(nodc_i)),
+                Cf=r(cf_p),
+                face_mask=r(mask),
+                layout="dia",
+                offsets=offs,
+            )
+        else:
+            geo = dict(
+                face_perm=np.arange(n_int),
+                n_internal=n_int,
+                own=jnp.asarray(own, INT_DTYPE),
+                nei=jnp.asarray(nei, INT_DTYPE),
+                w=r(w),
+                Sf=r(mesh.Sf[:n_int]),
+                magSf=r(mesh.magSf[:n_int]),
+                dc=r(dc_i),
+                nodc=r(nodc_i),
+                Cf=r(mesh.Cf[:n_int]),
+                face_mask=jnp.ones((n_int,), dtype),
+                layout="seg",
+                offsets=(),
+            )
+
+        # boundary one-hot scatter matrix (TPU fast path)
+        nB = mesh.n_boundary_faces
+        b_own = mesh.owner[n_int:]
+        onehot = None
+        if (
+            jax.default_backend() == "tpu"
+            and nB > 0
+            and nC * nB <= _ONEHOT_BUDGET
+            and dtype != jnp.float64
+        ):
+            m = np.zeros((nC, nB), np.float32)
+            m[b_own, np.arange(nB)] = 1.0
+            onehot = jnp.asarray(m, jnp.float32)
+
         return cls(
-            n_cells=mesh.n_cells,
-            n_internal=n_int,
-            n_boundary=mesh.n_boundary_faces,
-            own=jnp.asarray(mesh.owner[:n_int], dtype=INT_DTYPE),
-            nei=jnp.asarray(mesh.neighbour, dtype=INT_DTYPE),
-            w=r(w),
-            Sf=r(mesh.Sf[:n_int]),
-            magSf=r(mesh.magSf[:n_int]),
-            dc=r(dc_i),
-            nodc=r(nodc_i),
-            Cf=r(mesh.Cf[:n_int]),
+            n_cells=nC,
+            n_boundary=nB,
             V=r(mesh.V),
             C=r(mesh.C),
-            b_own=jnp.asarray(mesh.owner[n_int:], dtype=INT_DTYPE),
+            b_own=jnp.asarray(b_own, INT_DTYPE),
             b_Sf=r(mesh.Sf[n_int:]),
             b_magSf=r(mesh.magSf[n_int:]),
             b_dc=r(dc_b),
@@ -104,6 +217,9 @@ class MeshGeometry:
             b_Cf=r(mesh.Cf[n_int:]),
             patches=patches,
             coupled=_find_coupled(mesh),
+            n_internal_real=n_int,
+            _b_onehot=onehot,
+            **geo,
         )
 
     def patch(self, name: str) -> PatchInfo:
@@ -116,39 +232,82 @@ class MeshGeometry:
     def dtype(self):
         return self.V.dtype
 
+    # -------------------------------------------------- layout primitives
+    def _shift_up(self, x: jnp.ndarray, o: int) -> jnp.ndarray:
+        """y[c] = x[c+o] (zero beyond the end)."""
+        pad = jnp.zeros((o,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x[o:], pad], axis=0)
+
+    def _shift_down(self, x: jnp.ndarray, o: int) -> jnp.ndarray:
+        """y[c] = x[c−o] (zero before the start)."""
+        pad = jnp.zeros((o,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([pad, x[:-o]], axis=0)
+
+    def gather_own(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Face array of the owner-cell values of x ([nC(,d)] → [nI(,d)])."""
+        if self.layout == "dia":
+            reps = (len(self.offsets),) + (1,) * (x.ndim - 1)
+            return jnp.tile(x, reps)
+        return x[self.own]
+
+    def gather_nei(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Face array of the neighbour-cell values of x. Pad slots receive a
+        wrapped (finite, in-range) cell value — consumers must mask with the
+        zeroed face coefficients; wrap (not zero-fill) keeps pad values away
+        from 0 so downstream divisions never manufacture inf·0 = NaN."""
+        if self.layout == "dia":
+            return jnp.concatenate(
+                [jnp.roll(x, -o, axis=0) for o in self.offsets], axis=0
+            )
+        return x[self.nei]
+
+    def face_to_own_sum(self, fv: jnp.ndarray) -> jnp.ndarray:
+        """Σ over each cell's owned faces of fv ([nI(,d)] → [nC(,d)]).
+        Pad-slot values MUST be zero (guaranteed for coefficient-weighted
+        face arrays; raw arrays are masked by construction)."""
+        if self.layout == "dia":
+            nC = self.n_cells
+            parts = fv.reshape((len(self.offsets), nC) + fv.shape[1:])
+            return jnp.sum(parts, axis=0)
+        return jax.ops.segment_sum(
+            fv, self.own, num_segments=self.n_cells, indices_are_sorted=True
+        )
+
+    def face_to_nei_sum(self, fv: jnp.ndarray) -> jnp.ndarray:
+        """Σ over each cell's neighbouring faces of fv."""
+        if self.layout == "dia":
+            nC = self.n_cells
+            parts = fv.reshape((len(self.offsets), nC) + fv.shape[1:])
+            return sum(
+                self._shift_down(parts[k], o) for k, o in enumerate(self.offsets)
+            )
+        return jax.ops.segment_sum(fv, self.nei, num_segments=self.n_cells)
+
+    def boundary_to_cell_sum(self, bv: jnp.ndarray) -> jnp.ndarray:
+        """Σ of boundary-face values into their owner cells."""
+        if self._b_onehot is not None and bv.dtype != jnp.float64:
+            if bv.ndim == 2:
+                return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
+            return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
+        return jax.ops.segment_sum(bv, self.b_own, num_segments=self.n_cells)
+
     # ------------------------------------------------------ scatter helpers
     def cell_sum_internal(self, face_vals: jnp.ndarray) -> jnp.ndarray:
         """Σ over internal faces, signed outward per cell (owner +, nei −)."""
-        import jax
-
-        out = jax.ops.segment_sum(
-            face_vals, self.own, num_segments=self.n_cells, indices_are_sorted=True
-        )
-        out = out - jax.ops.segment_sum(
-            face_vals, self.nei, num_segments=self.n_cells
-        )
-        return out
+        return self.face_to_own_sum(face_vals) - self.face_to_nei_sum(face_vals)
 
     def cell_sum_boundary(self, bface_vals: jnp.ndarray) -> jnp.ndarray:
-        import jax
-
-        return jax.ops.segment_sum(
-            bface_vals, self.b_own, num_segments=self.n_cells
-        )
+        return self.boundary_to_cell_sum(bface_vals)
 
     def surface_sum(self, face_vals: jnp.ndarray, bface_vals: jnp.ndarray):
-        return self.cell_sum_internal(face_vals) + self.cell_sum_boundary(bface_vals)
+        return self.cell_sum_internal(face_vals) + self.boundary_to_cell_sum(bface_vals)
 
     def cell_sum_unsigned(self, face_vals: jnp.ndarray, bface_vals: jnp.ndarray):
         """Σ over all faces of each cell, unsigned (owner and neighbour +)."""
-        import jax
-
-        out = jax.ops.segment_sum(
-            face_vals, self.own, num_segments=self.n_cells, indices_are_sorted=True
-        )
-        out = out + jax.ops.segment_sum(face_vals, self.nei, num_segments=self.n_cells)
-        return out + jax.ops.segment_sum(
-            bface_vals, self.b_own, num_segments=self.n_cells
+        return (
+            self.face_to_own_sum(face_vals)
+            + self.face_to_nei_sum(face_vals)
+            + self.boundary_to_cell_sum(bface_vals)
         )
 
 

@@ -40,7 +40,7 @@ def _norm_factor(matvec, x, b):
     xref = jnp.mean(x)
     Aref = matvec(jnp.full_like(x, xref))
     Ax = matvec(x)
-    return Ax, jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + 1e-300
+    return Ax, jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + jnp.finfo(x.dtype).tiny * 1e6
 
 
 def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
@@ -78,7 +78,7 @@ def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
     Ax0, norm = _norm_factor(matvec, x0, b)
     r0 = b - Ax0
     res0 = jnp.sum(jnp.abs(r0)) / norm
-    small = jnp.asarray(1e-100, x0.dtype)
+    small = jnp.asarray(jnp.finfo(x0.dtype).tiny * 1e3, x0.dtype)
 
     def cond(state):
         x, r, rhat, p, v, rho, alpha, omega, it, res = state
@@ -127,8 +127,9 @@ def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
 
 
 def _nz(x):
-    """Guard a denominator against exact zero, preserving sign."""
-    tiny = jnp.asarray(1e-300, x.dtype)
+    """Guard a denominator against exact zero, preserving sign (tiny must be
+    representable in the compute dtype — 1e-300 is 0 in float32)."""
+    tiny = jnp.asarray(jnp.finfo(x.dtype).tiny * 1e6, x.dtype)
     return jnp.where(jnp.abs(x) < tiny, jnp.where(x >= 0, tiny, -tiny), x)
 
 

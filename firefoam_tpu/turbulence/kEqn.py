@@ -145,8 +145,8 @@ class KEqnLES:
         tau = mu_eff.i[:, None, None] * dev2  # [nC,3,3]
         # interpolate tensor to faces (linear), contract with Sf
         tau_f = jnp.einsum(
-            "f,fij->fij", g.w, tau[g.own]
-        ) + jnp.einsum("f,fij->fij", 1.0 - g.w, tau[g.nei])
+            "f,fij->fij", g.w, g.gather_own(tau)
+        ) + jnp.einsum("f,fij->fij", 1.0 - g.w, g.gather_nei(tau))
         # boundary: one-sided (owner) value
         tau_b = mu_eff.b[:, None, None] * dev2[g.b_own]
         flux_i = jnp.einsum("fi,fij->fj", g.Sf, tau_f)

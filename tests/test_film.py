@@ -111,3 +111,26 @@ def test_film_builds_under_impingement():
     assert float(out["alpha"].max()) > 0.0
     # steady drainage balances impingement eventually: thickness bounded
     assert float(st["delta"].max()) < 5e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume: save/load restores the full state pytree and the
+    resumed trajectory matches an uninterrupted one bit-for-bit."""
+    import jax
+    from firefoam_tpu.utils.checkpoint import load_state, save_state
+
+    film, fm = make_film()
+    st = film.initial_state(delta0=4e-4)
+    dt = 1e-3
+    evolve = jax.jit(lambda s: film.evolve(s, jnp.asarray(dt))[0])
+    for _ in range(5):
+        st = evolve(st)
+    p = str(tmp_path / "ck" / "state_t0.005.npz")
+    save_state(p, st)
+    st2 = load_state(p, st)
+    for a, b in zip(jax.tree_util.tree_leaves(st), jax.tree_util.tree_leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a = evolve(st)
+    b = evolve(st2)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
