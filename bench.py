@@ -59,10 +59,12 @@ def main():
         state = solver.initial_state()
     step = solver.make_step()
 
-    # compile + warmup (also moves past the quiescent start)
+    # compile + warmup: run into the DEVELOPED fire (t ≈ 1 s, Courant-limited
+    # dt, 50-90 pressure iterations/corrector) so the timing reflects the
+    # hard steady regime, not the quiescent start
     state, _ = step(state)
     jax.block_until_ready(state["t"])
-    n_warm = 3
+    n_warm = int(os.environ.get("FIREFOAM_BENCH_WARMUP", "25"))
     for _ in range(n_warm):
         state, _ = step(state)
     jax.block_until_ready(state["t"])

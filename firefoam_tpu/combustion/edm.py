@@ -28,6 +28,20 @@ __all__ = ["EddyDissipationModel"]
 
 @dataclass
 class EddyDissipationModel:
+    """EDM family. `variant` selects the rate expression:
+
+      * eddyDissipationModel (default) — reference
+        eddyDissipationModel.C:142-147
+      * eddyDissipationLimitModel — rate factor clamped at 1 so at most the
+        available reactant burns in one step (eddyDissipationLimitModel.C,
+        final uncommented form). Also used for the NoneStiff variants.
+      * infinitelyFastChemistry — wFuel = ρ·min(YF, YO2/s)/(C·Δt)
+        (OpenFOAM core model, selected by cases/pyrolysis1D).
+      * eddyDissipationDiffusionModel/BertExt/FRV/Ign/MultiFuelStream map to
+        the base EDM rate (their extinction / radiative-fraction extensions
+        are tracked as TODO gaps; structure and coefficients are honoured).
+    """
+
     reaction: SingleStepReaction
     C_EDC: float = 4.0
     C_Diff: float = 0.0
@@ -35,15 +49,27 @@ class EddyDissipationModel:
     active: bool = True
     q_fuel: float = 0.0
     dY: np.ndarray = None  # mass stoich coefficients per kg fuel
+    variant: str = "eddyDissipationModel"
+    C_ifc: float = 10.0  # infinitelyFastChemistry C
 
     @classmethod
     def from_case(cls, comb_dict, reaction: SingleStepReaction) -> "EddyDissipationModel":
-        # default-construct when the case selects a different model whose
-        # gas phase is never solved (pyrolysis1D picks infinitelyFastChemistry
-        # but runs with solvePrimaryRegion false)
         from ..io.foamdict import FoamDict
 
-        coeffs = comb_dict.get_dict("eddyDissipationModelCoeffs", FoamDict())
+        sel = comb_dict.get_word("combustionModel", "eddyDissipationModel")
+        variant = sel.split("<")[0]
+        coeffs = comb_dict.get_dict(variant + "Coeffs", None) or comb_dict.get_dict(
+            "eddyDissipationModelCoeffs", FoamDict()
+        )
+        if variant in ("eddyDissipationNoneStiffModel",):
+            variant = "eddyDissipationLimitModel"
+        known = (
+            "eddyDissipationModel",
+            "eddyDissipationLimitModel",
+            "infinitelyFastChemistry",
+        )
+        if variant not in known:
+            variant = "eddyDissipationModel"
         return cls(
             reaction=reaction,
             C_EDC=coeffs.get_scalar("C_EDC", 4.0),
@@ -52,6 +78,8 @@ class EddyDissipationModel:
             active=coeffs.get_bool("active", True),
             q_fuel=reaction.q_fuel(),
             dY=reaction.mass_stoich_coeffs,
+            variant=variant,
+            C_ifc=coeffs.get_scalar("C", 10.0),
         )
 
     def w_fuel(
@@ -71,16 +99,16 @@ class EddyDissipationModel:
         YF = Y[:, r.fuel_index]
         YO2 = Y[:, r.o2_index]
         s = r.s
+        lim = jnp.minimum(jnp.maximum(YF, 0.0), jnp.maximum(YO2, 0.0) / s)
+        if self.variant == "infinitelyFastChemistry":
+            return rho * lim / (self.C_ifc * dt)
         rt_turb = self.C_EDC * epsilon / jnp.maximum(k, 1e-14)
         rt_diff = self.C_Diff * alpha / (rho * delta * delta)
         rt = jnp.maximum(rt_turb, rt_diff)
-        lim = jnp.maximum(jnp.minimum(YF, YO2 / s), 0.0)
-        return (
-            rho
-            * lim
-            / (self.C_Stiff * dt)
-            * (1.0 - jnp.exp(-self.C_Stiff * dt * rt))
-        )
+        fac = (1.0 - jnp.exp(-self.C_Stiff * dt * rt)) / self.C_Stiff
+        if self.variant == "eddyDissipationLimitModel":
+            fac = jnp.minimum(fac, 1.0)
+        return rho * lim / dt * fac
 
     def R(self, w_fuel: jnp.ndarray, specie_index: int) -> jnp.ndarray:
         """Explicit species source [kg/(m³ s)] for specie i."""

@@ -32,6 +32,8 @@ def run_case(
     verbose: bool = True,
     radiation: bool = True,
     solver: Optional[FireFoamSolver] = None,
+    output_dir: Optional[str] = None,
+    write_fields: bool = False,
 ):
     """Run a case to end_time; returns (solver, final_state, step_logs)."""
     import contextlib
@@ -52,6 +54,18 @@ def run_case(
     logs = []
     t_start = time.time()
     n = 0
+    next_write = None
+    if write_fields:
+        from ..io.writer import write_time_dir
+
+        if output_dir is None:
+            import os as _os
+
+            output_dir = case_dir if _os.access(case_dir, _os.W_OK) else None
+        if output_dir is None:
+            write_fields = False
+        else:
+            next_write = solver.ctl.write_interval
     while float(state["t"]) < end - 1e-12 and n < max_steps:
         state, log = step(state)
         n += 1
@@ -60,6 +74,11 @@ def run_case(
         solver.function_objects.record(float(state["t"]), log)
         if solver.rtis is not None and "rtis" in state:
             solver.rtis.record(float(state["t"]), state["rtis"])
+        if write_fields and float(state["t"]) + 1e-9 >= next_write:
+            from ..io.writer import write_time_dir
+
+            write_time_dir(output_dir, float(state["t"]), solver, state)
+            next_write += solver.ctl.write_interval
         if verbose and not solver.solve_primary:
             # solid-only cases (pyrolysis1D): region log only
             print(f"Time = {_fmt(state['t'])}")
@@ -106,6 +125,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="pin the CPU backend")
     ap.add_argument("--no-radiation", action="store_true")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--write", action="store_true", help="write field time dirs")
+    ap.add_argument("--output", default=None, help="output case root for writes")
     args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -115,6 +136,8 @@ def main(argv=None):
         max_steps=args.max_steps,
         verbose=not args.quiet,
         radiation=not args.no_radiation,
+        output_dir=args.output,
+        write_fields=args.write or args.output is not None,
     )
     solver.function_objects.write()
     if solver.rtis is not None:

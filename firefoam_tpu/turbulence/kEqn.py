@@ -1,13 +1,23 @@
-"""One-equation SGS kinetic-energy LES model (kEqn) + cubeRootVol delta.
+"""LES SGS models: kEqn, WALE/WALE2, SIGMA2 (+ cubeRootVol delta).
 
-The turbulence model steckler selects (constant/turbulenceProperties:
-LESModel kEqn, delta cubeRootVol; golden log prints Ck=0.094, Ce=1.048).
-Reference behaviour: OpenFOAM kEqn LES model —
+kEqn is the model steckler selects (constant/turbulenceProperties:
+LESModel kEqn; golden log prints Ck=0.094, Ce=1.048):
   nut  = Ck·sqrt(k)·Δ
   k-eqn: ddt(ρk) + div(φ,k) − lap(ρ·DkEff,k) =
          ρ·G − (2/3)ρ·divU·k − Ce·ρ·k^1.5/Δ
   G    = nut·(dev(2·symm(∇U)) : ∇U)
   ε    = Ce·k^1.5/Δ   (used by the EDM combustion rate)
+
+WALE / WALE2 (reference lib/turbulenceModels/compressible/LES/WALE — SURVEY
+§2.8): one-equation k transport but with the WALE eddy viscosity
+  nuSgs = (cw·Δ)²·(Sd:Sd)^{3/2} / ((S:S)^{5/2} + (Sd:Sd)^{5/4} + ε),
+  Sd = dev(g·g) − skew(g·g),  g = ∇U          (WALE.C:120-129)
+and production G = 2 nuSgs (∇U : dev(symm ∇U)) (WALE.C:133).
+
+SIGMA2 (SIGMA2.C): algebraic σ-model — singular values σ1≥σ2≥σ3 of ∇U via
+the closed-form eigenvalues of ∇Uᵀ∇U,
+  nuSgs = (cx·Δ)²·σ3(σ1−σ2)(σ2−σ3)/σ1²,  k = (nuSgs/(ck·Δ))².
+
 Also provides divDevRhoReff for the momentum equation (solver/UEqn.H:9-16):
   −lap(muEff, U) − div(muEff·dev2(∇Uᵀ)) .
 """
@@ -37,11 +47,15 @@ class KEqnLES:
     Ce: float = 1.048
     Prt: float = 1.0
     k_min: float = 1e-14
+    model: str = "kEqn"  # kEqn | WALE | WALE2 | SIGMA2
+    cw: float = 0.5  # WALE coefficient
+    cx: float = 1.35  # SIGMA coefficient
 
     @classmethod
     def from_case(cls, geom: MeshGeometry, turb_dict) -> "KEqnLES":
         les = turb_dict.get_dict("LES")
-        coeffs = les.get_dict("kEqnCoeffs", None) if les.found("kEqnCoeffs") else None
+        model = les.get_word("LESModel", les.get_word("model", "kEqn"))
+        coeffs = les.get_dict(model + "Coeffs", None) if les.found(model + "Coeffs") else None
         crv = les.get_dict("cubeRootVolCoeffs", None) if les.found("cubeRootVolCoeffs") else None
         delta_coeff = crv.get_scalar("deltaCoeff", 1.0) if crv else 1.0
         delta = delta_coeff * jnp.cbrt(geom.V)
@@ -50,7 +64,52 @@ class KEqnLES:
             kw["Ck"] = coeffs.get_scalar("Ck", 0.094)
             kw["Ce"] = coeffs.get_scalar("Ce", 1.048)
             kw["Prt"] = coeffs.get_scalar("Prt", 1.0)
-        return cls(geom=geom, delta=delta, **kw)
+            kw["cw"] = coeffs.get_scalar("cw", 0.5)
+            kw["cx"] = coeffs.get_scalar("cx", 1.35)
+        if model not in ("kEqn", "WALE", "WALE2", "SIGMA2"):
+            model = "kEqn"  # stock core models default to kEqn behaviour
+        return cls(geom=geom, delta=delta, model=model, **kw)
+
+    # --------------------------------------------- gradU-based viscosities
+    def _nut_wale(self, gradU: jnp.ndarray) -> jnp.ndarray:
+        """WALE operator (WALE.C:120-129)."""
+        S = 0.5 * (gradU + jnp.swapaxes(gradU, -1, -2))
+        gg = jnp.einsum("cij,cjk->cik", gradU, gradU)
+        sym_gg = 0.5 * (gg + jnp.swapaxes(gg, -1, -2))
+        tr = jnp.trace(sym_gg, axis1=-2, axis2=-1)
+        Sd = sym_gg - (tr / 3.0)[:, None, None] * jnp.eye(3, dtype=gradU.dtype)
+        SdSd = jnp.einsum("cij,cij->c", Sd, Sd)
+        SuSu = jnp.einsum("cij,cij->c", S, S)
+        eps = jnp.finfo(gradU.dtype).tiny * 1e6
+        return (
+            (self.cw * self.delta) ** 2
+            * SdSd ** 1.5
+            / (SuSu**2.5 + SdSd**1.25 + eps)
+        )
+
+    def _nut_sigma(self, gradU: jnp.ndarray) -> jnp.ndarray:
+        """σ-model via closed-form eigenvalues of ∇Uᵀ∇U (SIGMA2.C)."""
+        G = jnp.einsum("cji,cjk->cik", gradU, gradU)  # gradU.T & gradU
+        L1 = jnp.trace(G, axis1=-2, axis2=-1)
+        GG = jnp.einsum("cij,cjk->cik", G, G)
+        L2 = 0.5 * (L1**2 - jnp.trace(GG, axis1=-2, axis2=-1))
+        L3 = jnp.linalg.det(G)
+        eps = jnp.finfo(gradU.dtype).tiny * 1e6
+        A1 = jnp.maximum(L1**2 / 9.0 - L2 / 3.0, 0.0) + eps
+        A2 = L1**3 / 27.0 - L1 * L2 / 6.0 + L3 / 2.0
+        R12 = jnp.clip(A2 / (A1**1.5 + eps), -1.0, 1.0)
+        A3 = jnp.arccos(0.9999 * R12) / 3.0
+        sq = jnp.sqrt(A1)
+        ss1 = L1 / 3.0 + 2.0 * sq * jnp.cos(A3)
+        ss2 = L1 / 3.0 - 2.0 * sq * jnp.cos(jnp.pi / 3.0 + A3)
+        ss3 = L1 / 3.0 - 2.0 * sq * jnp.cos(jnp.pi / 3.0 - A3)
+        S1 = jnp.sqrt(jnp.abs(ss1))
+        S2 = jnp.sqrt(jnp.abs(ss2))
+        S3 = jnp.sqrt(jnp.abs(ss3))
+        nut = (self.cx * self.delta) ** 2 * (S3 * (S1 - S2) * (S2 - S3)) / (
+            S1**2 + eps
+        )
+        return jnp.abs(nut)
 
     # ------------------------------------------------------------- algebra
     def nut(self, k: jnp.ndarray) -> jnp.ndarray:
@@ -87,7 +146,17 @@ class KEqnLES:
         """Advance k one step; returns (k_new, nut_internal, solver stats)."""
         g = self.geom
         gradU = fvc.grad(g, U)
-        nut_i = self.nut(k.i)
+        if self.model in ("WALE", "WALE2"):
+            nut_i = self._nut_wale(gradU)
+        elif self.model == "SIGMA2":
+            nut_i = self._nut_sigma(gradU)
+            # algebraic model: no k transport (SIGMA2.C — k from muSgs)
+            k_i = (nut_i / (self.Ck * self.delta)) ** 2
+            k_new = bcmod.evaluate(k_bcs, g, VolField(k_i, k.b), ctx)
+            zero = jnp.zeros((), k.i.dtype)
+            return k_new, nut_i, SolverResult(k_i, zero, zero, jnp.asarray(0, jnp.int32))
+        else:
+            nut_i = self.nut(k.i)
         G = self.production(nut_i, gradU)
         divU = fvc.div_flux(g, fvc.flux(g, U))
 

@@ -210,3 +210,26 @@ def test_case_wrapper():
     assert case.has_field("T")
     f = case.field_or_default("qr_nonexistent", "Ydefault")
     assert f.name == "qr_nonexistent"
+
+
+def test_field_writer_roundtrip(tmp_path):
+    """OpenFOAM-format writer output re-parses through our own reader."""
+    import numpy as np
+    from firefoam_tpu.io.writer import write_field
+    from firefoam_tpu.io.fields import read_field_file
+    from firefoam_tpu.ops.geometry import PatchInfo
+
+    patches = (PatchInfo("walls", "wall", 0, 3), PatchInfo("fb", "empty", 3, 2))
+    vals = np.linspace(300.0, 400.0, 10)
+    bvals = np.arange(5.0) + 300.0
+    p = tmp_path / "T"
+    write_field(str(p), "T", vals, bvals, patches, "0.5")
+    ff = read_field_file(str(p))
+    np.testing.assert_allclose(ff.internal_array(10), vals, rtol=1e-7)
+    # vector field
+    vec = np.stack([vals, vals * 0, -vals], axis=1)
+    bvec = np.stack([bvals, bvals, bvals], axis=1)
+    pv = tmp_path / "U"
+    write_field(str(pv), "U", vec, bvec, patches, "0.5")
+    ff = read_field_file(str(pv))
+    np.testing.assert_allclose(ff.internal_array(10), vec, rtol=1e-7)

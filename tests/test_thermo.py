@@ -65,3 +65,44 @@ def test_mixture_weighting(setup):
     cps = float(gas.cp(T, yN2)[0]), float(gas.cp(T, ymix)[0]), float(gas.cp(T, yO2)[0])
     assert cps[2] < cps[1] < cps[0]
     assert cps[1] == pytest.approx(0.5 * (cps[0] + cps[2]), rel=1e-12)
+
+
+def test_les_model_variants():
+    """WALE and SIGMA2 eddy viscosities on an analytic velocity field."""
+    import jax.numpy as jnp
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.mesh import block_mesh
+    from firefoam_tpu.ops import MeshGeometry, VolField
+    from firefoam_tpu.ops import fvc
+    from firefoam_tpu.turbulence.kEqn import KEqnLES
+
+    d = parse_string(
+        """
+        convertToMeters 1;
+        vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+                   (0 0 1) (1 0 1) (1 1 1) (0 1 1) );
+        blocks ( hex (0 1 2 3 4 5 6 7) (6 6 6) simpleGrading (1 1 1) );
+        edges ();
+        boundary ( all { type wall; faces ( (0 4 7 3) (1 2 6 5) (0 1 5 4)
+                   (3 7 6 2) (0 3 2 1) (4 5 6 7) ); } );
+        """
+    )
+    geom = MeshGeometry.from_polymesh(block_mesh(d))
+    les = KEqnLES(geom=geom, delta=jnp.cbrt(geom.V), model="WALE")
+    C = np.asarray(geom.C)
+    # pure shear u = (y, 0, 0): WALE gives zero nut (Sd = 0 for pure shear)
+    U = VolField(jnp.asarray(np.stack([C[:, 1], 0 * C[:, 0], 0 * C[:, 0]], 1)),
+                 jnp.zeros((geom.n_boundary, 3)))
+    gradU = fvc.grad(geom, U)
+    nut_wale = les._nut_wale(gradU)
+    interior = np.asarray(geom.cell_sum_boundary(jnp.ones(geom.n_boundary))) == 0
+    assert np.abs(np.asarray(nut_wale)[interior]).max() < 1e-10
+    # rotation-ish field turns WALE on
+    U2 = VolField(jnp.asarray(np.stack([C[:, 1] ** 2, C[:, 0] * C[:, 2], C[:, 1] * C[:, 0]], 1)),
+                  jnp.zeros((geom.n_boundary, 3)))
+    g2 = fvc.grad(geom, U2)
+    assert float(les._nut_wale(g2)[interior].max()) > 1e-8
+    # SIGMA2: finite, non-negative, zero for solid-body-like uniform gradU
+    nut_s = les._nut_sigma(g2)
+    assert np.isfinite(np.asarray(nut_s)).all() and float(nut_s.min()) >= 0.0
