@@ -201,6 +201,13 @@ class ReactingCloud:
         self.film_patches: List[str] = []
         sfm = sub.get_word("surfaceFilmModel", "none")
         self.has_film_handoff = sfm != "none"
+        # Bai-Gosman splash parameters (thermoSurfaceFilmCoeffs — reference
+        # ThermoSurfaceFilmMeredith.C / steckler reactingCloud1Properties)
+        tsf = sub.get_dict("thermoSurfaceFilmCoeffs", FoamDict())
+        self.splash_on = tsf.get_word("interactionType", "absorb").startswith("splash")
+        self.splash_delta_wet = tsf.get_scalar("deltaWet", 2e-4)
+        self.splash_Adry = tsf.get_scalar("Adry", 2630.0)
+        self.splash_Awet = tsf.get_scalar("Awet", 1320.0)
         self.b_code = jnp.asarray(b_code, INT_DTYPE)
         self.b_e = jnp.ones(geom.n_boundary, self.dtype)  # rebound elasticity
 
@@ -213,7 +220,7 @@ class ReactingCloud:
     # ------------------------------------------------------------------
     def set_film_patches(self, names: List[str]):
         """Mark film-covered patches: parcels hitting them are absorbed."""
-        b_code = np.asarray(self.b_code)
+        b_code = np.array(self.b_code)  # writable copy
         for n in names:
             b_code[self.geom.patch(n).slice] = INTERACT_FILM
         self.b_code = jnp.asarray(b_code, INT_DTYPE)
@@ -431,6 +438,105 @@ class ReactingCloud:
         return st, src
 
     # ------------------------------------------------------------------
+    def _film_interaction(self, st, src, code, hit, mass_before, T_hit,
+                          film_delta_b, gas):
+        """Parcel → film handoff with Bai-Gosman splashing (reference
+        lib/splashingModels/ThermoSurfaceFilmNew/ThermoSurfaceFilmMeredith.C
+        :333-460 via ThermoSurfaceFilm):
+
+          La = ρσd/μ²;  Wec = A·La^(−0.183)  (A = Adry dry / Awet wet)
+          dry (δ<deltaWet): We<Wec → absorb, else splash
+          wet: We<1 absorb; 1≤We<20 bounce; 20≤We<Wec absorb (spread);
+               ≥Wec splash
+          splash: mRatio of the mass continues as ONE secondary parcel with
+          a truncated-exponential diameter (dBar = 6^{-1/3}(mRatio/Ns)^{1/3}d,
+          Ns = a0(We/Wec−1)) and energy-budget speed (EKs balance,
+          :529-575); the rest is absorbed by the film. The geometric
+          reflection already happened in the walk."""
+        hit_film = (code == INTERACT_FILM) & (hit >= 0) & st["alive"]
+        if not self.has_film_handoff:
+            return st, src
+        bidx = jnp.maximum(hit, 0)
+        p_atm = 101325.0
+        cp_l = self.liquid.cp(p_atm, T_hit)
+        h_rel = cp_l * (T_hit - 298.15)
+
+        if not self.splash_on or film_delta_b is None:
+            # pure absorb
+            absorb = hit_film
+            m_abs = jnp.where(absorb, mass_before, 0.0)
+            st = dict(st)
+            st["alive"] = st["alive"] & ~absorb
+            src = dict(src)
+            src["filmMass"] = src["filmMass"] + jax.ops.segment_sum(
+                m_abs, bidx, num_segments=self.geom.n_boundary
+            )
+            src["filmEnthalpy"] = src["filmEnthalpy"] + jax.ops.segment_sum(
+                m_abs * h_rel, bidx, num_segments=self.geom.n_boundary
+            )
+            return st, src
+
+        d = jnp.maximum(st["d"], 1e-9)
+        rho_l = self.liquid.rho(p_atm, T_hit)
+        sigma = jnp.maximum(self.liquid.sigma(p_atm, T_hit), 1e-6)
+        mu_l = self.liquid.mu(p_atm, T_hit)
+        magU = jnp.sqrt(jnp.sum(st["U"] ** 2, axis=1))
+        We = rho_l * d * magU**2 / sigma
+        La = rho_l * sigma * d / mu_l**2
+        delta = film_delta_b[bidx]
+        wet = delta > self.splash_delta_wet
+        Wec = jnp.where(wet, self.splash_Awet, self.splash_Adry) * La ** (-0.183)
+
+        splash = hit_film & (We >= Wec)
+        bounce = hit_film & wet & (We >= 1.0) & (We < 20.0) & ~splash
+        absorb = hit_film & ~splash & ~bounce
+
+        # ---- splash secondary parcel ----
+        key, sub = jax.random.split(st["rng"])
+        y1, y2 = jax.random.uniform(sub, (2,) + d.shape)
+        m_ratio = 0.2 + 0.6 * y1  # wetSplashRatio range (dry uses the same)
+        Ns = jnp.maximum(5.0 * (We / jnp.maximum(Wec, 1e-6) - 1.0), 1e-3)
+        d_bar = (m_ratio / Ns) ** (1.0 / 3.0) * d / 6.0 ** (1.0 / 3.0) + 1e-12
+        d_min, d_max = 8e-5, 1.6e-3
+        K = jnp.exp(-d_min / d_bar) - jnp.exp(-d_max / d_bar)
+        d_new = jnp.maximum(
+            d_min, -d_bar * jnp.log(jnp.maximum(jnp.exp(-d_min / d_bar) - y2 * K, 1e-30))
+        )
+        m = mass_before
+        m_splash = m_ratio * m
+        # energy budget → splashed speed (parcelsPerSplash = 1)
+        np_old = st["nP"]
+        ek_in = 0.5 * m * magU**2
+        e_sig_in = np_old * sigma * _PI * d**2
+        np_new = m_splash / jnp.maximum(_sphere_mass(rho_l, d_new), 1e-300)
+        e_sig_sec = np_new * sigma * _PI * d_new**2
+        e_d = jnp.maximum(0.8 * ek_in, 0.75 * Wec / 12.0 * _PI * sigma * d**2 * np_old)
+        eks = ek_in + e_sig_in - e_sig_sec - e_d
+        # EKs ≤ 0 → total absorb instead of splash
+        no_energy = splash & (eks <= 0.0)
+        splash = splash & (eks > 0.0)
+        absorb = absorb | no_energy
+        u_mag_new = jnp.sqrt(jnp.maximum(eks, 0.0) / jnp.maximum(m_splash, 1e-300))
+        u_dir = st["U"] / jnp.maximum(magU, 1e-12)[:, None]
+
+        st = dict(st)
+        st["alive"] = st["alive"] & ~absorb
+        st["d"] = jnp.where(splash, d_new, st["d"])
+        st["nP"] = jnp.where(splash, np_new, st["nP"])
+        st["U"] = jnp.where(splash[:, None], u_dir * u_mag_new[:, None], st["U"])
+        st["rng"] = key
+        # film receives absorbed mass + the non-splashed fraction
+        m_to_film = jnp.where(absorb, m, 0.0) + jnp.where(splash, m - m_splash, 0.0)
+        src = dict(src)
+        src["filmMass"] = src["filmMass"] + jax.ops.segment_sum(
+            m_to_film, bidx, num_segments=self.geom.n_boundary
+        )
+        src["filmEnthalpy"] = src["filmEnthalpy"] + jax.ops.segment_sum(
+            m_to_film * h_rel, bidx, num_segments=self.geom.n_boundary
+        )
+        return st, src
+
+    # ------------------------------------------------------------------
     def evolve(self, st: Dict, gas: Dict, dt) -> Tuple[Dict, Dict]:
         """One gas-step evolution. `gas` holds per-cell carrier arrays:
         rho,U,T,p,mu,kappa,cp,Yv,W. Returns (state, sources)."""
@@ -462,21 +568,15 @@ class ReactingCloud:
             died = st["alive"] & ~alive
             st = dict(st)
             st.update(x=x, U=U, cell=cell, alive=alive)
-            # film absorb / escape bookkeeping
-            to_film = died & (code == INTERACT_FILM) & (hit >= 0)
+            # escaped-mass bookkeeping
             esc = died & (code == INTERACT_ESCAPE)
-            bidx = jnp.maximum(hit, 0)
-            cp_l = self.liquid.cp(101325.0, hit_T)
-            src["filmMass"] = src["filmMass"] + jax.ops.segment_sum(
-                jnp.where(to_film, mass_before, 0.0), bidx,
-                num_segments=self.geom.n_boundary,
-            )
-            src["filmEnthalpy"] = src["filmEnthalpy"] + jax.ops.segment_sum(
-                jnp.where(to_film, mass_before * cp_l * (hit_T - 298.15), 0.0), bidx,
-                num_segments=self.geom.n_boundary,
-            )
             src["escapedMass"] = src["escapedMass"] + jnp.sum(
                 jnp.where(esc, mass_before, 0.0)
+            )
+            # film interaction (absorb / Bai-Gosman splash)
+            st, src = self._film_interaction(
+                st, src, code, hit, mass_before, hit_T,
+                gas.get("film_delta_b"), gas,
             )
             # physics + gas-side sources
             st, src = self._calc(st, gas, dt_sub, src)

@@ -186,9 +186,15 @@ class WalkMesh:
             is_b = outside & (nei < 0) & (bidx >= 0)
 
             code = jnp.where(is_b, b_code[jnp.maximum(bidx, 0)], 0)
-            esc = is_b & ((code == INTERACT_ESCAPE) | (code == INTERACT_FILM))
+            esc = is_b & (code == INTERACT_ESCAPE)
             stick = is_b & (code == INTERACT_STICK)
-            reb = is_b & ((code == INTERACT_REBOUND) | (code == INTERACT_NONE))
+            # film hits reflect geometrically; the cloud's splash model then
+            # decides absorb/bounce/splash from the recorded hit
+            reb = is_b & (
+                (code == INTERACT_REBOUND)
+                | (code == INTERACT_NONE)
+                | (code == INTERACT_FILM)
+            )
 
             cell = jnp.where(is_int, nei, cell)
             alive = alive & ~esc

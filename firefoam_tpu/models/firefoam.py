@@ -471,6 +471,52 @@ class FireFoamSolver:
         return state, ov
 
     # ------------------------------------------------------------------
+    def _apply_wall_functions(self, state: Dict) -> Dict:
+        """Fire wall functions (lib/fvPatchFields — SURVEY §2.9):
+        alphatFireWallFunction sets the gas-side turbulent thermal
+        diffusivity on burning walls from the QcWallFunction flame-heat-flux
+        correlation (alphatFireWallFunctionFvPatchScalarField.C:218-249):
+          qwL = −α_w·Cp_w·∂T/∂n  (laminar flux INTO the wall)
+          ṁ″ = −φ_w/|Sf|·2.5·1000 [g/m²/s fuel-equivalent]
+          qw = ṁ″<0.1 ? clamp(qwL,0,QcThr)/QcThr·QcFlame
+                       : QcFlame·(ṁ″/10)/(e^{ṁ″/10}−1)
+          alphat_w = min(1, qw/(Cp_w·(−∂T/∂n)) − α_w)
+        """
+        g = self.geom
+        has_fire_wf = any(
+            b.kind == "alphatFireWallFunction" for b in self.alphat_bcs.bcs
+        )
+        if not has_fire_wf:
+            return state
+        state = dict(state)
+        T, Y = state["T"], state["Y"]
+        alphat_b = state["alphat"].b
+        tiny = jnp.finfo(self.dtype).tiny * 1e6
+        for bc, p in zip(self.alphat_bcs.bcs, g.patches):
+            if bc.kind != "alphatFireWallFunction":
+                continue
+            sl = p.slice
+            cp_w = self.gas.cp(T.b[sl], Y.b[sl])
+            alpha_w = state["alpha"].b[sl]
+            grad_tw = g.b_dc[sl] * (T.b[sl] - T.i[g.b_own[sl]])
+            qwl = -alpha_w * cp_w * grad_tw
+            fmf = -state["phi"].b[sl] / g.b_magSf[sl] * 2.5 * 1000.0
+            qc_flame = float(bc.params.get("QcFlame", 20000.0))
+            qc_thr = float(bc.params.get("QcThreshold", 2000.0))
+            expn = jnp.minimum(fmf / 10.0, 50.0)
+            qw = jnp.where(
+                fmf < 0.1,
+                jnp.clip(qwl, 0.0, qc_thr) / qc_thr * qc_flame,
+                qc_flame * (fmf / 10.0) / jnp.maximum(jnp.expm1(expn), tiny),
+            )
+            a_eff = qw / cp_w / jnp.maximum(-grad_tw, tiny)
+            a_t = jnp.minimum(1.0, a_eff - alpha_w)
+            a_t = jnp.where(qwl <= tiny, 0.0, a_t)
+            alphat_b = alphat_b.at[sl].set(a_t)
+        state["alphat"] = VolField(state["alphat"].i, alphat_b)
+        return state
+
+    # ------------------------------------------------------------------
     def _evolve_cloud(self, state: Dict, log) -> Tuple[Dict, Dict]:
         """parcels.evolve() (fireFoam.C:88) → per-volume gas sources.
 
@@ -944,6 +990,7 @@ class FireFoamSolver:
                 state["rho"].i * nut_i / self.turb.Prt,
                 state["rho"].b * nut_b / self.turb.Prt,
             )
+            state = self._apply_wall_functions(state)
             log["k_res0"] = res_k.initial_residual
             log["k_iters"] = res_k.n_iterations
 

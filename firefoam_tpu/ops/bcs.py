@@ -228,6 +228,9 @@ _REGISTRY: Dict[str, Callable] = {
     # wall functions: values computed by the turbulence model each step and
     # kept in the stored boundary array (calculated semantics here)
     "compressible::alphatWallFunction": _calculated,
+    "alphatFireWallFunction": _calculated,  # values set by the solver's
+    "nutFireWallFunction": _calculated,     # wall-function pass each step
+    "nutUSpaldingBlowingWallFunction": _calculated,
     "nutkWallFunction": _calculated,
     "nutUSpaldingWallFunction": _calculated,
     "kqRWallFunction": _zero_gradient,
@@ -324,7 +327,8 @@ def make_field_bcs(ff: FieldFile, geom: MeshGeometry) -> FieldBCs:
         kind = str(pd.lookup("type"))
         params = {}
         for key in ("value", "inletValue", "outletValue", "gradient",
-                    "massFluxFraction", "emissivity", "hocSolid", "hocPyr"):
+                    "massFluxFraction", "emissivity", "hocSolid", "hocPyr",
+                    "QcFlame", "QcThreshold", "Tinf", "h", "QrIncident"):
             v = _param_value(pd, key)
             if v is not None and not isinstance(v, tuple):
                 params[key] = v

@@ -381,3 +381,48 @@ def test_rti_link_activation():
             activated = True
             break
     assert activated  # ~RTI/√u·ln(ΔT/(ΔT−ΔTact)) ≈ 10 s at 500 K, 2 m/s
+
+
+def test_splash_regimes():
+    """Bai-Gosman film interaction: slow drops absorb, fast drops splash
+    (secondary parcel keeps part of the mass, film takes the rest)."""
+    cloud, geom, gas = build_cloud(props_extra="")
+    cloud.has_film_handoff = True
+    cloud.splash_on = True
+    cloud.set_film_patches(["base"])
+    gctx = quiescent_gas(geom, gas)
+    gctx["film_delta_b"] = jnp.full((geom.n_boundary,), 5e-4)  # wet film
+
+    def shoot(speed):
+        st = cloud.initial_state()
+        st["x"] = st["x"].at[0].set(jnp.array([0.5, 0.05, 0.5]))
+        st["U"] = st["U"].at[0].set(jnp.array([0.0, -speed, 0.0]))
+        st["d"] = st["d"].at[0].set(1.0e-3)
+        st["T"] = st["T"].at[0].set(300.0)
+        st["nP"] = st["nP"].at[0].set(100.0)
+        st["cell"] = st["cell"].at[0].set(walk_cell(cloud, [0.5, 0.05, 0.5]))
+        st["alive"] = st["alive"].at[0].set(True)
+        m0 = float(cloud._mass(st).sum())
+        film = 0.0
+        for i in range(20):
+            gctx["t"] = jnp.asarray(1e9)  # injector SOI passed → no new parcels
+            st, src = cloud.evolve(st, gctx, jnp.asarray(0.01))
+            film += float(src["filmMass"].sum())
+            if film > 0 or not bool(st["alive"][0]):
+                break
+        return st, film, m0
+
+    # slow drop (We = 1000*1e-3*2^2/0.072 ≈ 56 < Wec_wet≈1320·La^-.183≈120):
+    # absorbed into the film
+    st, film, m0 = shoot(2.0)
+    assert film > 0.5 * m0
+    assert not bool(st["alive"][0])
+
+    # fast drop (We ≈ 5600 >> Wec): splashes — parcel survives smaller +
+    # partial mass to the film
+    st, film, m0 = shoot(20.0)
+    assert bool(st["alive"][0])
+    assert float(st["d"][0]) < 1.0e-3
+    m_left = float(cloud._mass(st).sum())
+    assert film > 0.0 and m_left > 0.0
+    assert film + m_left == pytest.approx(m0, rel=0.25)  # evap slightly nonzero
