@@ -196,6 +196,17 @@ class FireFoamSolver:
             if coll.zones:
                 self.pyrolysis = coll
 
+        # ---- surface film region (constant/surfaceFilmProperties) ----
+        self.film = None
+        self._film_maps = None
+        if self.case.has_constant("surfaceFilmProperties"):
+            sfp = self.case.constant("surfaceFilmProperties")
+            if (
+                sfp.get_bool("active", False)
+                and sfp.get_word("surfaceFilmModel", "none") != "none"
+            ):
+                self._build_film(sfp)
+
         # ---- fields & BCs ----
         self._read_initial_fields()
         if self.pyrolysis is not None:
@@ -296,6 +307,8 @@ class FireFoamSolver:
             state["cloud"] = self.cloud.initial_state()
         if self.pyrolysis is not None:
             state["pyro"] = self.pyrolysis.initial_state()
+        if self.film is not None:
+            state["film"] = self.film.initial_state()
         if self.rtis is not None and self.rtis.n > 0:
             state["rtis"] = self.rtis.initial_state()
         if self.ctl.hydrostatic_init:
@@ -389,6 +402,9 @@ class FireFoamSolver:
         if self.pyrolysis is not None:
             di = self.pyrolysis.diffusion_number(state["pyro"], state["dt"])
             fact = jnp.minimum(fact, self.max_di / (di + 1e-12))
+        if self.film is not None and "film" in state:
+            co_f = self.film.courant(state["film"], state["dt"])
+            fact = jnp.minimum(fact, self.ctl.max_co / (co_f + 1e-12))
         fact = jnp.minimum(fact, 1.2)
         dt = jnp.minimum(fact * state["dt"], self.ctl.max_dt)
         if self.ctl.adjustable_write:
@@ -471,6 +487,109 @@ class FireFoamSolver:
         return state, ov
 
     # ------------------------------------------------------------------
+    def _build_film(self, sfp):
+        """Construct the thermoSingleLayer film region over the faceZones
+        named by the film extrudeToRegionMeshDict (solver/
+        createSurfaceFilmModel.H; cases/singleBox/system/
+        extrudeToRegionMeshDictFilm)."""
+        from ..regionmodels.film import ThermoSingleLayerFilm
+        from ..regionmodels.surfmesh import FilmMesh
+
+        region = sfp.get_word("regionName", "filmRegion")
+        faces: List[int] = []
+        for d in self.cm.extrude_dicts:
+            if d.get_word("region", "") != region:
+                continue
+            for z in d.get_list("faceZones", []):
+                zn = str(z)
+                fz = self.cm.face_zones.get(zn)
+                if fz is not None:
+                    faces.extend(int(f) for f in fz.faces)
+                else:
+                    try:
+                        pp = next(p for p in self.cm.mesh.patches if p.name == zn)
+                        faces.extend(range(pp.start, pp.start + pp.n_faces))
+                    except StopIteration:
+                        pass
+        if not faces:
+            return
+        fm = FilmMesh.from_faces(self.cm.mesh, sorted(set(faces)), self.dtype)
+        self.film = ThermoSingleLayerFilm(fm, sfp, self.g_vec, self.dtype)
+        bidx = np.asarray(fm.prim_bidx)
+        keep = bidx >= 0
+        self._film_maps = {
+            "bidx": jnp.asarray(bidx[keep]),
+            "rows": jnp.asarray(np.nonzero(keep)[0]),
+            "cells": jnp.asarray(np.asarray(fm.prim_cells)[keep]),
+        }
+        if self.cloud is not None:
+            # parcels hitting film faces interact via the splash model
+            b_code = np.array(self.cloud.b_code)
+            from ..lagrangian.tracking import INTERACT_FILM
+
+            b_code[bidx[keep]] = INTERACT_FILM
+            self.cloud.b_code = jnp.asarray(b_code)
+
+    def _evolve_film(self, state: Dict, srcs: Dict, log) -> Tuple[Dict, Dict]:
+        """surfaceFilm.evolve() (fireFoam.C:90) + gas-side sources."""
+        g = self.geom
+        fm = self.film.fm
+        m = self._film_maps
+        bidx, rows, cells = m["bidx"], m["rows"], m["cells"]
+        dt = state["dt"]
+        T, Y = state["T"], state["Y"]
+        nF = fm.n_faces
+        dtp = self.dtype
+
+        def to_film(arr_b):
+            out = jnp.zeros((nF,), dtp)
+            return out.at[rows].set(arr_b[bidx])
+
+        # spray impingement captured by the cloud this step [kg per face]
+        mass_imp = jnp.zeros((nF,), dtp)
+        h_imp = jnp.zeros((nF,), dtp)
+        if "filmMass" in srcs:
+            mass_imp = to_film(srcs["filmMass"]) / (fm.area * dt)
+            h_imp = to_film(srcs["filmEnthalpy"]) / (fm.area * dt)
+        cp_b = self.gas.cp(T.b, Y.b)
+        kappa_eff_b = (state["alpha"].b + state["alphat"].b) * cp_b
+        htc = to_film(kappa_eff_b * g.b_dc)
+        inp = {
+            "mass_imp": mass_imp,
+            "h_imp": h_imp,
+            "T_gas": state["T"].i[cells],
+            "U_gas": state["U"].i[cells],
+            "rho_gas": state["rho"].i[cells],
+            "Yv_gas": Y.i[cells, self.gas.index("H2O")] if "H2O" in self.species else jnp.zeros_like(htc),
+            "p_gas": state["p"].i[cells],
+            "htc_gas": htc,
+            "T_wall": to_film(T.b),
+        }
+        if self.radiation is not None:
+            inp["qr"] = to_film(self.radiation.qin_boundary(state["rad"]))
+        fstate, out = self.film.evolve(state["film"], dt, inp)
+        state = dict(state)
+        state["film"] = fstate
+        # gas sources: evaporated H2O + heat exchange (film.Srho/Sh —
+        # surfaceFilmModel.H:147-243)
+        import jax as _jax
+
+        area_per_v = fm.area / g.V[cells]
+        srho = jnp.zeros((g.n_cells,), dtp).at[cells].add(out["m_evap"] * area_per_v)
+        hv = self.gas.hs_species(fstate["T"])[:, self.gas.index("H2O")] if "H2O" in self.species else 0.0
+        sh = jnp.zeros((g.n_cells,), dtp).at[cells].add(
+            (out["m_evap"] * hv - out["q_gas"]) * area_per_v
+        )
+        srcs = dict(srcs)
+        srcs["Srho"] = srcs["Srho"] + srho
+        srcs["SYv"] = srcs["SYv"] + srho
+        srcs["Sh"] = srcs["Sh"] + sh
+        log["film_mass"] = out["mass"]
+        log["film_evap"] = fstate["evaporatedMass"]
+        log["film_coverage"] = jnp.mean(out["alpha"])
+        return state, srcs
+
+    # ------------------------------------------------------------------
     def _apply_wall_functions(self, state: Dict) -> Dict:
         """Fire wall functions (lib/fvPatchFields — SURVEY §2.9):
         alphatFireWallFunction sets the gas-side turbulent thermal
@@ -545,6 +664,13 @@ class FireFoamSolver:
             "Yv": Y.i[:, self.cloud.vapour_index],
             "W": 8314.47 / self.gas.R(Y.i),
         }
+        if self.film is not None and "film" in state:
+            # film thickness per boundary face → splash wet/dry regimes
+            m = self._film_maps
+            fd = jnp.zeros((g.n_boundary,), self.dtype)
+            gas_ctx["film_delta_b"] = fd.at[m["bidx"]].set(
+                state["film"]["delta"][m["rows"]]
+            )
         cst, src = self.cloud.evolve(state["cloud"], gas_ctx, state["dt"])
         state = dict(state)
         state["cloud"] = cst
@@ -911,6 +1037,10 @@ class FireFoamSolver:
 
         # ---- parcels.evolve() (fireFoam.C:88) ----
         state, srcs = self._evolve_cloud(state, log)
+
+        # ---- surface film (fireFoam.C:90) ----
+        if self.film is not None:
+            state, srcs = self._evolve_film(state, srcs, log)
 
         # ---- pyrolysis regions (fireFoam.C:92-95) ----
         ov: Dict = {}
