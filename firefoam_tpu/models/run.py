@@ -128,8 +128,13 @@ def main(argv=None):
     ap.add_argument("--write", action="store_true", help="write field time dirs")
     ap.add_argument("--output", default=None, help="output case root for writes")
     args = ap.parse_args(argv)
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # The env's TPU PJRT plugin registers itself in every process and wins
+    # over the JAX_PLATFORMS env var; a config update is the hard override.
+    import os
+
+    plat = "cpu" if args.cpu else os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     solver, state, logs = run_case(
         args.case,
         end_time=args.end_time,

@@ -48,7 +48,12 @@ SIGMA = 5.670367e-8  # Stefan–Boltzmann (OpenFOAM physicoChemical::sigma)
 
 
 def _ray_geometry(n_theta: int, n_phi: int, dtype):
-    """Directions, control angles and dAve for 4·nPhi·nTheta ordinates."""
+    """Directions, control angles and dAve for 4·nPhi·nTheta ordinates.
+
+    nTheta < 1 falls back to the reference's 2-D mode (fvDOM ctor: 2-D
+    meshes use a single polar band of π regardless of the dict entry)."""
+    n_theta = max(int(n_theta), 1)
+    n_phi = max(int(n_phi), 1)
     d_theta = np.pi / n_theta
     n_phi_tot = 4 * n_phi
     d_phi = 2.0 * np.pi / n_phi_tot
@@ -86,6 +91,9 @@ class FvDOM:
     patch1: tuple
     patch2: tuple
     emissivity: jnp.ndarray  # [nB]
+    ae_model: str  # constRadFractionEmission | constantAbsorptionEmission |
+    #               greyMeanAbsorptionEmission
+    grey_species: tuple  # ((name, specie_idx_resolver later), ...) static data
     d_ave: jnp.ndarray  # [nRay, 3]
     omega: jnp.ndarray  # [nRay]
     phi_ray: jnp.ndarray  # [nRay, nI] = dAve·Sf
@@ -127,6 +135,28 @@ class FvDOM:
             a_const = cae.get_scalar("a", 0.01)
         else:
             a_const = 0.0
+        # greyMeanAbsorptionEmission: per-species polynomial absorption
+        # coefficients in T or 1/T weighted by partial pressure [atm]
+        # (reference greyMeanAbsorptionEmission + case coeffs, e.g.
+        # cases/detailedSprinklerInjection/constant/radiationProperties)
+        grey_species = ()
+        if aem in ("greyMeanAbsorptionEmission", "greyMeanAbsorptionEmissionSoot"):
+            gs = []
+            for name, sd in aec.subdicts():
+                if not sd.found("hiTcoeffs"):
+                    continue
+                gs.append(
+                    (
+                        name,
+                        sd.get_scalar("Tcommon", 300.0),
+                        sd.get_bool("invTemp", True),
+                        tuple(float(x) for x in sd.get_list("loTcoeffs")),
+                        tuple(float(x) for x in sd.get_list("hiTcoeffs")),
+                        sd.get_scalar("Tlow", 200.0),
+                        sd.get_scalar("Thigh", 2500.0),
+                    )
+                )
+            grey_species = tuple(gs)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         return cls(
@@ -143,6 +173,8 @@ class FvDOM:
             rad_scaling=aec.get_bool("radScaling", False),
             patch1=p1,
             patch2=p2,
+            ae_model=aem,
+            grey_species=grey_species,
             emissivity=jnp.ones((geom.n_boundary,), dtype),
             d_ave=d_ave,
             omega=omega,
@@ -185,6 +217,44 @@ class FvDOM:
         chi = (m1 * self.ehrr1 + m2 * self.ehrr2) / jnp.maximum(m1 + m2, 1e-15)
         return jnp.maximum(chi, min(self.ehrr1, self.ehrr2))
 
+    # ------------------------------------------------------- absorption
+    def absorption(self, state, gas):
+        """Grey absorption coefficient a [1/m] on cells and boundary."""
+        g = self.geom
+        dtype = g.dtype
+        if self.ae_model not in (
+            "greyMeanAbsorptionEmission",
+            "greyMeanAbsorptionEmissionSoot",
+        ) or not self.grey_species:
+            a = jnp.full((g.n_cells,), self.a_const, dtype)
+            a_b = jnp.full((g.n_boundary,), self.a_const, dtype)
+            return a, a_b
+
+        def a_of(T, Y):
+            W_mix = 8314.47 / gas.R(Y)
+            p_atm = state["p"].i if T.shape == state["T"].i.shape else state["p"].b
+            p_atm = p_atm / 101325.0
+            a = jnp.zeros_like(T)
+            for name, tc, inv, lo, hi, tlow, thigh in self.grey_species:
+                if name not in gas.species:
+                    continue
+                si = gas.index(name)
+                Xi = Y[:, si] * W_mix / gas.W[si]
+                Tc = jnp.clip(T, tlow, thigh)
+                Tx = jnp.where(inv, 1.0 / Tc, Tc)
+
+                def poly(coeffs, Tx=Tx):
+                    out = jnp.zeros_like(Tx)
+                    for k, c in enumerate(coeffs):
+                        out = out + c * Tx**k
+                    return out
+
+                ai = jnp.where(T < tc, poly(lo), poly(hi))
+                a = a + ai * Xi * p_atm
+            return jnp.maximum(a, 0.0)
+
+        return a_of(state["T"].i, state["Y"].i), a_of(state["T"].b, state["Y"].b)
+
     # ------------------------------------------------------------ solve
     def _solve_rays(self, rad, state, gas):
         """One fvDOM calculate(): solve all rays (vmapped), update G."""
@@ -193,8 +263,7 @@ class FvDOM:
         T = state["T"]
         chi = self._chi(state)
         E_tot = chi * state["Qdot"]
-        a = jnp.full((g.n_cells,), self.a_const, dtype)
-        a_b = jnp.full((g.n_boundary,), self.a_const, dtype)
+        a, a_b = self.absorption(state, gas)
 
         emis = self.emissivity
         # incident flux per boundary face for (1−ε) reflection: from current I

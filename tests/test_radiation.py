@@ -46,3 +46,67 @@ def test_fvdom_equilibrium_and_chi():
     assert np.allclose(np.asarray(sh), -0.36 * np.asarray(state["Qdot"]), atol=1e-8)
     # stale between solves: G unchanged after step 2 (solverFreq=100)
     assert np.allclose(np.asarray(state["rad"]["G"]), np.asarray(rad["G"]))
+
+
+def test_grey_mean_absorption():
+    """greyMeanAbsorptionEmission: CO2/H2O polynomial absorption from the
+    sprinkler case's radiationProperties (reference submodel +
+    cases/detailedSprinklerInjection coefficients)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_file
+    from firefoam_tpu.io.casedir import Case
+    from firefoam_tpu.radiation.fvdom import FvDOM
+    from firefoam_tpu.mesh import block_mesh
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.ops import MeshGeometry, VolField
+    from firefoam_tpu.thermo import GasThermo
+    from conftest import reference_case
+
+    case_dir = reference_case("detailedSprinklerInjection")
+    case = Case(case_dir)
+    rp = case.constant("radiationProperties")
+
+    d = parse_string(
+        """
+        convertToMeters 1;
+        vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+                   (0 0 1) (1 0 1) (1 1 1) (0 1 1) );
+        blocks ( hex (0 1 2 3 4 5 6 7) (3 3 3) simpleGrading (1 1 1) );
+        edges ();
+        boundary ( walls { type wall; faces ( (0 4 7 3) (1 2 6 5) (0 1 5 4)
+                   (3 7 6 2) (0 3 2 1) (4 5 6 7) ); } );
+        """
+    )
+    geom = MeshGeometry.from_polymesh(block_mesh(d))
+    rad = FvDOM.from_case_dict(rp, geom, case)
+    assert rad.ae_model == "greyMeanAbsorptionEmission"
+    assert len(rad.grey_species) >= 2  # CO2, H2O (+ CH4/CO...)
+
+    # build a CH4-products mixture state
+    tp = case.constant("thermophysicalProperties")
+    from firefoam_tpu.io.foamdict import expand_env, parse_file as pf
+    th = pf(expand_env(str(tp.lookup("foamChemistryThermoFile")), case_dir), case_dir=case_dir)
+    rx = pf(expand_env(str(tp.lookup("foamChemistryFile")), case_dir), case_dir=case_dir)
+    species = [str(s) for s in rx.get_list("species")]
+    gas = GasThermo.from_dict(th, species)
+
+    nC, nB = geom.n_cells, geom.n_boundary
+    Y = np.zeros((nC, len(species)))
+    Y[:, species.index("CO2")] = 0.10
+    Y[:, species.index("H2O")] = 0.08
+    Y[:, species.index("N2")] = 0.82
+    Yb = np.tile(Y[0], (nB, 1))
+    state = {
+        "T": VolField(jnp.full((nC,), 1200.0), jnp.full((nB,), 300.0)),
+        "Y": VolField(jnp.asarray(Y), jnp.asarray(Yb)),
+        "p": VolField(jnp.full((nC,), 101325.0), jnp.full((nB,), 101325.0)),
+    }
+    a, a_b = rad.absorption(state, gas)
+    # hot combustion products absorb: O(0.1-2) 1/m
+    assert 0.01 < float(a.mean()) < 5.0
+    # cold boundary mixture absorbs less than the hot interior
+    state_cold = dict(state)
+    state_cold["T"] = VolField(jnp.full((nC,), 300.0), state["T"].b)
+    a_cold, _ = rad.absorption(state_cold, gas)
+    assert float(a_cold.mean()) != float(a.mean())
+    assert float(a.min()) >= 0.0 and np.isfinite(np.asarray(a)).all()
