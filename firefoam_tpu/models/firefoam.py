@@ -109,7 +109,7 @@ class FireFoamSolver:
         # ---- turbulence ----
         self.turb = KEqnLES.from_case(g, self.case.constant("turbulenceProperties"))
 
-        # ---- radiation (fvDOM, selected from constant/radiationProperties) ----
+        # ---- radiation (fvDOM/P1, selected from constant/radiationProperties) ----
         rad_props = (
             self.case.constant("radiationProperties")
             if self.case.has_constant("radiationProperties")
@@ -117,15 +117,19 @@ class FireFoamSolver:
         )
         self.rad_on = bool(rad_props) and rad_props.get_bool("radiation", False)
         if radiation is True or (radiation is None and self.rad_on):
-            from ..radiation.fvdom import FvDOM
+            from ..radiation import make_radiation
 
             self.radiation = (
-                FvDOM.from_case_dict(rad_props, g, self.case) if self.rad_on else None
+                make_radiation(rad_props, g, self.case) if self.rad_on else None
             )
         elif radiation is False:
             self.radiation = None
         else:
             self.radiation = radiation
+        # soot model owned by the radiation model (radiationModel.C:222-225)
+        from ..radiation.soot import make_soot_model
+
+        self.soot = make_soot_model(rad_props, self.reaction)
         # optically-thin fallback radiant fraction (constRadFractionEmission
         # EhrrCoeff — cases/steckler/constant/radiationProperties)
         aec = rad_props.get_dict("constRadFractionEmissionCoeffs", FoamDict())

@@ -75,6 +75,67 @@ def _ray_geometry(n_theta: int, n_phi: int, dtype):
     )
 
 
+def parse_grey_species(aec: FoamDict) -> tuple:
+    """Static per-species polynomial data for greyMeanAbsorptionEmission
+    (reference greyMeanAbsorptionEmission.C: lo/hi T-polynomial absorption
+    coefficients, optionally in 1/T, weighted by partial pressure [atm])."""
+    gs = []
+    for name, sd in aec.subdicts():
+        if not sd.found("hiTcoeffs"):
+            continue
+        gs.append(
+            (
+                name,
+                sd.get_scalar("Tcommon", 300.0),
+                sd.get_bool("invTemp", True),
+                tuple(float(x) for x in sd.get_list("loTcoeffs")),
+                tuple(float(x) for x in sd.get_list("hiTcoeffs")),
+                sd.get_scalar("Tlow", 200.0),
+                sd.get_scalar("Thigh", 2500.0),
+            )
+        )
+    return tuple(gs)
+
+
+def grey_absorption(grey_species, a_const, ae_model, geom, state, gas):
+    """Grey absorption coefficient a [1/m] on (cells, boundary faces)."""
+    dtype = geom.dtype
+    if ae_model not in (
+        "greyMeanAbsorptionEmission",
+        "greyMeanAbsorptionEmissionSoot",
+    ) or not grey_species:
+        a = jnp.full((geom.n_cells,), a_const, dtype)
+        a_b = jnp.full((geom.n_boundary,), a_const, dtype)
+        return a, a_b
+
+    def a_of(T, Y, p):
+        W_mix = 8314.47 / gas.R(Y)
+        p_atm = p / 101325.0
+        a = jnp.zeros_like(T)
+        for name, tc, inv, lo, hi, tlow, thigh in grey_species:
+            if name not in gas.species:
+                continue
+            si = gas.index(name)
+            Xi = Y[:, si] * W_mix / gas.W[si]
+            Tc = jnp.clip(T, tlow, thigh)
+            Tx = jnp.where(inv, 1.0 / Tc, Tc)
+
+            def poly(coeffs, Tx=Tx):
+                out = jnp.zeros_like(Tx)
+                for k, c in enumerate(coeffs):
+                    out = out + c * Tx**k
+                return out
+
+            ai = jnp.where(T < tc, poly(lo), poly(hi))
+            a = a + ai * Xi * p_atm
+        return jnp.maximum(a, 0.0)
+
+    return (
+        a_of(state["T"].i, state["Y"].i, state["p"].i),
+        a_of(state["T"].b, state["Y"].b, state["p"].b),
+    )
+
+
 @dataclass
 class FvDOM:
     geom: MeshGeometry
@@ -141,22 +202,7 @@ class FvDOM:
         # cases/detailedSprinklerInjection/constant/radiationProperties)
         grey_species = ()
         if aem in ("greyMeanAbsorptionEmission", "greyMeanAbsorptionEmissionSoot"):
-            gs = []
-            for name, sd in aec.subdicts():
-                if not sd.found("hiTcoeffs"):
-                    continue
-                gs.append(
-                    (
-                        name,
-                        sd.get_scalar("Tcommon", 300.0),
-                        sd.get_bool("invTemp", True),
-                        tuple(float(x) for x in sd.get_list("loTcoeffs")),
-                        tuple(float(x) for x in sd.get_list("hiTcoeffs")),
-                        sd.get_scalar("Tlow", 200.0),
-                        sd.get_scalar("Thigh", 2500.0),
-                    )
-                )
-            grey_species = tuple(gs)
+            grey_species = parse_grey_species(aec)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         return cls(
@@ -194,6 +240,7 @@ class FvDOM:
             "I": jnp.zeros((self.n_rays, g.n_cells), dtype),
             "G": jnp.zeros((g.n_cells,), dtype),
             "E": jnp.zeros((g.n_cells,), dtype),
+            "a": jnp.full((g.n_cells,), self.a_const, dtype),
             "count": jnp.asarray(0, jnp.int32),
             "chi": jnp.asarray(self.ehrr, dtype),
         }
@@ -220,40 +267,9 @@ class FvDOM:
     # ------------------------------------------------------- absorption
     def absorption(self, state, gas):
         """Grey absorption coefficient a [1/m] on cells and boundary."""
-        g = self.geom
-        dtype = g.dtype
-        if self.ae_model not in (
-            "greyMeanAbsorptionEmission",
-            "greyMeanAbsorptionEmissionSoot",
-        ) or not self.grey_species:
-            a = jnp.full((g.n_cells,), self.a_const, dtype)
-            a_b = jnp.full((g.n_boundary,), self.a_const, dtype)
-            return a, a_b
-
-        def a_of(T, Y):
-            W_mix = 8314.47 / gas.R(Y)
-            p_atm = state["p"].i if T.shape == state["T"].i.shape else state["p"].b
-            p_atm = p_atm / 101325.0
-            a = jnp.zeros_like(T)
-            for name, tc, inv, lo, hi, tlow, thigh in self.grey_species:
-                if name not in gas.species:
-                    continue
-                si = gas.index(name)
-                Xi = Y[:, si] * W_mix / gas.W[si]
-                Tc = jnp.clip(T, tlow, thigh)
-                Tx = jnp.where(inv, 1.0 / Tc, Tc)
-
-                def poly(coeffs, Tx=Tx):
-                    out = jnp.zeros_like(Tx)
-                    for k, c in enumerate(coeffs):
-                        out = out + c * Tx**k
-                    return out
-
-                ai = jnp.where(T < tc, poly(lo), poly(hi))
-                a = a + ai * Xi * p_atm
-            return jnp.maximum(a, 0.0)
-
-        return a_of(state["T"].i, state["Y"].i), a_of(state["T"].b, state["Y"].b)
+        return grey_absorption(
+            self.grey_species, self.a_const, self.ae_model, self.geom, state, gas
+        )
 
     # ------------------------------------------------------------ solve
     def _solve_rays(self, rad, state, gas):
@@ -304,6 +320,7 @@ class FvDOM:
             "I": I_new,
             "G": G,
             "E": E_tot,
+            "a": a,
             "count": rad["count"] + 1,
             "chi": chi,
         }
@@ -334,11 +351,13 @@ class FvDOM:
         recomputed EVERY step from the current Qdot and radScaling mass
         fluxes (ECont is re-evaluated at each Sh — golden log prints a fresh
         'Radiant Fraction' per step: 0.22 at step 1, 0.36 after), while G
-        stays stale between solverFreq ray solves. Rp ∝ eCont = 0 for
-        constRadFractionEmission, so there is no 4aσT⁴ term here."""
+        and the absorption field a stay stale between solverFreq ray solves
+        (fvDOM.C:588-653 Rp = 4·a·σ, Ru = Σ a_j·G_j − E_j; a = 0 for
+        constRadFractionEmission so both terms vanish there)."""
         chi = self._chi(state)
         E = chi * state["Qdot"]
-        return self.a_const * state["rad"]["G"] - E
+        a = state["rad"]["a"]
+        return a * (state["rad"]["G"] - 4.0 * SIGMA * state["T"].i ** 4) - E
 
     # ------------------------------------------------------- diagnostics
     def qr_boundary(self, rad) -> jnp.ndarray:

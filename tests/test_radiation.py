@@ -110,3 +110,104 @@ def test_grey_mean_absorption():
     a_cold, _ = rad.absorption(state_cold, gas)
     assert float(a_cold.mean()) != float(a.mean())
     assert float(a.min()) >= 0.0 and np.isfinite(np.asarray(a)).all()
+
+
+def _unit_box_geom(n=4):
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.mesh import block_mesh
+    from firefoam_tpu.ops import MeshGeometry
+
+    d = parse_string(
+        f"""
+        convertToMeters 1;
+        vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+                   (0 0 1) (1 0 1) (1 1 1) (0 1 1) );
+        blocks ( hex (0 1 2 3 4 5 6 7) ({n} {n} {n}) simpleGrading (1 1 1) );
+        edges ();
+        boundary ( walls {{ type wall; faces ( (0 4 7 3) (1 2 6 5) (0 1 5 4)
+                   (3 7 6 2) (0 3 2 1) (4 5 6 7) ); }} );
+        """
+    )
+    return MeshGeometry.from_polymesh(block_mesh(d))
+
+
+def test_p1_isothermal_equilibrium():
+    """P1 in an isothermal enclosure (gas T = wall T): G must relax to the
+    equilibrium 4σT⁴ (reference P1.C:212-258 + Marshak walls)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.io.casedir import Case
+    from firefoam_tpu.ops import VolField
+    from firefoam_tpu.radiation import make_radiation
+    from firefoam_tpu.radiation.p1 import P1
+
+    geom = _unit_box_geom(4)
+    rp = parse_string(
+        """
+        radiation on;
+        radiationModel P1;
+        solverFreq 1;
+        absorptionEmissionModel constantAbsorptionEmission;
+        constantAbsorptionEmissionCoeffs { a 0.5; e 0.5; E 0; }
+        scatterModel none;
+        sootModel none;
+        """
+    )
+    rad = make_radiation(rp, geom, None)
+    assert isinstance(rad, P1)
+    nC, nB = geom.n_cells, geom.n_boundary
+    T0 = 500.0
+    state = {
+        "T": VolField(jnp.full((nC,), T0), jnp.full((nB,), T0)),
+        "Qdot": jnp.zeros((nC,)),
+        "rad": rad.initial_state(),
+    }
+    state["rad"] = rad.maybe_correct(state, None)
+    G_eq = 4.0 * SIGMA * T0**4
+    assert np.allclose(np.asarray(state["rad"]["G"]), G_eq, rtol=1e-3)
+    # Sh = a·G − 4eσT⁴ − 0 ≈ 0 at equilibrium
+    sh = rad.Sh(state, None)
+    assert np.allclose(np.asarray(sh), 0.0, atol=1e-2 * 0.5 * G_eq)
+    # cold-wall case: net heat loss from the hot gas (Sh < 0) and positive
+    # wall-incident flux
+    state2 = {
+        "T": VolField(jnp.full((nC,), 1000.0), jnp.full((nB,), 300.0)),
+        "Qdot": jnp.zeros((nC,)),
+        "rad": rad.initial_state(),
+    }
+    state2["rad"] = rad.maybe_correct(state2, None)
+    sh2 = rad.Sh(state2, None)
+    assert float(sh2.mean()) < 0.0
+    qr = rad.qr_boundary(state2["rad"])
+    qin = rad.qin_boundary(state2["rad"])
+    assert float(qin.min()) > 0.0
+    assert np.isfinite(np.asarray(qr)).all()
+
+
+def test_mixture_fraction_soot():
+    """sootMax from the steckler propane single step and the linear state
+    relation (mixtureFractionSoot.C:100-155)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.models.firefoam import FireFoamSolver
+    from firefoam_tpu.radiation.soot import make_soot_model
+
+    solver = FireFoamSolver(reference_case("steckler"), radiation=False)
+    rp = parse_string(
+        """
+        sootModel mixtureFractionSoot<gasHThermoPhysics>;
+        mixtureFractionSootCoeffs { nuSoot 0.055; Wsoot 12; }
+        """
+    )
+    soot = make_soot_model(rp, solver.reaction)
+    assert soot is not None
+    assert 0.0 < soot.soot_max < 0.05
+    # linear in the mapping field; zero at Y=0, sootMax at Y=Yprod0
+    nC = solver.geom.n_cells
+    Y = np.zeros((nC, len(solver.species)))
+    Y[:, soot.map_index] = soot.map_max
+    s = soot.soot(jnp.asarray(Y))
+    assert np.allclose(np.asarray(s), soot.soot_max, rtol=1e-12)
+    assert float(soot.soot(jnp.zeros_like(jnp.asarray(Y))).max()) == 0.0
+    # 'none' selection
+    assert make_soot_model(parse_string("sootModel none;"), solver.reaction) is None
