@@ -82,6 +82,19 @@ class Case:
     def fv_solution(self) -> FoamDict:
         return self.system("fvSolution")
 
+    def start_time(self) -> str:
+        """controlDict startFrom: startTime | firstTime | latestTime
+        (checkpoint/resume — reference runs resume from the last written
+        time directory via 'startFrom latestTime')."""
+        cd = self.control_dict
+        mode = str(cd.lookup("startFrom", "startTime"))
+        names = self.time_names()
+        if mode == "latestTime":
+            return names[-1] if names else "0"
+        if mode == "firstTime":
+            return names[0] if names else "0"
+        return _time_name(cd.get_scalar("startTime", 0.0))
+
     # -- fields ---------------------------------------------------------------
     def field(self, name: str, time="0") -> FieldFile:
         tdir = self.time_dir(time)

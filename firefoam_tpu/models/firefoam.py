@@ -212,6 +212,8 @@ class FireFoamSolver:
                 self._build_film(sfp)
 
         # ---- fields & BCs ----
+        self.t0_name = self.case.start_time()
+        self.t0 = float(self.t0_name)
         self._read_initial_fields()
         if self.pyrolysis is not None:
             self._init_pyro_coupling()
@@ -226,7 +228,12 @@ class FireFoamSolver:
 
     # ------------------------------------------------------------------
     def _read_field(self, name: str, default_name: Optional[str] = None):
-        if self.case.has_field(name):
+        # startFrom latestTime/startTime: prefer the start-time directory,
+        # falling back to 0/ for fields not written there
+        t0 = self.t0_name
+        if t0 != "0" and self.case.has_field(name, t0):
+            ff = self.case.field(name, t0)
+        elif self.case.has_field(name):
             ff = self.case.field(name)
         elif default_name is not None:
             ff = self.case.field_or_default(name, default_name)
@@ -282,7 +289,7 @@ class FireFoamSolver:
         phi = SurfaceField(rho_f.i * uflux.i, rho_f.b * uflux.b)
 
         state = {
-            "t": jnp.asarray(0.0, dt),
+            "t": jnp.asarray(self.t0, dt),
             "dt": jnp.asarray(self.ctl.dt0, dt),
             "U": self.U,
             "p_rgh": self.p_rgh,
@@ -315,7 +322,8 @@ class FireFoamSolver:
             state["film"] = self.film.initial_state()
         if self.rtis is not None and self.rtis.n > 0:
             state["rtis"] = self.rtis.initial_state()
-        if self.ctl.hydrostatic_init:
+        # phrghEqn.H runs only at t = 0 (reference guards on runTime == 0)
+        if self.ctl.hydrostatic_init and self.t0 == 0.0:
             state = self._hydrostatic_init(state)
         return state
 

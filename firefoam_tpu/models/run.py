@@ -34,8 +34,14 @@ def run_case(
     solver: Optional[FireFoamSolver] = None,
     output_dir: Optional[str] = None,
     write_fields: bool = False,
+    resume: Optional[str] = None,
 ):
-    """Run a case to end_time; returns (solver, final_state, step_logs)."""
+    """Run a case to end_time; returns (solver, final_state, step_logs).
+
+    resume: path to a state checkpoint (io.checkpoint), or "auto" to pick
+    the latest one under output_dir when controlDict says
+    'startFrom latestTime'.
+    """
     import contextlib
 
     stage = contextlib.nullcontext()
@@ -48,6 +54,18 @@ def run_case(
         if solver is None:
             solver = FireFoamSolver(case_dir, radiation=None if radiation else False)
         state = solver.initial_state()
+        if resume:
+            from ..io.checkpoint import latest_checkpoint, load_checkpoint
+
+            ckpt = resume
+            if resume == "auto":
+                mode = str(solver.case.control_dict.lookup("startFrom", "startTime"))
+                root = output_dir or case_dir
+                ckpt = latest_checkpoint(root) if mode == "latestTime" else None
+            if ckpt:
+                state = load_checkpoint(ckpt, state)
+                if verbose:
+                    print(f"Resumed from {ckpt} at t = {float(state['t']):.6g}")
     step = solver.make_step()
     end = end_time if end_time is not None else solver.ctl.end_time
 
@@ -75,9 +93,11 @@ def run_case(
         if solver.rtis is not None and "rtis" in state:
             solver.rtis.record(float(state["t"]), state["rtis"])
         if write_fields and float(state["t"]) + 1e-9 >= next_write:
+            from ..io.checkpoint import checkpoint_path, save_checkpoint
             from ..io.writer import write_time_dir
 
             write_time_dir(output_dir, float(state["t"]), solver, state)
+            save_checkpoint(checkpoint_path(output_dir, float(state["t"])), state)
             next_write += solver.ctl.write_interval
         if verbose and not solver.solve_primary:
             # solid-only cases (pyrolysis1D): region log only
@@ -127,6 +147,14 @@ def main(argv=None):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--write", action="store_true", help="write field time dirs")
     ap.add_argument("--output", default=None, help="output case root for writes")
+    ap.add_argument(
+        "--resume",
+        nargs="?",
+        const="auto",
+        default=None,
+        help="resume from a state checkpoint ('auto': latest under the "
+        "output root when controlDict has startFrom latestTime)",
+    )
     args = ap.parse_args(argv)
     # The env's TPU PJRT plugin registers itself in every process and wins
     # over the JAX_PLATFORMS env var; a config update is the hard override.
@@ -143,6 +171,7 @@ def main(argv=None):
         radiation=not args.no_radiation,
         output_dir=args.output,
         write_fields=args.write or args.output is not None,
+        resume=args.resume,
     )
     solver.function_objects.write()
     if solver.rtis is not None:
