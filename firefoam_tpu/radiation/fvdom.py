@@ -160,6 +160,7 @@ class FvDOM:
     phi_ray: jnp.ndarray  # [nRay, nI] = dAve·Sf
     phi_ray_b: jnp.ndarray  # [nRay, nB]
     tol: float = 1e-4
+    wsggm: object = None  # WSGGMGreySmith when selected
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -203,6 +204,11 @@ class FvDOM:
         grey_species = ()
         if aem in ("greyMeanAbsorptionEmission", "greyMeanAbsorptionEmissionSoot"):
             grey_species = parse_grey_species(aec)
+        wsggm = None
+        if aem.startswith("wsggmAbsorptionEmissionGrey"):
+            from .wsggm import WSGGMGreySmith
+
+            wsggm = WSGGMGreySmith.from_coeffs(aec)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         return cls(
@@ -222,6 +228,7 @@ class FvDOM:
             ae_model=aem,
             grey_species=grey_species,
             emissivity=jnp.ones((geom.n_boundary,), dtype),
+            wsggm=wsggm,
             d_ave=d_ave,
             omega=omega,
             phi_ray=phi_ray,
@@ -267,6 +274,11 @@ class FvDOM:
     # ------------------------------------------------------- absorption
     def absorption(self, state, gas):
         """Grey absorption coefficient a [1/m] on cells and boundary."""
+        if self.wsggm is not None:
+            return (
+                self.wsggm.a(state["T"].i, state["Y"].i, state["p"].i, gas),
+                self.wsggm.a(state["T"].b, state["Y"].b, state["p"].b, gas),
+            )
         return grey_absorption(
             self.grey_species, self.a_const, self.ae_model, self.geom, state, gas
         )

@@ -53,6 +53,7 @@ class P1:
     grey_species: tuple
     emissivity: jnp.ndarray  # [nB]
     tol: float = 1e-6
+    wsggm: object = None
 
     n_rays = 0  # interface parity with FvDOM (no ordinate axis)
 
@@ -67,6 +68,11 @@ class P1:
         grey_species = ()
         if aem in ("greyMeanAbsorptionEmission", "greyMeanAbsorptionEmissionSoot"):
             grey_species = parse_grey_species(aec)
+        wsggm = None
+        if aem.startswith("wsggmAbsorptionEmissionGrey"):
+            from .wsggm import WSGGMGreySmith
+
+            wsggm = WSGGMGreySmith.from_coeffs(aec)
         sc = rp.get_dict("constantScatterCoeffs", FoamDict())
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
@@ -89,6 +95,7 @@ class P1:
             ae_model=aem,
             grey_species=grey_species,
             emissivity=jnp.ones((geom.n_boundary,), geom.dtype),
+            wsggm=wsggm,
         )
 
     # ----------------------------------------------------------- state
@@ -124,7 +131,12 @@ class P1:
         return jnp.maximum(chi, min(self.ehrr1, self.ehrr2))
 
     def _ae(self, state, gas):
-        """(a, a_b, e) fields by submodel; greyMean: e = a (Kirchhoff)."""
+        """(a, a_b, e) fields by submodel; greyMean/WSGGM: e = a (Kirchhoff,
+        greyMeanAbsorptionEmission.C:259-262, GreySmith.C:663-667)."""
+        if self.wsggm is not None:
+            a = self.wsggm.a(state["T"].i, state["Y"].i, state["p"].i, gas)
+            a_b = self.wsggm.a(state["T"].b, state["Y"].b, state["p"].b, gas)
+            return a, a_b, a
         a, a_b = grey_absorption(
             self.grey_species, self.a_const, self.ae_model, self.geom, state, gas
         )

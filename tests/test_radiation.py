@@ -211,3 +211,70 @@ def test_mixture_fraction_soot():
     assert float(soot.soot(jnp.zeros_like(jnp.asarray(Y))).max()) == 0.0
     # 'none' selection
     assert make_soot_model(parse_string("sootModel none;"), solver.reaction) is None
+
+
+def test_wsggm_grey_smith():
+    """Smith WSGGM: vectorized a vs an independent scalar evaluation of the
+    published coefficients (wsggmAbsorptionEmissionGreySmith.C:465-660)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.io.casedir import Case
+    from firefoam_tpu.io.foamdict import parse_file as pf
+    from firefoam_tpu.radiation.wsggm import WSGGMGreySmith, _B_LOW, _K_LOW
+    from firefoam_tpu.thermo import GasThermo
+    from conftest import reference_case
+
+    case_dir = reference_case("detailedSprinklerInjection")
+    tp = Case(case_dir).constant("thermophysicalProperties")
+    from firefoam_tpu.io.foamdict import expand_env
+    th = pf(expand_env(str(tp.lookup("foamChemistryThermoFile")), case_dir), case_dir=case_dir)
+    rx = pf(expand_env(str(tp.lookup("foamChemistryFile")), case_dir), case_dir=case_dir)
+    species = [str(s) for s in rx.get_list("species")]
+    gas = GasThermo.from_dict(th, species)
+
+    coeffs = parse_string("pathLength  pathLength [0 1 0 0 0] 1.0; Pw_div_Pc 2; Csoot 0;")
+    m = WSGGMGreySmith.from_coeffs(coeffs)
+    assert m.path_length == 1.0 and m.regime == 0
+
+    n = 8
+    T = np.linspace(400.0, 2000.0, n)
+    Y = np.zeros((n, len(species)))
+    Y[:, species.index("CO2")] = 0.12
+    Y[:, species.index("H2O")] = 0.10
+    Y[:, species.index("N2")] = 0.78
+    p = np.full(n, 101325.0)
+    a = np.asarray(m.a(jnp.asarray(T), jnp.asarray(Y), jnp.asarray(p), gas))
+
+    # independent scalar evaluation (low band: T <= 2400)
+    W = np.asarray(gas.W)
+    for i in range(n):
+        W_mix = 1.0 / (Y[i] / W).sum()
+        pL = W_mix * (Y[i, species.index("CO2")] / W[species.index("CO2")]
+                      + Y[i, species.index("H2O")] / W[species.index("H2O")]) * 1.0
+        eps = 0.0
+        for gi in range(3):
+            w = sum(_B_LOW[0][gi][j] * T[i] ** j for j in range(4))
+            eps += w * (1.0 - np.exp(-_K_LOW[0][gi] * pL))
+        a_ref = -np.log(1.0 - min(eps, 0.9999))
+        assert a[i] == pytest.approx(a_ref, rel=1e-6), (T[i], a[i], a_ref)
+
+    # physical range for combustion products over fire temperatures
+    assert (a > 0.01).all() and (a < 5.0).all()
+
+    # fvDOM/P1 selection by dict name
+    from firefoam_tpu.ops import MeshGeometry, VolField
+    from firefoam_tpu.mesh import block_mesh
+    from firefoam_tpu.radiation import make_radiation
+
+    rp = parse_string(
+        """
+        radiation on;
+        radiationModel P1;
+        solverFreq 1;
+        absorptionEmissionModel wsggmAbsorptionEmissionGreySmith;
+        wsggmAbsorptionEmissionGreySmithCoeffs
+        { pathLength pathLength [0 1 0 0 0] 1.0; Pw_div_Pc 2; Csoot 0; }
+        """
+    )
+    rad = make_radiation(rp, _unit_box_geom(3), None)
+    assert rad.wsggm is not None
