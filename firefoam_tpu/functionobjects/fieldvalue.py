@@ -94,13 +94,15 @@ class FunctionObjects:
                     cells = fo.params["cells"]
                     out[tag] = v[jnp.asarray(cells)]
                 elif fo.kind == "faceZonesIntegration":
-                    # integrate the surface field over the zone's faces
+                    # per-zone flip-signed integral of the surface field
+                    # (faceZonesIntegration.C:258-283 calcFaceZonesIntegral)
                     sv = state.get(fname)
                     if sv is None or not hasattr(sv, "i"):
                         continue
-                    fsel = fo.params.get("face_slots")
-                    if fsel is not None:
-                        out[tag] = jnp.sum(sv.i[jnp.asarray(fsel)])
+                    for zname, slots, signs in fo.params.get("zone_slots", ()):
+                        out[f"{tag}_{zname}"] = jnp.sum(
+                            sv.i[jnp.asarray(slots)] * jnp.asarray(signs, sv.i.dtype)
+                        )
         return out
 
     # --------------------------------------------------------- host part
@@ -158,19 +160,20 @@ def make_function_objects(solver, control_dict: FoamDict) -> FunctionObjects:
         elif kind == "faceZonesIntegration":
             zones = [str(z) for z in d.get_list("faceZones", [])]
             params["zones"] = zones
-            # resolve zone faces to internal-face storage slots
+            # resolve each zone to internal-face storage slots + flip signs
             g = solver.geom
-            slots = []
+            zone_slots = []
             for z in zones:
                 fz = solver.cm.face_zones.get(z)
                 if fz is None:
                     continue
                 f = np.asarray(fz.faces)
-                f = f[f < g.n_internal_real]
-                slots.append(g.face_perm[f])
-            params["face_slots"] = (
-                np.concatenate(slots) if slots else None
-            )
+                flip = np.asarray(fz.flip) if getattr(fz, "flip", None) is not None else np.zeros(f.shape[0], bool)
+                keep = f < g.n_internal_real
+                f, flip = f[keep], flip[keep]
+                signs = np.where(flip, -1.0, 1.0)
+                zone_slots.append((z, g.face_perm[f], signs))
+            params["zone_slots"] = tuple(zone_slots)
         elif kind == "fieldMinMax":
             pass
         else:
