@@ -179,6 +179,12 @@ class ReactingCloud:
         for inj in self.injectors:
             inj.max_per_step = inj.capacity_for_dt(dt_max)
 
+        # cloud function objects: ParticleCollectorFmg (lib/
+        # additionalCloudFunctionObjects — SURVEY §2.10)
+        from .collector import make_collectors
+
+        self.collectors = make_collectors(props)
+
         # patch interaction: standardWallInteraction type over wall patches;
         # thermoSurfaceFilm marks film-covered patches (filmPatches arg later)
         pim = sub.get_word("patchInteractionModel", "standardWallInteraction")
@@ -241,6 +247,7 @@ class ReactingCloud:
             "age": jnp.zeros((cap,), dtp),
             "rng": jax.random.PRNGKey(seed),
             "inj": [inj.init_state() for inj in self.injectors],
+            "coll": [c.init_state(dtp) for c in self.collectors],
         }
         return st
 
@@ -560,6 +567,7 @@ class ReactingCloud:
             # ballistic move + containment walk (wall interactions inside)
             mass_before = self._mass(st)
             hit_T = st["T"]
+            x_pre = st["x"]
             x = st["x"] + jnp.where(st["alive"][:, None], st["U"] * dt_sub, 0.0)
             x, U, cell, alive, hit, code = self.walk.walk(
                 x, st["U"], st["cell"], st["alive"], self.b_code, self.b_e,
@@ -568,6 +576,18 @@ class ReactingCloud:
             died = st["alive"] & ~alive
             st = dict(st)
             st.update(x=x, U=U, cell=cell, alive=alive)
+            # particle collectors: segment-crossing accumulation
+            if self.collectors:
+                cstates = []
+                for c, cst in zip(self.collectors, st["coll"]):
+                    cst, caught = c.collect(
+                        cst, x_pre, st["x"], mass_before, st["d"], st["U"],
+                        st["alive"], dt_sub,
+                    )
+                    if c.remove_collected:
+                        st["alive"] = st["alive"] & ~caught
+                    cstates.append(cst)
+                st["coll"] = cstates
             # escaped-mass bookkeeping
             esc = died & (code == INTERACT_ESCAPE)
             src["escapedMass"] = src["escapedMass"] + jnp.sum(
@@ -582,6 +602,23 @@ class ReactingCloud:
             st, src = self._calc(st, gas, dt_sub, src)
 
         return st, src
+
+    # ------------------------------------------------------------------
+    def write_collectors(self, st: Dict, out_dir: str):
+        """Per-collector dat files: bin masses, mean velocity, dv50
+        (reference ParticleCollectorFmg master-only log files)."""
+        import os
+
+        for c, cst in zip(self.collectors, st["coll"]):
+            s = c.summarise(cst)
+            d = os.path.join(out_dir, c.name)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "collector.dat"), "w") as f:
+                f.write(f"# particleCollector {c.name} mode={c.mode}\n")
+                f.write(f"# collection time {s['time']:.8g} s, dv50 {s['dv50']:.8g} m\n")
+                f.write("# bin mass[kg] meanVel[m/s]\n")
+                for i, (m, v) in enumerate(zip(s["mass"], s["velocity"])):
+                    f.write(f"{i}\t{m:.8g}\t{v:.8g}\n")
 
     # ------------------------------------------------------------------
     def info(self, st: Dict) -> Dict:

@@ -176,6 +176,8 @@ def main(argv=None):
     solver.function_objects.write()
     if solver.rtis is not None:
         solver.rtis.write(solver.function_objects.out_dir)
+    if solver.cloud is not None and solver.cloud.collectors and "cloud" in state:
+        solver.cloud.write_collectors(state["cloud"], solver.function_objects.out_dir)
     print(f"End: t = {float(state['t']):.6g}, steps = {len(logs)}")
     return 0
 

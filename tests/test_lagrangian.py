@@ -426,3 +426,71 @@ def test_splash_regimes():
     m_left = float(cloud._mass(st).sum())
     assert film > 0.0 and m_left > 0.0
     assert film + m_left == pytest.approx(m0, rel=0.25)  # evap slightly nonzero
+
+
+def test_particle_collector_polygon_and_circle():
+    """ParticleCollectorFmg: falling parcels crossing a horizontal plane are
+    binned into the right polygon / annulus with correct mass and dv50
+    (reference ParticleCollectorFmg.C)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.lagrangian.collector import ParticleCollector
+
+    d = parse_string(
+        """
+        type particleCollectorFmg;
+        mode polygon;
+        polygons (
+            ((0 0.5 0) (0.4 0.5 0) (0.4 0.5 0.4) (0 0.5 0.4))
+            ((0.6 0.5 0) (1.0 0.5 0) (1.0 0.5 0.4) (0.6 0.5 0.4))
+        );
+        """
+    )
+    c = ParticleCollector.from_dict("pans", d)
+    assert c.n_bins == 2
+    cst = c.init_state(jnp.float64)
+
+    # 3 parcels: one through pan 0, one through pan 1, one missing both;
+    # a 4th moving upward must not be collected (negateParcels off)
+    x0 = jnp.asarray([[0.2, 0.6, 0.2], [0.8, 0.6, 0.2], [0.5, 0.6, 0.2], [0.2, 0.4, 0.2]])
+    x1 = jnp.asarray([[0.2, 0.4, 0.2], [0.8, 0.4, 0.2], [0.5, 0.4, 0.2], [0.2, 0.6, 0.2]])
+    mass = jnp.asarray([1e-6, 2e-6, 3e-6, 4e-6])
+    dia = jnp.asarray([1e-4, 4e-4, 1e-3, 1e-3])
+    U = jnp.tile(jnp.asarray([[0.0, -2.0, 0.0]]), (4, 1))
+    alive = jnp.ones(4, bool)
+    cst, hit = c.collect(cst, x0, x1, mass, dia, U, alive, 0.01)
+    assert np.array_equal(np.asarray(hit), [True, True, False, False])
+    np.testing.assert_allclose(np.asarray(cst["mass"]), [1e-6, 2e-6], rtol=1e-12)
+    s = c.summarise(cst)
+    np.testing.assert_allclose(s["velocity"], [2.0, 2.0], rtol=1e-12)
+    # dv50: mass-weighted median of {1e-4:1e-6, 4e-4:2e-6} lies in the 4e-4 bin
+    assert 2e-4 < s["dv50"] < 6e-4
+
+    # concentric circles: parcel at r=0.25 lands in ring 1 of radii (0.1 0.5)
+    d2 = parse_string(
+        """
+        type particleCollectorFmg;
+        mode concentricCircle;
+        origin (0.5 0.5 0.5);
+        radius (0.1 0.5);
+        nSector 4;
+        normal (0 -1 0);
+        refDir (1 0 0);
+        """
+    )
+    c2 = ParticleCollector.from_dict("circles", d2)
+    assert c2.n_bins == 8
+    cst2 = c2.init_state(jnp.float64)
+    x0 = jnp.asarray([[0.75, 0.6, 0.5], [0.55, 0.6, 0.5]])
+    x1 = jnp.asarray([[0.75, 0.4, 0.5], [0.55, 0.4, 0.5]])
+    mass = jnp.asarray([1e-6, 5e-6])
+    dia = jnp.asarray([5e-4, 5e-4])
+    U = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (2, 1))
+    cst2, hit2 = c2.collect(cst2, x0, x1, mass, dia, U, jnp.ones(2, bool), 0.01)
+    assert np.asarray(hit2).all()
+    m = np.asarray(cst2["mass"])
+    # r=0.25 -> ring 1 (0.1..0.5), theta=0 -> sector 0 => bin 4
+    # r=0.05 -> ring 0, sector 0 => bin 0
+    assert m[4] == pytest.approx(1e-6) and m[0] == pytest.approx(5e-6)
+    assert m.sum() == pytest.approx(6e-6)
