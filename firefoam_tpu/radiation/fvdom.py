@@ -211,6 +211,7 @@ class FvDOM:
             wsggm = WSGGMGreySmith.from_coeffs(aec)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
+        emissivity = _read_wall_emissivity(case, geom, dtype)
         return cls(
             geom=geom,
             n_theta=n_theta,
@@ -227,7 +228,7 @@ class FvDOM:
             patch2=p2,
             ae_model=aem,
             grey_species=grey_species,
-            emissivity=jnp.ones((geom.n_boundary,), dtype),
+            emissivity=emissivity,
             wsggm=wsggm,
             d_ave=d_ave,
             omega=omega,
@@ -391,6 +392,34 @@ class FvDOM:
 
 def _aslist(v):
     return v if isinstance(v, list) else [v]
+
+
+def _read_wall_emissivity(case, geom: MeshGeometry, dtype) -> jnp.ndarray:
+    """Per-boundary-face wall emissivity from 0/IDefault greyDiffusiveRadiation
+    patches ('emissivityMode lookup; emissivity uniform X' — reference
+    greyDiffusiveRadiationMixedFvPatchScalarField / radiationCoupledBase).
+    Unspecified patches (and solidRadiation mode) default to 1."""
+    em = np.ones(geom.n_boundary)
+    try:
+        ff = case.field("IDefault")
+    except (FileNotFoundError, AttributeError, TypeError):
+        return jnp.asarray(em, dtype)
+    for p in geom.patches:
+        bd = ff.boundary.get_dict(p.name, None)
+        if bd is None:
+            continue
+        if str(bd.lookup("emissivityMode", "lookup")) != "lookup":
+            continue
+        v = bd.lookup("emissivity", None)
+        if v is None:
+            continue
+        if isinstance(v, list):  # 'uniform 1.0' tokenises as [String, value]
+            v = v[-1]
+        try:
+            em[p.slice] = float(v)
+        except (TypeError, ValueError):
+            pass
+    return jnp.asarray(em, dtype)
 
 
 class _DeferredFvDOM:
