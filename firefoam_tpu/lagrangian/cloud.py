@@ -175,7 +175,9 @@ class ReactingCloud:
         inj_dict = sub.get_dict("injectionModels", FoamDict())
         self.injectors = []
         for iname, idict in inj_dict.subdicts():
-            self.injectors.append(make_injector(iname, idict, walk, case, self.dtype))
+            self.injectors.append(
+                make_injector(iname, idict, walk, case, self.dtype, geom=geom)
+            )
         for inj in self.injectors:
             inj.max_per_step = inj.capacity_for_dt(dt_max)
 

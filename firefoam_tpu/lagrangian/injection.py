@@ -36,7 +36,12 @@ import numpy as np
 from ..config import INT_DTYPE, real_dtype
 from ..io.foamdict import FoamDict
 
-__all__ = ["make_injector", "ConeInjection", "DetailedSprinklerInjection"]
+__all__ = [
+    "make_injector",
+    "ConeInjection",
+    "DetailedSprinklerInjection",
+    "PatchInjection",
+]
 
 _PI = math.pi
 
@@ -366,10 +371,69 @@ class DetailedSprinklerInjection(InjectorBase):
 
 
 # ---------------------------------------------------------------------------
-def make_injector(name: str, d: FoamDict, walk, case, dtype) -> InjectorBase:
+class PatchInjection(InjectorBase):
+    """Parcels released over a patch's faces (stock PatchInjection —
+    reference submodels/Kinematic/InjectionModel/PatchInjection): face
+    sampled ∝ area, released just inside the owner cell with velocity U0."""
+
+    def __init__(self, name: str, d: FoamDict, geom, dtype):
+        soi = d.get_scalar("SOI", 0.0)
+        dur = d.get_scalar("duration")
+        super().__init__(name, soi, dur)
+        self.dtype = dtype
+        patch = geom.patch(d.get_word("patchName", d.get_word("patch", "")))
+        sl = patch.slice
+        self.cells = np.asarray(geom.b_own[sl])
+        Cf = np.asarray(geom.b_Cf[sl])
+        C = np.asarray(geom.C)[self.cells]
+        # release point nudged off the face into the owner cell
+        self.x_rel = Cf + 0.05 * (C - Cf)
+        area = np.asarray(geom.b_magSf[sl])
+        self.face_cdf = np.cumsum(area) / area.sum()
+        self.U0 = np.asarray(d.get_vector("U0"), float)
+        self.pps = d.get_scalar("parcelsPerSecond")
+        self.mass_total = d.get_scalar("massTotal", 0.0)
+        self.mass_rate = self.mass_total / max(dur, 1e-300)
+        self.size_sampler = _make_size_sampler(d.get_dict("sizeDistribution"))
+
+    def capacity_for_dt(self, dt_max: float) -> int:
+        return max(1, int(math.ceil(self.pps * dt_max)) + 1)
+
+    def inject(self, st: Dict, key, t, dt, gas) -> Tuple[Dict, Dict]:
+        cap = self.max_per_step
+        dtp = self.dtype
+        el0 = jnp.clip(t - self.soi, 0.0, self.duration)
+        el1 = jnp.clip(t + dt - self.soi, 0.0, self.duration)
+        want = jnp.floor(el1 * self.pps).astype(INT_DTYPE) - st["n_inj"]
+        n_new = jnp.clip(want, 0, cap)
+        mass_new = self.mass_rate * (el1 - el0)
+
+        ks = jax.random.split(key, 2)
+        idx = jnp.arange(cap, dtype=INT_DTYPE)
+        valid = idx < n_new
+        u = jax.random.uniform(ks[0], (cap,), dtype=dtp)
+        f = jnp.searchsorted(jnp.asarray(self.face_cdf, dtp), u).astype(INT_DTYPE)
+        f = jnp.minimum(f, len(self.cells) - 1)
+        x = jnp.asarray(self.x_rel, dtp)[f]
+        cell = jnp.asarray(self.cells, INT_DTYPE)[f]
+        U = jnp.broadcast_to(jnp.asarray(self.U0, dtp), (cap, 3))
+        dia = self.size_sampler(ks[1], cap).astype(dtp)
+        mass_per = jnp.where(n_new > 0, mass_new / jnp.maximum(n_new, 1), 0.0)
+        st = {"n_inj": st["n_inj"] + n_new}
+        cand = {
+            "x": x, "U": U, "d": dia, "cell": cell, "valid": valid,
+            "mass": jnp.where(valid, mass_per, 0.0),
+        }
+        return st, cand
+
+
+# ---------------------------------------------------------------------------
+def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None) -> InjectorBase:
     kind = d.get_word("type")
     if kind == "coneInjection":
         return ConeInjection(name, d, walk, dtype)
+    if kind in ("patchInjection", "patchFlowRateInjection") and geom is not None:
+        return PatchInjection(name, d, geom, dtype)
     if kind in (
         "detailedSprinklerInjection",
         "detailedSprinklerInjection2",

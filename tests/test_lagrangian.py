@@ -494,3 +494,44 @@ def test_particle_collector_polygon_and_circle():
     # r=0.05 -> ring 0, sector 0 => bin 0
     assert m[4] == pytest.approx(1e-6) and m[0] == pytest.approx(5e-6)
     assert m.sum() == pytest.approx(6e-6)
+
+
+def test_patch_injection():
+    """PatchInjection: parcels released over the patch faces, area-weighted,
+    just inside the owner cells, with U0 (reference stock PatchInjection)."""
+    from firefoam_tpu.lagrangian.injection import PatchInjection
+
+    mesh = small_mesh()
+    geom = MeshGeometry.from_polymesh(mesh)
+    d = parse_string(
+        """
+        type patchInjection;
+        patchName top;
+        SOI 0.0; duration 1.0;
+        parcelsPerSecond 1000;
+        massTotal 0.5;
+        U0 (0 -3 0);
+        sizeDistribution { type fixedValue; fixedValueDistribution { value 5e-4; } }
+        """
+    )
+    inj = PatchInjection("inj", d, geom, jnp.float64)
+    inj.max_per_step = inj.capacity_for_dt(0.01)
+    st = inj.init_state()
+    key = jax.random.PRNGKey(0)
+    st, cand = inj.inject(st, key, jnp.asarray(0.0), jnp.asarray(0.01), None)
+    n = int(cand["valid"].sum())
+    assert n == 10  # pps=1000 * dt=0.01
+    x = np.asarray(cand["x"])[np.asarray(cand["valid"])]
+    # 'top' is the y=1 patch of the unit box: release points just inside
+    assert (x[:, 1] < 1.0).all() and (x[:, 1] > 0.85).all()
+    U = np.asarray(cand["U"])[np.asarray(cand["valid"])]
+    np.testing.assert_allclose(U, np.tile([0.0, -3.0, 0.0], (n, 1)))
+    np.testing.assert_allclose(np.asarray(cand["d"])[np.asarray(cand["valid"])], 5e-4)
+    # mass conservation: step mass = massTotal/duration*dt
+    np.testing.assert_allclose(float(cand["mass"].sum()), 0.5 / 1.0 * 0.01, rtol=1e-12)
+    # owner cells belong to the patch: all in the top cell layer
+    C = np.asarray(geom.C)[np.asarray(cand["cell"])[np.asarray(cand["valid"])]]
+    assert (C[:, 1] > 0.75).all()
+    # cumulative count: nothing more to inject for the same window
+    st2, cand2 = inj.inject(st, key, jnp.asarray(0.0), jnp.asarray(0.01), None)
+    assert int(cand2["valid"].sum()) == 0
