@@ -161,6 +161,7 @@ class FvDOM:
     phi_ray_b: jnp.ndarray  # [nRay, nB]
     tol: float = 1e-4
     wsggm: object = None  # WSGGMGreySmith when selected
+    sigma_s: float = 0.0  # constantScatter coefficient [1/m]
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -212,6 +213,10 @@ class FvDOM:
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         emissivity = _read_wall_emissivity(case, geom, dtype)
+        sigma_s = 0.0
+        if str(rp.lookup("scatterModel", "none")) == "constantScatter":
+            sv = rp.get_dict("constantScatterCoeffs", FoamDict()).lookup("sigma", 0.0)
+            sigma_s = float(sv[-1] if isinstance(sv, list) else sv)
         return cls(
             geom=geom,
             n_theta=n_theta,
@@ -230,6 +235,7 @@ class FvDOM:
             grey_species=grey_species,
             emissivity=emissivity,
             wsggm=wsggm,
+            sigma_s=sigma_s,
             d_ave=d_ave,
             omega=omega,
             phi_ray=phi_ray,
@@ -305,6 +311,14 @@ class FvDOM:
         I_wall = emis * sigT4_w / jnp.pi + (1.0 - emis) * qin / jnp.pi
 
         src_cell = (a * SIGMA * T.i**4 + 0.25 * E_tot) / jnp.pi  # per ω
+        # constantScatter: isotropic in-scatter σs·G_prev/4π from the
+        # previous sweep's intensities, extinction (a+σs)·ω·I
+        # (radiativeIntensityRay.C:283-304, constantScatter pFunc = σ/4π;
+        # the ω factor keeps the term consistent with every other RHS term)
+        sig = self.sigma_s
+        if sig != 0.0:
+            G_prev = jnp.einsum("rc,r->c", rad["I"], self.omega)
+            src_cell = src_cell + sig * G_prev / (4.0 * jnp.pi)
 
         def solve_one(phi_i, phi_b, omega, I0):
             psi = VolField(I0, I_wall)
@@ -315,7 +329,9 @@ class FvDOM:
                 I_wall, jnp.zeros_like(I_wall), f, g.b_dc
             )
             w_up = fvm.upwind_weights(g, phi_i)
-            m = fvm.div(g, phi, psi, w_up, vic, vbc) + fvm.Sp(g, a * omega, psi)
+            m = fvm.div(g, phi, psi, w_up, vic, vbc) + fvm.Sp(
+                g, (a + self.sigma_s) * omega, psi
+            )
             m = m.add_source(omega * src_cell)
             dt_tot = m.diag_total()
             b = m.rhs_total()

@@ -278,3 +278,47 @@ def test_wsggm_grey_smith():
     )
     rad = make_radiation(rp, _unit_box_geom(3), None)
     assert rad.wsggm is not None
+
+
+def test_fvdom_constant_scatter():
+    """constantScatter: σs adds extinction + isotropic in-scatter; in an
+    isothermal enclosure the equilibrium G = 4σT⁴ must be preserved (pure
+    scattering neither creates nor destroys radiative energy)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.ops import VolField
+    from firefoam_tpu.radiation import make_radiation
+
+    geom = _unit_box_geom(4)
+    rp_tpl = """
+        radiation on;
+        radiationModel fvDOM;
+        fvDOMCoeffs { nPhi 2; nTheta 2; maxIter 1; }
+        solverFreq 1;
+        absorptionEmissionModel constantAbsorptionEmission;
+        constantAbsorptionEmissionCoeffs { a 0.5; e 0; E 0; }
+        scatterModel constantScatter;
+        constantScatterCoeffs { sigma sigma [0 -1 0 0 0 0 0] %s; C C [0 0 0 0 0 0 0] 0; }
+        sootModel none;
+    """
+    nC, nB = geom.n_cells, geom.n_boundary
+    T0 = 600.0
+    state = {
+        "T": VolField(jnp.full((nC,), T0), jnp.full((nB,), T0)),
+        "Qdot": jnp.zeros((nC,)),
+    }
+    G_eq = 4.0 * SIGMA * T0**4
+
+    rad0 = make_radiation(parse_string(rp_tpl % "0"), geom, None)
+    assert rad0.sigma_s == 0.0
+    rads = make_radiation(parse_string(rp_tpl % "2.0"), geom, None)
+    assert rads.sigma_s == 2.0
+
+    for rad in (rad0, rads):
+        s = dict(state)
+        s["rad"] = rad.initial_state()
+        # the in-scatter lags one sweep; τ_scat = 2 needs several sweeps
+        # to propagate all scattering orders
+        for _ in range(12):
+            s["rad"] = rad._solve_rays(s["rad"], s, None)
+        assert np.allclose(np.asarray(s["rad"]["G"]), G_eq, rtol=0.05), rad.sigma_s
