@@ -99,10 +99,18 @@ class FunctionObjects:
                     sv = state.get(fname)
                     if sv is None or not hasattr(sv, "i"):
                         continue
-                    for zname, slots, signs in fo.params.get("zone_slots", ()):
-                        out[f"{tag}_{zname}"] = jnp.sum(
+                    for zname, slots, signs, bslots, bsigns in fo.params.get(
+                        "zone_slots", ()
+                    ):
+                        tot = jnp.sum(
                             sv.i[jnp.asarray(slots)] * jnp.asarray(signs, sv.i.dtype)
                         )
+                        if len(bslots):
+                            tot = tot + jnp.sum(
+                                sv.b[jnp.asarray(bslots)]
+                                * jnp.asarray(bsigns, sv.b.dtype)
+                            )
+                        out[f"{tag}_{zname}"] = tot
         return out
 
     # --------------------------------------------------------- host part
@@ -163,16 +171,27 @@ def make_function_objects(solver, control_dict: FoamDict) -> FunctionObjects:
             # resolve each zone to internal-face storage slots + flip signs
             g = solver.geom
             zone_slots = []
+            # zone faces on boundary patches (other than empty) contribute
+            # flip-signed too (reference calcFaceZonesIntegral includes
+            # non-processor/non-empty patch faces)
+            skip = np.zeros(g.n_boundary, bool)
+            for p in g.patches:
+                if p.ptype in ("empty", "processor"):
+                    skip[p.slice] = True
             for z in zones:
                 fz = solver.cm.face_zones.get(z)
                 if fz is None:
                     continue
                 f = np.asarray(fz.faces)
                 flip = np.asarray(fz.flip) if getattr(fz, "flip", None) is not None else np.zeros(f.shape[0], bool)
-                keep = f < g.n_internal_real
-                f, flip = f[keep], flip[keep]
                 signs = np.where(flip, -1.0, 1.0)
-                zone_slots.append((z, g.face_perm[f], signs))
+                keep = f < g.n_internal_real
+                bf = f[~keep] - g.n_internal_real
+                bsigns = signs[~keep][~skip[bf]]
+                bf = bf[~skip[bf]]
+                zone_slots.append(
+                    (z, g.face_perm[f[keep]], signs[keep], bf, bsigns)
+                )
             params["zone_slots"] = tuple(zone_slots)
         elif kind == "fieldMinMax":
             pass

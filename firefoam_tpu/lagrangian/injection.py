@@ -124,7 +124,10 @@ class InjectorBase:
     max_per_step: int = 0
 
     def init_state(self) -> Dict:
-        return {"n_inj": jnp.zeros((), INT_DTYPE)}
+        # m_owed accumulates mass for steps where no parcel fires (the
+        # reference InjectionModel holds timeStep0_ so un-injected mass is
+        # carried to the next firing step rather than dropped).
+        return {"n_inj": jnp.zeros((), INT_DTYPE), "m_owed": jnp.zeros(())}
 
 
 # ---------------------------------------------------------------------------
@@ -189,9 +192,14 @@ class ConeInjection(InjectorBase):
         )
         U = self.umag * dirv
         dia = self.size_sampler(ks[2], cap).astype(dtp)
-        # mass-basis parcel weighting: this step's mass split over its parcels
-        mass_per = jnp.where(n_new > 0, mass_new / jnp.maximum(n_new, 1), 0.0)
-        st = {"n_inj": st["n_inj"] + n_new}
+        # mass-basis parcel weighting: all mass owed since the last firing
+        # step (this step's + carried-over) split over this step's parcels
+        owed = st["m_owed"] + mass_new
+        mass_per = jnp.where(n_new > 0, owed / jnp.maximum(n_new, 1), 0.0)
+        st = {
+            "n_inj": st["n_inj"] + n_new,
+            "m_owed": jnp.where(n_new > 0, 0.0, owed),
+        }
         cand = {
             "x": x, "U": U, "d": dia, "cell": cell, "valid": valid,
             "mass": jnp.where(valid, mass_per, 0.0),
@@ -291,6 +299,7 @@ class DetailedSprinklerInjection(InjectorBase):
         st = super().init_state()
         st["Te"] = jnp.full((self.n_spr,), self.T0_link, self.dtype)
         st["t_act"] = jnp.full((self.n_spr,), -1.0, self.dtype)
+        st["m_owed"] = jnp.zeros((self.n_spr,), self.dtype)  # per-sprinkler
         return st
 
     def _update_links(self, st, t, dt, gas) -> Dict:
@@ -355,17 +364,22 @@ class DetailedSprinklerInjection(InjectorBase):
         x = jnp.asarray(self.positions, dtp)[spr] + self.radius * dirv
         U = vmag[:, None] * dirv
         dia = rosin_rammler_dv50(ks[2], dv50).astype(dtp)
-        # per-parcel mass: sprinkler volume flow split over this step's parcels
+        # per-parcel mass: each active sprinkler's K-factor flow accrues into
+        # a per-sprinkler owed-mass account, released over that sprinkler's
+        # parcels when a batch fires (reference timeStep0_ semantics)
         rho_l = 1000.0
-        mass_step = self.Q * rho_l * dt
-        mass_per = jnp.where(n_per > 0, mass_step / jnp.maximum(n_per, 1), 0.0)
+        accrue = jnp.where(active & in_window, self.Q * rho_l * dt, 0.0)
+        owed = st["m_owed"] + accrue.astype(dtp)
+        fires = (n_per > 0) & active & in_window  # [nSpr]
+        mass_per_spr = jnp.where(fires, owed / jnp.maximum(n_per, 1), 0.0)
+        st["m_owed"] = jnp.where(fires, 0.0, owed)
         cell = jnp.asarray(self.cells, INT_DTYPE)[spr]  # walk relocalises
 
         n_new = jnp.sum(valid).astype(INT_DTYPE)
         st["n_inj"] = st["n_inj"] + n_new
         cand = {
             "x": x, "U": U, "d": dia, "cell": cell, "valid": valid,
-            "mass": jnp.where(valid, mass_per, 0.0),
+            "mass": jnp.where(valid, mass_per_spr[spr], 0.0),
         }
         return st, cand
 
@@ -418,8 +432,12 @@ class PatchInjection(InjectorBase):
         cell = jnp.asarray(self.cells, INT_DTYPE)[f]
         U = jnp.broadcast_to(jnp.asarray(self.U0, dtp), (cap, 3))
         dia = self.size_sampler(ks[1], cap).astype(dtp)
-        mass_per = jnp.where(n_new > 0, mass_new / jnp.maximum(n_new, 1), 0.0)
-        st = {"n_inj": st["n_inj"] + n_new}
+        owed = st["m_owed"] + mass_new
+        mass_per = jnp.where(n_new > 0, owed / jnp.maximum(n_new, 1), 0.0)
+        st = {
+            "n_inj": st["n_inj"] + n_new,
+            "m_owed": jnp.where(n_new > 0, 0.0, owed),
+        }
         cand = {
             "x": x, "U": U, "d": dia, "cell": cell, "valid": valid,
             "mass": jnp.where(valid, mass_per, 0.0),

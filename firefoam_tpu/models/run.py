@@ -83,7 +83,12 @@ def run_case(
         if output_dir is None:
             write_fields = False
         else:
-            next_write = solver.ctl.write_interval
+            # first write lands on the next interval boundary past the
+            # (possibly resumed) start time
+            import math as _math
+
+            wi = solver.ctl.write_interval
+            next_write = (_math.floor(float(state["t"]) / wi + 1e-9) + 1) * wi
     while float(state["t"]) < end - 1e-12 and n < max_steps:
         state, log = step(state)
         n += 1

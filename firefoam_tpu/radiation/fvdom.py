@@ -162,6 +162,7 @@ class FvDOM:
     tol: float = 1e-4
     wsggm: object = None  # WSGGMGreySmith when selected
     sigma_s: float = 0.0  # constantScatter coefficient [1/m]
+    scatter_C: float = 0.0  # constantScatter linear-anisotropy coefficient
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -214,9 +215,13 @@ class FvDOM:
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         emissivity = _read_wall_emissivity(case, geom, dtype)
         sigma_s = 0.0
+        scatter_C = 0.0
         if str(rp.lookup("scatterModel", "none")) == "constantScatter":
-            sv = rp.get_dict("constantScatterCoeffs", FoamDict()).lookup("sigma", 0.0)
+            sc = rp.get_dict("constantScatterCoeffs", FoamDict())
+            sv = sc.lookup("sigma", 0.0)
             sigma_s = float(sv[-1] if isinstance(sv, list) else sv)
+            cv = sc.lookup("C", 0.0)
+            scatter_C = float(cv[-1] if isinstance(cv, list) else cv)
         return cls(
             geom=geom,
             n_theta=n_theta,
@@ -236,6 +241,7 @@ class FvDOM:
             emissivity=emissivity,
             wsggm=wsggm,
             sigma_s=sigma_s,
+            scatter_C=scatter_C,
             d_ave=d_ave,
             omega=omega,
             phi_ray=phi_ray,
@@ -292,7 +298,10 @@ class FvDOM:
 
     # ------------------------------------------------------------ solve
     def _solve_rays(self, rad, state, gas):
-        """One fvDOM calculate(): solve all rays (vmapped), update G."""
+        """One fvDOM calculate(): sweep all rays (vmapped) up to maxIter
+        times until the max initial residual drops below `convergence`,
+        re-evaluating wall reflection qin and the scatter in-source G each
+        sweep (reference fvDOM.C:549-586 do-while over radIter)."""
         g = self.geom
         dtype = g.dtype
         T = state["T"]
@@ -301,49 +310,73 @@ class FvDOM:
         a, a_b = self.absorption(state, gas)
 
         emis = self.emissivity
-        # incident flux per boundary face for (1−ε) reflection: from current I
-        qin = jnp.einsum(
-            "rb,rb->b",
-            rad["I"][:, g.b_own],
-            jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf,
-        )
         sigT4_w = SIGMA * T.b**4
-        I_wall = emis * sigT4_w / jnp.pi + (1.0 - emis) * qin / jnp.pi
-
-        src_cell = (a * SIGMA * T.i**4 + 0.25 * E_tot) / jnp.pi  # per ω
-        # constantScatter: isotropic in-scatter σs·G_prev/4π from the
-        # previous sweep's intensities, extinction (a+σs)·ω·I
-        # (radiativeIntensityRay.C:283-304, constantScatter pFunc = σ/4π;
-        # the ω factor keeps the term consistent with every other RHS term)
+        src_emit = (a * SIGMA * T.i**4 + 0.25 * E_tot) / jnp.pi  # per ω
+        # constantScatter: extinction uses sigmaEff = σs·(3−C)
+        # (constantScatter::sigmaEff), in-scatter source keeps σs/4π
         sig = self.sigma_s
-        if sig != 0.0:
-            G_prev = jnp.einsum("rc,r->c", rad["I"], self.omega)
-            src_cell = src_cell + sig * G_prev / (4.0 * jnp.pi)
+        sig_eff = sig * (3.0 - self.scatter_C)
 
-        def solve_one(phi_i, phi_b, omega, I0):
-            psi = VolField(I0, I_wall)
-            phi = SurfaceField(phi_i, phi_b)
-            # upwind convection; walls: incoming rays fixed, outgoing zeroGrad
-            f = jnp.where(phi_b < 0.0, 1.0, 0.0).astype(dtype)
-            vic, vbc = fvm.mixed_value_coeffs(
-                I_wall, jnp.zeros_like(I_wall), f, g.b_dc
+        def sweep(I):
+            # incident flux per boundary face for (1−ε) reflection
+            qin = jnp.einsum(
+                "rb,rb->b",
+                I[:, g.b_own],
+                jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf,
             )
-            w_up = fvm.upwind_weights(g, phi_i)
-            m = fvm.div(g, phi, psi, w_up, vic, vbc) + fvm.Sp(
-                g, (a + self.sigma_s) * omega, psi
-            )
-            m = m.add_source(omega * src_cell)
-            dt_tot = m.diag_total()
-            b = m.rhs_total()
-            res = bicgstab(
-                lambda x: m.matvec(x, dt_tot), I0, b, dt_tot,
-                tol=self.tol, rel_tol=0.0, max_iter=500,
-            )
-            return jnp.maximum(res.x, 0.0), res.initial_residual, res.n_iterations
+            I_wall = emis * sigT4_w / jnp.pi + (1.0 - emis) * qin / jnp.pi
+            scat_src = jnp.zeros_like(src_emit)
+            if sig != 0.0:
+                # isotropic in-scatter σs·G_prev/4π from the previous sweep,
+                # added WITHOUT the source ray's ω factor, exactly as the
+                # reference does (radiativeIntensityRay.C IiEq RHS
+                # `+ dom_.inScatEnergy(...)`, fvDOM.C:769-799 pFunc = σ/4π)
+                G_prev = jnp.einsum("rc,r->c", I, self.omega)
+                scat_src = sig * G_prev / (4.0 * jnp.pi)
 
-        I_new, res0, iters = jax.vmap(solve_one)(
-            self.phi_ray, self.phi_ray_b, self.omega, rad["I"]
-        )
+            def solve_one(phi_i, phi_b, omega, I0):
+                psi = VolField(I0, I_wall)
+                phi = SurfaceField(phi_i, phi_b)
+                # upwind convection; walls: incoming fixed, outgoing zeroGrad
+                f = jnp.where(phi_b < 0.0, 1.0, 0.0).astype(dtype)
+                vic, vbc = fvm.mixed_value_coeffs(
+                    I_wall, jnp.zeros_like(I_wall), f, g.b_dc
+                )
+                w_up = fvm.upwind_weights(g, phi_i)
+                m = fvm.div(g, phi, psi, w_up, vic, vbc) + fvm.Sp(
+                    g, (a + sig_eff) * omega, psi
+                )
+                m = m.add_source(omega * src_emit + scat_src)
+                dt_tot = m.diag_total()
+                b = m.rhs_total()
+                res = bicgstab(
+                    lambda x: m.matvec(x, dt_tot), I0, b, dt_tot,
+                    tol=self.tol, rel_tol=0.0, max_iter=500,
+                )
+                return jnp.maximum(res.x, 0.0), res.initial_residual
+
+            I_new, res0 = jax.vmap(solve_one)(
+                self.phi_ray, self.phi_ray_b, self.omega, I
+            )
+            return I_new, jnp.max(res0)
+
+        if self.max_iter <= 1:
+            I_new, _ = sweep(rad["I"])
+        else:
+            def cond(c):
+                _, it, r = c
+                return (it < self.max_iter) & (r > self.convergence)
+
+            def body(c):
+                I, it, _ = c
+                I2, res = sweep(I)
+                return (I2, it + 1, res)
+
+            I_new, _, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (rad["I"], jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype)),
+            )
         G = jnp.einsum("rc,r->c", I_new, self.omega)
         return {
             "I": I_new,

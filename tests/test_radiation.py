@@ -281,9 +281,12 @@ def test_wsggm_grey_smith():
 
 
 def test_fvdom_constant_scatter():
-    """constantScatter: σs adds extinction + isotropic in-scatter; in an
-    isothermal enclosure the equilibrium G = 4σT⁴ must be preserved (pure
-    scattering neither creates nor destroys radiative energy)."""
+    """constantScatter follows the reference exactly: extinction uses
+    sigmaEff = σs·(3−C) (constantScatter::sigmaEff) and the in-scatter
+    source σs·G/4π is added without the ray's ω factor (fvDOM.C:769-799
+    inScatEnergy + radiativeIntensityRay IiEq). With σs = 0 the isothermal
+    enclosure equilibrium G = 4σT⁴ is preserved; with σs > 0 extinction
+    exceeds in-scatter so G drops below equilibrium."""
     import numpy as np
     from firefoam_tpu.io import parse_string
     from firefoam_tpu.ops import VolField
@@ -298,7 +301,7 @@ def test_fvdom_constant_scatter():
         absorptionEmissionModel constantAbsorptionEmission;
         constantAbsorptionEmissionCoeffs { a 0.5; e 0; E 0; }
         scatterModel constantScatter;
-        constantScatterCoeffs { sigma sigma [0 -1 0 0 0 0 0] %s; C C [0 0 0 0 0 0 0] 0; }
+        constantScatterCoeffs { sigma sigma [0 -1 0 0 0 0 0] %s; C C [0 0 0 0 0 0 0] %s; }
         sootModel none;
     """
     nC, nB = geom.n_cells, geom.n_boundary
@@ -309,16 +312,22 @@ def test_fvdom_constant_scatter():
     }
     G_eq = 4.0 * SIGMA * T0**4
 
-    rad0 = make_radiation(parse_string(rp_tpl % "0"), geom, None)
+    rad0 = make_radiation(parse_string(rp_tpl % ("0", "0")), geom, None)
     assert rad0.sigma_s == 0.0
-    rads = make_radiation(parse_string(rp_tpl % "2.0"), geom, None)
+    rads = make_radiation(parse_string(rp_tpl % ("2.0", "0.5")), geom, None)
     assert rads.sigma_s == 2.0
+    assert rads.scatter_C == 0.5  # C parsed from constantScatterCoeffs
 
-    for rad in (rad0, rads):
+    def converge(rad):
         s = dict(state)
         s["rad"] = rad.initial_state()
-        # the in-scatter lags one sweep; τ_scat = 2 needs several sweeps
-        # to propagate all scattering orders
         for _ in range(12):
             s["rad"] = rad._solve_rays(s["rad"], s, None)
-        assert np.allclose(np.asarray(s["rad"]["G"]), G_eq, rtol=0.05), rad.sigma_s
+        return np.asarray(s["rad"]["G"])
+
+    G0 = converge(rad0)
+    assert np.allclose(G0, G_eq, rtol=0.05)
+    Gs = converge(rads)
+    # sigmaEff extinction 2·(3−0.5)=5 /m dominates the σ/4π in-scatter
+    assert (Gs < G0).all()
+    assert Gs.min() > 0.0
