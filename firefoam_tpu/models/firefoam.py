@@ -56,11 +56,20 @@ def _solver_controls(fv_solution: FoamDict, *names: str) -> dict:
             break
     if d is None:
         raise KeyError(f"none of {names} found in fvSolution solvers")
+    solver = str(d.lookup("solver"))
+    max_iter = int(d.get_scalar("maxIter", 1000))
+    if solver == "smoothSolver":
+        # the reference's symGaussSeidel reaches tolerance in 3-4 sweeps;
+        # our damped-Jacobi needs more sweeps for the same tolerance, and
+        # honouring the dict's maxIter (typically 10) would stop it short
+        # of tol. Field match to tolerance is what matters, so give the
+        # smoother headroom — the while_loop exits on convergence anyway.
+        max_iter = max(max_iter, 200)
     return {
-        "solver": str(d.lookup("solver")),
+        "solver": solver,
         "tolerance": d.get_scalar("tolerance", 1e-6),
         "relTol": d.get_scalar("relTol", 0.0),
-        "maxIter": int(d.get_scalar("maxIter", 1000)),
+        "maxIter": max_iter,
     }
 
 
@@ -168,6 +177,11 @@ class FireFoamSolver:
             n_hydrostatic=pimple.get_int("nHydrostaticCorrectors", 5),
         )
         self.fv_solution = self.case.fv_solution
+        # equation relaxation (fvMatrix::relax — applied only when an
+        # `relaxationFactors { equations { ... } }` entry names the field;
+        # relax(1) still enforces diagonal dominance, so absence ≠ 1.0)
+        rf = self.fv_solution.get_dict("relaxationFactors", FoamDict())
+        self._eq_relax = rf.get_dict("equations", None)
 
         # ---- Lagrangian spray cloud (solver/createClouds.H:1-9) ----
         self.cloud = None
@@ -325,6 +339,26 @@ class FireFoamSolver:
         # phrghEqn.H runs only at t = 0 (reference guards on runTime == 0)
         if self.ctl.hydrostatic_init and self.t0 == 0.0:
             state = self._hydrostatic_init(state)
+        # old-TIME snapshots for the pressure equation's ddt/ddtCorr terms
+        state["psi_old_i"] = state["psi"].i
+        state["p_rgh_old_i"] = state["p_rgh"].i
+        state["phi_old_i"] = state["phi"].i
+        state["rhoU_old_i"] = state["rho"].i[:, None] * state["U"].i
+        # the reference updates Δt at the TOP of the loop (fireFoam.C:78-82),
+        # so the first step already runs with the grown/write-landed dt:
+        # replicate setInitialDeltaT.H then one loop-top update here (our
+        # step() updates dt at the end, which matches all later steps).
+        if self.ctl.adjust:
+            co = self.courant(state)
+            state["dt"] = jnp.where(
+                co > 1e-15,
+                jnp.minimum(
+                    self.ctl.max_co * state["dt"] / jnp.maximum(co, 1e-300),
+                    self.ctl.max_dt,
+                ),
+                state["dt"],
+            )
+            state["dt"] = self.new_dt(state)
         return state
 
     # ------------------------------------------------------------------
@@ -385,12 +419,14 @@ class FireFoamSolver:
     # ------------------------------------------------------------------
     def _ctx(self, state: Dict, overrides=None) -> dict:
         alpha_eff_b = state["alphat"].b + state["alpha"].b
+        cp_b = self.gas.cp(state["T"].b, state["Y"].b)
         return {
             "phi": state["phi"],
             "rho": state["rho"],
             "U": state["U"],
             "t": state["t"],
             "alphaEff_b": alpha_eff_b,
+            "kappaEff_b": alpha_eff_b * cp_b,  # turbulenceModel::kappaEff
             "ph_rgh_b": state["ph_rgh_b"],
             "overrides": overrides or {},
         }
@@ -402,30 +438,43 @@ class FireFoamSolver:
         sum_phi = g.cell_sum_unsigned(jnp.abs(state["phi"].i), jnp.abs(state["phi"].b))
         return 0.5 * jnp.max(sum_phi / (state["rho"].i * g.V)) * state["dt"]
 
+    def _adjust_write_dt(self, t, dt):
+        """Time::adjustDeltaT (adjustableRunTime): shrink/stretch dt so an
+        integer number of steps lands exactly on the next write time —
+        nSteps = floor(max(timeToNextWrite/dt, 1) + 0.99)."""
+        if not self.ctl.adjustable_write:
+            return dt
+        interval = self.ctl.write_interval
+        t_next = (jnp.floor((t - self.t0) / interval + 1e-9) + 1.0) * interval + self.t0
+        remain = jnp.maximum(t_next - t, 1e-12)
+        n = jnp.floor(jnp.maximum(remain / dt, 1.0) + 0.99)
+        return remain / n
+
     def new_dt(self, state: Dict) -> jnp.ndarray:
-        """setMultiRegionDeltaT: Courant/diffusion-limited, damped 1.2×
-        growth (solver/setMultiRegionDeltaT.H:34-63 +
-        solidRegionDiffusionNo.H)."""
-        if self.solve_primary:
-            co = self.courant(state)
-            fact = self.ctl.max_co / (co + 1e-12)
-        else:
-            fact = jnp.asarray(1.2, self.dtype)
+        """Next-step Δt, matching the reference's DOUBLE growth: the solver
+        includes BOTH setMultiRegionDeltaT.H (min over fluid Courant / solid
+        diffusion / film Courant factors, capped 1.2) AND the stock
+        setDeltaT.H (fluid-Courant factor min(f, 1+0.1f, 1.2)) back to back
+        (solver/fireFoam.C:78-82), each via Time::setDeltaT which re-lands
+        on the adjustable write time. This is what produces the golden log's
+        0.05 → 0.0666667 → 0.093333 sequence."""
+        co = self.courant(state)
+        small = 1e-15
+        t_fluid = self.ctl.max_co / (co + small)
+        fact = jnp.minimum(t_fluid, 1.2)
         if self.pyrolysis is not None:
             di = self.pyrolysis.diffusion_number(state["pyro"], state["dt"])
-            fact = jnp.minimum(fact, self.max_di / (di + 1e-12))
+            fact = jnp.minimum(fact, self.max_di / (di + small))
         if self.film is not None and "film" in state:
             co_f = self.film.courant(state["film"], state["dt"])
-            fact = jnp.minimum(fact, self.ctl.max_co / (co_f + 1e-12))
-        fact = jnp.minimum(fact, 1.2)
+            fact = jnp.minimum(fact, self.ctl.max_co / (co_f + small))
+        # setMultiRegionDeltaT.H
         dt = jnp.minimum(fact * state["dt"], self.ctl.max_dt)
-        if self.ctl.adjustable_write:
-            # Time::adjustDeltaT — land exactly on write times
-            interval = self.ctl.write_interval
-            t_next = (jnp.floor(state["t"] / interval) + 1.0) * interval
-            remain = jnp.maximum(t_next - state["t"], 1e-12)
-            n = jnp.floor(jnp.maximum(remain / dt, 1.0) + 0.99)
-            dt = remain / n
+        dt = self._adjust_write_dt(state["t"], dt)
+        # stock setDeltaT.H (damped growth on the fluid Courant factor)
+        fact2 = jnp.minimum(jnp.minimum(t_fluid, 1.0 + 0.1 * t_fluid), 1.2)
+        dt = jnp.minimum(fact2 * dt, self.ctl.max_dt)
+        dt = self._adjust_write_dt(state["t"], dt)
         return dt
 
     # ------------------------------------------------------------------
@@ -702,6 +751,16 @@ class FireFoamSolver:
         return state, out
 
     # ------------------------------------------------------------------
+    def _eqn_relax_factor(self, name: str) -> Optional[float]:
+        """relaxationFactors.equations lookup (regex keys); None = no
+        relax() call at all (OpenFOAM fvMatrix::relax() no-ops when
+        mesh.relaxEquation(name) is false)."""
+        if self._eq_relax is None:
+            return None
+        v = self._eq_relax.lookup(name, None)
+        return None if v is None else float(v)
+
+    # ------------------------------------------------------------------
     # equation pieces (all traced inside step)
     # ------------------------------------------------------------------
     def _u_eqn(self, state, log, srcs):
@@ -725,6 +784,12 @@ class FireFoamSolver:
         # explicit part of divDevRhoReff: −div(muEff·dev2(∇Uᵀ))
         div_tau = self.turb.div_dev_rho_reff(U, mu_eff, gradU)
         m = m.add_source(div_tau + srcs["SU"])  # + parcels.SU(U) (UEqn.H:9)
+
+        # UEqn.relax() happens BEFORE the buoyancy source enters (UEqn.H:13
+        # relaxes tUEqn; buoyancy joins at the solve(UEqn == ...) )
+        rf = self._eqn_relax_factor("U")
+        if rf is not None:
+            m = m.relax(rf)
 
         # buoyancy + pressure-gradient source (UEqn.H:22-31):
         # reconstruct((−ghf·snGrad(rho) − snGrad(p_rgh))·magSf)
@@ -761,7 +826,28 @@ class FireFoamSolver:
         U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctx)
         return U_new, m
 
-    def _y_eqns(self, state, log, srcs):
+    def _multivariate_weights(self, state):
+        """div(phi,Yi_h) Gauss multivariateSelection — ONE shared convection
+        weight field for all species AND the energy equation, built from the
+        elementwise MIN limiter over every field in the multivariate table
+        (all Y with limitedLinear01, hs with limitedLinear), exactly as
+        multivariateSelectionScheme's ctor does (weights_ = λ·linear +
+        (1−λ)·upwind with λ = min over fields); consumed by YEEqn.H:1-10
+        mvConvection for both Yi and hs."""
+        g = self.geom
+        phi_i = state["phi"].i
+        Y = state["Y"]
+        lim = None
+        for s in range(len(self.species)):
+            l = fvm.limited_linear_limiter(
+                g, phi_i, VolField(Y.i[:, s], Y.b[:, s]), k=1.0, bound01=True
+            )
+            lim = l if lim is None else jnp.minimum(lim, l)
+        l_h = fvm.limited_linear_limiter(g, phi_i, state["hs"], k=1.0)
+        lim = jnp.minimum(lim, l_h)
+        return fvm.limiter_weights(g, phi_i, lim)
+
+    def _y_eqns(self, state, log, srcs, w_mv):
         """Species transport with EDM source (YEEqn.H:27-77)."""
         g = self.geom
         rho, phi = state["rho"], state["phi"]
@@ -810,19 +896,24 @@ class FireFoamSolver:
             ctl["solver"], bicgstab
         )
         rho_old = state["rho_old_i"]
+        # YiEqn.relax(): all solved species share one factor in practice
+        # (regex keys); None = no relax call
+        rfs = {self._eqn_relax_factor(self.species[s]) for s in solved}
+        relax_f = rfs.pop() if len(rfs) == 1 else None
 
         def assemble_solve(ys_i, ys_b, rv, rg, f, src):
             # one species: assemble + solve (vmapped over species)
             Ysf = VolField(ys_i, ys_b)
             vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
             gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
-            w = fvm.limited_linear_weights(g, phi.i, Ysf, k=1.0, bound01=True)
             m = (
                 fvm.ddt(g, rho.i, Ysf, ys_i, rho_old, dt)
-                + fvm.div(g, phi, Ysf, w, vic, vbc)
+                + fvm.div(g, phi, Ysf, w_mv, vic, vbc)
                 - fvm.laplacian(g, alpha_eff_f, Ysf, gic, gbc)
             )
             m = m.add_source(src)
+            if relax_f is not None:
+                m = m.relax(relax_f)  # YiEqn.relax() (YEEqn.H:56)
             dtot = m.diag_total()
             b = m.rhs_total()
             return fn(
@@ -858,12 +949,18 @@ class FireFoamSolver:
         g = self.geom
         ctx = self._ctx(state, ov)
         rvT, rgT, fT = bcmod.resolve(self.T_bcs, g, state["T"], ctx)
-        # refValue in energy space: hs(T_ref, Y_b); refGrad: cp_b·∂T/∂n
+        # mixedEnergy mapping: refValue = hs(T_ref, Y_b); refGrad =
+        # Cpv·∂T/∂n + Δc·(hs(T_w) − hs(T_cell)) (mixedEnergyFvPatchScalar-
+        # Field::updateCoeffs — the Δc term keeps the energy gradient
+        # consistent with the nonlinear hs(T) map)
         hs_ref = self.gas.hs(jnp.maximum(rvT, 10.0), Y_new.b)
         cp_b = self.gas.cp(state["T"].b, Y_new.b)
-        return hs_ref, cp_b * rgT, fT
+        hs_w = self.gas.hs(state["T"].b, Y_new.b)
+        hs_c = self.gas.hs(state["T"].i[g.b_own], Y_new.b)
+        rg = cp_b * rgT + g.b_dc * (hs_w - hs_c)
+        return hs_ref, rg, fT
 
-    def _e_eqn(self, state, Y_new, qdot, log, srcs):
+    def _e_eqn(self, state, Y_new, qdot, log, srcs, w_mv):
         """Sensible-enthalpy energy equation (YEEqn.H:84-118)."""
         g = self.geom
         rho, phi, hs, U = state["rho"], state["phi"], state["hs"], state["U"]
@@ -876,7 +973,7 @@ class FireFoamSolver:
         rv, rg, f = self._hs_bcs_from_T(state, Y_new, srcs.get("_ov"))
         vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
         gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
-        w = fvm.limited_linear_weights(g, phi.i, hs, k=1.0)
+        w = w_mv  # shared multivariate convection weights (YEEqn.H:1-10)
 
         # kinetic-energy and dpdt terms (explicit)
         K = VolField(0.5 * jnp.sum(U.i * U.i, axis=1), 0.5 * jnp.sum(U.b * U.b, axis=1))
@@ -897,6 +994,9 @@ class FireFoamSolver:
         m = m.add_source(
             qdot + sh_rad + srcs["Sh"] + state["dpdt"] - ddtK - divK
         )  # + parcels.Sh (YEEqn.H:99)
+        rf = self._eqn_relax_factor("h")
+        if rf is not None:
+            m = m.relax(rf)  # EEqn.relax() (YEEqn.H:107)
 
         ctl = _solver_controls(self.fv_solution, "h", "hs")
         res = solve_scalar(
@@ -937,10 +1037,26 @@ class FireFoamSolver:
             -rho_rAU_f.i * self.ghf_i * sg_rho.i * g.magSf,
             -rho_rAU_f.b * self.ghf_b * sg_rho.b * g.b_magSf,
         )
-        rho_f = fvc.interpolate(g, rho)
-        hflux = fvc.flux(g, HbyA)
+        # fvc::flux(rho*HbyA): interpolate the PRODUCT field (pEqn.H:13)
+        rhoHbyA = VolField(rho.i[:, None] * HbyA.i, rho.b[:, None] * HbyA.b)
+        hflux = fvc.flux(g, rhoHbyA)
+        # rhorAUf*fvc::ddtCorr(rho, U, phi) — Euler ddtPhiCorr from old-time
+        # fields: coeff·(phi_old − (interp(rho_old·U_old)&Sf))/dt with
+        # coeff = 1 − min(|phi_old − flux(rho_old·U_old)|/(|phi_old|+ε), 1)
+        ddt_corr_i = jnp.zeros_like(hflux.i)
+        if "phi_old_i" in state:
+            phi_old = state["phi_old_i"]
+            rhoU_old = state["rhoU_old_i"]
+            flux_old = fvc.flux(
+                g, VolField(rhoU_old, jnp.zeros_like(rhoHbyA.b))
+            ).i
+            diff = phi_old - flux_old
+            coeff = 1.0 - jnp.minimum(
+                jnp.abs(diff) / (jnp.abs(phi_old) + 1e-300), 1.0
+            )
+            ddt_corr_i = rho_rAU_f.i * coeff * diff / dt
         phi_hbya = SurfaceField(
-            rho_f.i * hflux.i + phig.i, rho_f.b * hflux.b + phig.b
+            hflux.i + ddt_corr_i + phig.i, hflux.b + phig.b
         )
 
         # constrainPressure: fixedFluxPressure gradients so flux matches U_b
@@ -957,8 +1073,13 @@ class FireFoamSolver:
         gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
         m_lap = fvm.laplacian(g, rho_rAU_f, p_rgh, gic, gbc)
 
-        # p_rghEqn: psi·(ddt(p_rgh) implicit correction) + ddt(rho) + div(phiHbyA)
-        #           − lap(rhorAUf, p_rgh) = 0
+        # p_rghEqn (pEqn.H:26-38):
+        #   fvm::ddt(psi, p_rgh) + fvc::ddt(psi,rho)·gh + fvc::ddt(psi)·pRef
+        #   + fvc::div(phiHbyA) − fvm::laplacian(rhorAUf, p_rgh) = Srho
+        # with old-TIME values (not corrector iterates) in every ddt.
+        psi_old = state.get("psi_old_i", psi.i)
+        rho_old = state["rho_old_i"]
+        p_rgh_old = state.get("p_rgh_old_i", p_rgh.i)
         m = -m_lap
         m = fvm.FvMatrix(
             g,
@@ -966,8 +1087,9 @@ class FireFoamSolver:
             m.lower,
             m.upper,
             m.source
-            + psi.i * g.V / dt * p_rgh.i
-            - ((rho.i - state["rho_old_i"]) / dt) * g.V
+            + psi.i * g.V / dt * p_rgh_old
+            - (self.gh * (psi.i * rho.i - psi_old * rho_old) / dt) * g.V
+            - (self.p_ref * (psi.i - psi_old) / dt) * g.V
             - fvc.surface_sum(g, phi_hbya)
             + (srcs["Srho"] * g.V if srcs is not None else 0.0),
             m.internal_coeffs,
@@ -1009,22 +1131,26 @@ class FireFoamSolver:
         ctxU["phi"] = phi_new
         U_new = bcmod.evaluate(self.U_bcs, g, VolField(U_new_i, state["U"].b), ctxU)
 
-        # p = p_rgh + rho·gh + pRef (boundary too)
+        # p = p_rgh + rho·gh + pRef (boundary too; rho = thermo.rho() from
+        # the corrector start, pEqn.H:52)
         p_new = VolField(
             p_rgh_new.i + rho.i * self.gh + self.p_ref,
             p_rgh_new.b + rho.b * self.ghf_b + self.p_ref,
         )
         psi_new = state["psi"]
-        rho_new = VolField(psi_new.i * p_new.i, psi_new.b * p_new.b)
 
-        # continuity: rhoEqn "diagonal" solve + errors (rhoEqn.H:32-46)
-        rho_cont = state["rho_old_i"] - dt * fvc.div_flux(g, phi_new)
-        info["cont_local"] = jnp.sum(jnp.abs(rho_cont - rho_new.i) * g.V) / jnp.sum(
-            rho_new.i * g.V
-        )
-        info["cont_global"] = jnp.sum((rho_cont - rho_new.i) * g.V) / jnp.sum(
-            rho_new.i * g.V
-        )
+        # rhoEqn.H after the p update: the CARRIED rho is the conservative
+        # continuity solution, not thermo.rho() (pEqn.H:55); the next
+        # corrector re-aligns via rho = thermo.rho().
+        srho = srcs["Srho"] if srcs is not None else 0.0
+        rho_cont = state["rho_old_i"] - dt * (fvc.div_flux(g, phi_new) - srho)
+        rho_new = VolField(rho_cont, psi_new.b * p_new.b)
+
+        # compressibleContinuityErrs.H: compare against thermo.rho()
+        thermo_rho = psi_new.i * p_new.i
+        total_mass = jnp.sum(rho_cont * g.V)
+        info["cont_local"] = jnp.sum(jnp.abs(rho_cont - thermo_rho) * g.V) / total_mass
+        info["cont_global"] = jnp.sum((rho_cont - thermo_rho) * g.V) / total_mass
         return p_rgh_new, p_new, rho_new, phi_new, U_new, info
 
     # ------------------------------------------------------------------
@@ -1073,8 +1199,10 @@ class FireFoamSolver:
             U_new, u_matrix = self._u_eqn(state, log, srcs)
             state["U"] = U_new
 
-            # ---- species + energy ----
-            Y_new, qdot = self._y_eqns(state, log, srcs)
+            # ---- species + energy (one shared multivariate convection
+            # weight field, frozen before the Yi solves — YEEqn.H:1-10) ----
+            w_mv = self._multivariate_weights(state)
+            Y_new, qdot = self._y_eqns(state, log, srcs, w_mv)
             state["Qdot"] = qdot
 
             # ---- radiation field solve (fvDOM), first step + every
@@ -1082,7 +1210,7 @@ class FireFoamSolver:
             if self.radiation is not None:
                 state["rad"] = self.radiation.maybe_correct(state, self.gas)
             hs_new, T_new, psi_new, mu_new, alpha_new = self._e_eqn(
-                state, Y_new, qdot, log, srcs
+                state, Y_new, qdot, log, srcs, w_mv
             )
             state["Y"] = Y_new
             state["hs"] = hs_new
@@ -1090,8 +1218,10 @@ class FireFoamSolver:
             state["psi"] = psi_new
             state["mu"] = mu_new
             state["alpha"] = alpha_new
-            log["T_min"] = jnp.min(T_new.i)
-            log["T_max"] = jnp.max(T_new.i)
+            # Foam::min/max(GeometricField) include the boundary field — the
+            # golden log's min/max(T) tracks baffle FACE values early on
+            log["T_min"] = jnp.minimum(jnp.min(T_new.i), jnp.min(T_new.b))
+            log["T_max"] = jnp.maximum(jnp.max(T_new.i), jnp.max(T_new.b))
 
             # ---- pressure correctors (single scanned body) ----
             n_corr = self.ctl.n_correctors
@@ -1137,8 +1267,12 @@ class FireFoamSolver:
             log["k_iters"] = res_k.n_iterations
 
         # ---- advance time, choose next dt ----
+        state["rhoU_old_i"] = state["rho"].i[:, None] * state["U"].i
         state["rho_old_i"] = state["rho"].i
         state["p_old_i"] = state["p"].i
+        state["psi_old_i"] = state["psi"].i
+        state["p_rgh_old_i"] = state["p_rgh"].i
+        state["phi_old_i"] = state["phi"].i
         state["K_old_i"] = 0.5 * jnp.sum(state["U"].i * state["U"].i, axis=1)
         # rti link probes (solver/rti.H — before time advance, current fields)
         if "rtis" in state and self.rtis is not None:
@@ -1147,6 +1281,15 @@ class FireFoamSolver:
         if self.ctl.adjust:
             state["dt"] = self.new_dt(state)
         log["Qdot_total"] = jnp.sum(state["Qdot"] * g.V)
+        # golden-log diffables: species min/gAverage/max (YEEqn.H:72-77),
+        # the dt used this step and the post-increment time
+        for s, sp in enumerate(self.species):
+            col = state["Y"].i[:, s]
+            log[f"Y_{sp}_min"] = jnp.min(col)
+            log[f"Y_{sp}_ave"] = jnp.mean(col)
+            log[f"Y_{sp}_max"] = jnp.max(col)
+        log["t"] = state["t"]
+        log["dt"] = dt
         log.update(self.function_objects.compute(state))
         return state, log
 

@@ -196,6 +196,38 @@ def _flow_rate_pyro_coupled(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     return u, _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)
 
 
+def _thermal_baffle_1d(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
+    """compressible::thermalBaffle1D<solidType> on T: 1-D steady conduction
+    through a thin solid baffle between this patch and its samplePatch, with
+    a per-side surface heat source Qs/2 (OpenFOAM thermalBaffle1DFvPatch-
+    ScalarField::updateCoeffs):
+
+        KΔs   = κ_solid / thickness
+        α     = KΔs − (Qs/2)/T_w            (source linearised in T_w)
+        f     = α / (α + κ_eff,gas·Δc)
+        refV  = (KΔs·T_nbr,face + Qs/2) / α
+
+    T_nbr,face is the sample patch's STORED face value from the previous
+    update (both sides read each other's old values — Jacobi — which is
+    what reproduces the golden log's +0.50 K/step wall-face ramp
+    300.49 → 300.99 → 301.48 from both faces starting at 300)."""
+    nbr = jnp.asarray(bc.params["nbr_idx"])
+    Tp = psi_b[p.slice]
+    T_nbr = psi_b[nbr]
+    kappa_s = float(bc.params.get("kappa", 1.0))
+    thick = jnp.asarray(bc.params.get("thickness", 1e-3), dt)
+    qs = jnp.asarray(bc.params.get("Qs", 0.0), dt) / 2.0
+    KDs = kappa_s / thick
+    kappa_eff = ctx.get("kappaEff_b")
+    if kappa_eff is None:
+        kappa_eff = jnp.zeros((geom.n_boundary,), dt)
+    myKDelta = kappa_eff[p.slice] * geom.b_dc[p.slice]
+    alpha = KDs - qs / Tp
+    f = alpha / (alpha + myKDelta)
+    rv = (KDs * T_nbr + qs) / alpha
+    return rv, _zeros(p, nc, dt), f.astype(dt)
+
+
 def _prgh_total_hydrostatic(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     """p_rgh = ph_rgh − ½ρ|U|² on inflow, ph_rgh on outflow (fixedValue)."""
     phi = _phi_b(ctx, p)
@@ -234,8 +266,8 @@ _REGISTRY: Dict[str, Callable] = {
     "nutkWallFunction": _calculated,
     "nutUSpaldingWallFunction": _calculated,
     "kqRWallFunction": _zero_gradient,
-    # conjugate baffle: round-1 fallback (gap: 1-D solid conduction model)
-    "compressible::thermalBaffle1D<hConstSolidThermoPhysics>": _zero_gradient,
+    "compressible::thermalBaffle1D<hConstSolidThermoPhysics>": _thermal_baffle_1d,
+    "compressible::thermalBaffle1D<eConstSolidThermoPhysics>": _thermal_baffle_1d,
     "greyDiffusiveRadiation": _calculated,  # handled by the fvDOM module
     # conjugate gas↔solid coupling (pyrolysis/film regions)
     "compressible::turbulentTemperatureRadiationQinCoupledMixed": _coupled_wall_T,
@@ -337,8 +369,48 @@ def make_field_bcs(ff: FieldFile, geom: MeshGeometry) -> FieldBCs:
             params["massFlowRate_table"] = mfr[1]
         elif mfr is not None:
             params["massFlowRate"] = mfr
+        if kind.startswith("compressible::thermalBaffle1D"):
+            params["samplePatch"] = str(pd.lookup("samplePatch", ""))
+            th = _param_value(pd, "thickness")
+            if th is not None:
+                params["thickness"] = float(np.mean(th)) if hasattr(th, "ndim") else float(th)
+                params["owner"] = True
+            qs = _param_value(pd, "Qs")
+            if qs is not None:
+                params["Qs"] = float(np.mean(qs)) if hasattr(qs, "ndim") else float(qs)
+            tr = pd.lookup("transport", None)
+            if tr is not None:
+                params["kappa"] = float(tr.get_scalar("kappa", 1.0))
         bcs.append(BC(kind, p.name, params))
+    _link_baffles(bcs, geom)
     return FieldBCs(field=ff.name, bcs=tuple(bcs), n_components=ncomp)
+
+
+def _link_baffles(bcs: List[BC], geom: MeshGeometry):
+    """thermalBaffle1D post-pass: map each baffle face to its samplePatch
+    partner face (nearest face centre) and copy the solid properties from
+    the owner side to the slave (the reference slave reads the owner's
+    dict through mappedPatchBase)."""
+    by_name = {b.patch: b for b in bcs}
+    b_cf = np.asarray(geom.b_Cf)
+    for i, bc in enumerate(bcs):
+        if not bc.kind.startswith("compressible::thermalBaffle1D"):
+            continue
+        q = by_name.get(bc.params.get("samplePatch", ""))
+        if q is None:
+            continue
+        pp = geom.patch(bc.patch)
+        qq = geom.patch(q.patch)
+        my = b_cf[pp.slice]
+        th = b_cf[qq.slice]
+        d2 = ((my[:, None, :] - th[None, :, :]) ** 2).sum(-1)
+        params = dict(bc.params)
+        params["nbr_idx"] = (np.argmin(d2, axis=1) + qq.start).astype(np.int64)
+        if not params.get("owner"):
+            for k in ("thickness", "Qs", "kappa"):
+                if k in q.params:
+                    params[k] = q.params[k]
+        bcs[i] = BC(bc.kind, bc.patch, params)
 
 
 def initial_boundary(ff: FieldFile, geom: MeshGeometry, dtype=None) -> jnp.ndarray:

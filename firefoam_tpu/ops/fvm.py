@@ -38,6 +38,8 @@ __all__ = [
     "mixed_gradient_coeffs",
     "upwind_weights",
     "limited_linear_weights",
+    "limited_linear_limiter",
+    "limiter_weights",
 ]
 
 
@@ -230,15 +232,19 @@ def upwind_weights(geom: MeshGeometry, phi_i: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(phi_i >= 0.0, 1.0, 0.0).astype(phi_i.dtype)
 
 
-def limited_linear_weights(
+def limited_linear_limiter(
     geom: MeshGeometry, phi_i: jnp.ndarray, psi: VolField, k: float = 1.0,
     bound01: bool = False,
 ) -> jnp.ndarray:
-    """limitedLinear k (and limitedLinear01): limiter-blended weights.
+    """limitedLinear k limiter field (and the Limited01 wrapper used by
+    limitedLinear01), matching OpenFOAM exactly:
 
-    limiter = clip(2r/k, 0, 1) with r the upwind gradient ratio computed from
-    the full cell gradient (OpenFOAM limitedSurfaceInterpolationScheme::r).
-    Weights = limiter·linear + (1−limiter)·upwind.
+      NVDTVD::r — gradf = ψ_N − ψ_P; gradcf = d·∇ψ_upwind;
+        r = |gradcf| ≥ 1000|gradf| ? 2000·sign(gradcf)·sign(gradf) − 1
+                                   : 2·gradcf/gradf − 1
+      limitedLinearLimiter — λ = clip(2/k · r, 0, 1)
+      Limited01 (limitedLinear01) — λ = 0 (upwind) wherever ψ_P or ψ_N is
+        outside [0, 1] (src LimitedScheme Limited.H limiter()).
     """
     from . import fvc
 
@@ -246,24 +252,46 @@ def limited_linear_weights(
     g_own = geom.gather_own(g)
     g_nei = geom.gather_nei(g)
     d = geom.gather_nei(geom.C) - geom.gather_own(geom.C)
-    dpsi = geom.gather_nei(psi.i) - geom.gather_own(psi.i)
+    psi_own = geom.gather_own(psi.i)
+    psi_nei = geom.gather_nei(psi.i)
+    gradf = psi_nei - psi_own
     up_own = phi_i >= 0
-    gradf_up = jnp.where(
+    gradcf = jnp.where(
         up_own,
         jnp.einsum("fd,fd->f", d, g_own),
         jnp.einsum("fd,fd->f", d, g_nei),
     )
-    eps = jnp.asarray(1e-30, psi.i.dtype)
-    r = 2.0 * gradf_up / jnp.where(jnp.abs(dpsi) < eps, jnp.where(dpsi >= 0, eps, -eps), dpsi) - 1.0
-    if bound01:
-        # limitedLinear01: additionally limit where psi outside [0,1]
-        # (limited01 wrapper): fall back to upwind when face value would
-        # exceed the bounds — approximated by the same limiter (the limiter
-        # already enforces boundedness for 0..1 fields in practice).
-        pass
+    big = jnp.abs(gradcf) >= 1000.0 * jnp.abs(gradf)
+    safe = jnp.where(gradf == 0.0, 1.0, gradf)
+    r = jnp.where(
+        big,
+        2.0 * 1000.0 * jnp.sign(gradcf) * jnp.sign(gradf) - 1.0,
+        2.0 * gradcf / safe - 1.0,
+    )
     lim = jnp.clip(2.0 / k * r, 0.0, 1.0)
+    if bound01:
+        out = (
+            (jnp.maximum(psi_own, psi_nei) > 1.0)
+            | (jnp.minimum(psi_own, psi_nei) < 0.0)
+        )
+        lim = jnp.where(out, 0.0, lim)
+    return lim
+
+
+def limiter_weights(geom: MeshGeometry, phi_i: jnp.ndarray, lim: jnp.ndarray) -> jnp.ndarray:
+    """Blend linear/upwind weights from a limiter field (limitedSurface-
+    InterpolationScheme::weights): w = λ·w_linear + (1−λ)·w_upwind."""
     wu = upwind_weights(geom, phi_i)
     return lim * geom.w + (1.0 - lim) * wu
+
+
+def limited_linear_weights(
+    geom: MeshGeometry, phi_i: jnp.ndarray, psi: VolField, k: float = 1.0,
+    bound01: bool = False,
+) -> jnp.ndarray:
+    """limitedLinear k (and limitedLinear01): limiter-blended weights."""
+    lim = limited_linear_limiter(geom, phi_i, psi, k, bound01)
+    return limiter_weights(geom, phi_i, lim)
 
 
 def lust_div(

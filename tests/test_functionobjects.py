@@ -30,7 +30,7 @@ def test_face_zones_integration(tmp_path):
     fo = _FO(name="zones", kind="faceZonesIntegration", fields=["phi"], params={})
     # resolve zone slots the way make_function_objects does
     signs = np.where(flip, -1.0, 1.0)
-    fo.params["zone_slots"] = (("midplane", g.face_perm[sel], signs),)
+    fo.params["zone_slots"] = (("midplane", g.face_perm[sel], signs, [], []),)
     fobj = FunctionObjects(solver, [fo], out_dir=str(tmp_path / "post"))
 
     state = solver.initial_state()
@@ -43,7 +43,7 @@ def test_face_zones_integration(tmp_path):
     expect = float(np.sum(phi[g.face_perm[sel]] * signs))
     np.testing.assert_allclose(float(out[key]), expect, rtol=1e-12)
     # unflipped zone of the same faces differs when flow crosses the plane
-    fo.params["zone_slots"] = (("midplane", g.face_perm[sel], np.ones(sel.size)),)
+    fo.params["zone_slots"] = (("midplane", g.face_perm[sel], np.ones(sel.size), [], []),)
     out2 = fobj.compute(state)
     assert float(out2[key]) != float(out[key]) or np.allclose(phi[g.face_perm[sel]], 0)
 
