@@ -36,19 +36,24 @@ class SolverResult(NamedTuple):
     n_iterations: jnp.ndarray
 
 
-def _norm_factor(matvec, x, b):
-    xref = jnp.mean(x)
+def _norm_factor(matvec, x, b, sum_fn=jnp.sum, mean_fn=jnp.mean):
+    xref = mean_fn(x)
     Aref = matvec(jnp.full_like(x, xref))
     Ax = matvec(x)
-    return Ax, jnp.sum(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + jnp.finfo(x.dtype).tiny * 1e6
+    return Ax, sum_fn(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + jnp.finfo(x.dtype).tiny * 1e6
 
 
-def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
-    """Diagonal-preconditioned CG with OpenFOAM convergence semantics."""
+def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
+        sum_fn=jnp.sum, dot_fn=jnp.vdot, mean_fn=jnp.mean):
+    """Diagonal-preconditioned CG with OpenFOAM convergence semantics.
+
+    sum_fn/dot_fn/mean_fn are injection points for SPMD execution: under
+    shard_map the sharded path passes psum-reduced versions so every
+    reduction is a global one (firefoam_tpu.parallel.sharded)."""
     rD = 1.0 / diag
-    Ax0, norm = _norm_factor(matvec, x0, b)
+    Ax0, norm = _norm_factor(matvec, x0, b, sum_fn, mean_fn)
     r0 = b - Ax0
-    res0 = jnp.sum(jnp.abs(r0)) / norm
+    res0 = sum_fn(jnp.abs(r0)) / norm
 
     def cond(state):
         x, r, p, rz_old, it, res = state
@@ -57,14 +62,14 @@ def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
     def body(state):
         x, r, p, rz_old, it, _ = state
         z = rD * r
-        rz = jnp.vdot(r, z)
+        rz = dot_fn(r, z)
         beta = jnp.where(it == 0, 0.0, rz / rz_old)
         p = z + beta * p
         Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / dot_fn(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        res = jnp.sum(jnp.abs(r)) / norm
+        res = sum_fn(jnp.abs(r)) / norm
         return x, r, p, rz, it + 1, res
 
     init = (x0, r0, jnp.zeros_like(x0), jnp.asarray(1.0, x0.dtype), jnp.asarray(0, jnp.int32), res0)
