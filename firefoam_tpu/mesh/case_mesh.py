@@ -93,7 +93,12 @@ def build_case_mesh(case_dir: str, mesh_script: str = "mesh.sh") -> CaseMesh:
             if bpath is not None:
                 p = os.path.join(case_dir, bpath)
                 if not os.path.isfile(p):
-                    p = os.path.join(case_dir, "system", bpath)
+                    p = os.path.join(case_dir, "system", os.path.basename(bpath))
+                if not os.path.isfile(p):
+                    # mesh.sh scripts are not `set -e`; the reference run
+                    # skips past missing batch files (singleBox references
+                    # a createSamplePlane.setSet that is not committed)
+                    continue
                 with open(p) as f:
                     apply_set_set_batch(st.sets, f.read())
         elif cmd == "setsToZones":
@@ -124,9 +129,15 @@ def build_case_mesh(case_dir: str, mesh_script: str = "mesh.sh") -> CaseMesh:
             st.extrude_dicts.append(d)
             _extrude_adapt_mesh(st, d)
         elif cmd == "snappyHexMesh":
-            raise NotImplementedError(
-                "snappyHexMesh is not implemented yet (singleBox case)"
+            from .snappy import snappy_castellated
+
+            bpath = _find_dict(case_dir, "blockMeshDict")
+            spath = _find_dict(case_dir, "snappyHexMeshDict")
+            mesh = snappy_castellated(
+                parse_file(bpath, case_dir=case_dir),
+                parse_file(spath, case_dir=case_dir),
             )
+            state = CaseMesh(mesh=mesh, sets=TopoSets(mesh))
         else:
             continue  # surfaceTransformPoints, cp, mv, rm, echo, mktemp, ...
 

@@ -80,6 +80,14 @@ class TopoSets:
         if source == "zoneToFace":
             zname = str(info.lookup("name")) if info is not None else args[0]
             return self.face_zones[zname].faces.copy()
+        if source == "normalToFace":
+            # faces whose unit normal matches: |1 − n̂·normal| < tol
+            # (OpenFOAM normalToFace.C; cases/singleBox/system/topoSetDict)
+            normal = np.asarray(info.get_vector("normal"), float)
+            normal = normal / (np.linalg.norm(normal) + 1e-300)
+            tol = info.get_scalar("cos", 0.01)
+            nf = mesh.Sf / np.maximum(mesh.magSf, 1e-300)[:, None]
+            return np.where(np.abs(1.0 - nf @ normal) < tol)[0]
         raise NotImplementedError(f"face source {source}")
 
     def _source_cells(self, source: str, info: FoamDict, args: List[str]) -> np.ndarray:

@@ -486,26 +486,35 @@ class FireFoamSolver:
         hocChar = 32.8e6 W/kg hard-coded there)."""
         self._pyro_maps = {}
         for z in self.pyrolysis.zones:
-            pname = z.region.coupled_patch
-            try:
-                patch = self.geom.patch(pname)
-            except KeyError:
-                continue
-            loc = np.asarray(z.region.prim_bidx) - patch.start
-            # fuel-equivalence: read hocSolid from the gas U BC on the patch
-            scale = 1.0
-            ub = next(b for b in self.U_bcs.bcs if b.patch == pname)
-            hoc_solid = ub.params.get("hocSolid")
-            if hoc_solid is not None and z.chem.reactions:
-                rx = z.chem.reactions[0]
-                rho_v = float(z.thermo.rho_s[rx.lhs])
-                rho_c = float(z.thermo.rho_s[rx.rhs_solid]) if rx.rhs_solid >= 0 else 0.0
-                hoc_char = 32.8e6
-                hoc_pyr = (float(hoc_solid) * rho_v - hoc_char * rho_c) / max(
-                    rho_v - rho_c, 1e-300
-                )
-                scale = hoc_pyr / self.reaction.q_fuel()
-            self._pyro_maps[z.region_name] = (patch, loc, scale)
+            entries = []
+            bidx_all = np.asarray(z.region.prim_bidx)
+            for pname in z.region.coupled_patches:
+                try:
+                    patch = self.geom.patch(pname)
+                except KeyError:
+                    continue
+                rows = np.nonzero(
+                    (bidx_all >= patch.start) & (bidx_all < patch.start + patch.n)
+                )[0]
+                if rows.size == 0:
+                    continue
+                loc = bidx_all[rows] - patch.start
+                # fuel-equivalence: read hocSolid from the gas U BC on the patch
+                scale = 1.0
+                ub = next((b for b in self.U_bcs.bcs if b.patch == pname), None)
+                hoc_solid = ub.params.get("hocSolid") if ub is not None else None
+                if hoc_solid is not None and z.chem.reactions:
+                    rx = z.chem.reactions[0]
+                    rho_v = float(z.thermo.rho_s[rx.lhs])
+                    rho_c = float(z.thermo.rho_s[rx.rhs_solid]) if rx.rhs_solid >= 0 else 0.0
+                    hoc_char = 32.8e6
+                    hoc_pyr = (float(hoc_solid) * rho_v - hoc_char * rho_c) / max(
+                        rho_v - rho_c, 1e-300
+                    )
+                    scale = hoc_pyr / self.reaction.q_fuel()
+                entries.append((patch, rows, loc, scale))
+            if entries:
+                self._pyro_maps[z.region_name] = entries
 
     def _evolve_pyrolysis(self, state: Dict, log) -> Tuple[Dict, Dict]:
         """pyrolysis.evolve() (fireFoam.C:92-95) + gas-side BC overrides."""
@@ -539,12 +548,17 @@ class FireFoamSolver:
             log[f"pyro_{z.region_name}_mlr"] = jnp.sum(out["phiGas"])
             if m is None or not self.solve_primary:
                 continue
-            patch, loc, scale = m
             dtp = self.dtype
-            T_patch = jnp.zeros((patch.n,), dtp).at[loc].set(out["T_surface"])
-            mdot = jnp.zeros((patch.n,), dtp).at[loc].set(out["phiGas"] * scale)
-            ov[("T", patch.name, "value")] = T_patch
-            ov[("U", patch.name, "mdot")] = mdot
+            for patch, rows, loc, scale in m:
+                rows_j = jnp.asarray(rows)
+                T_patch = jnp.zeros((patch.n,), dtp).at[loc].set(
+                    out["T_surface"][rows_j]
+                )
+                mdot = jnp.zeros((patch.n,), dtp).at[loc].set(
+                    out["phiGas"][rows_j] * scale
+                )
+                ov[("T", patch.name, "value")] = T_patch
+                ov[("U", patch.name, "mdot")] = mdot
         return state, ov
 
     # ------------------------------------------------------------------

@@ -33,7 +33,7 @@ class Region1D:
     """
 
     name: str
-    zone: str
+    zone: str  # first zone (regions may span several — e.g. singleBox box_*)
     n_faces: int
     n_layers: int
     dx: np.ndarray  # [nL] layer thicknesses
@@ -43,19 +43,40 @@ class Region1D:
     prim_bidx: np.ndarray  # [nF] primary boundary-local face ids (−1 if internal)
     prim_cells: np.ndarray  # [nF] adjacent primary cell (owner)
     total_thickness: float
+    zones: tuple = ()  # all zone names, in face order
 
     @property
     def coupled_patch(self) -> str:
         return f"region0_to_{self.name}_{self.zone}"
 
+    @property
+    def coupled_patches(self) -> list:
+        """All gas-side mapped patches of this region (one per faceZone —
+        extrudeToRegionMesh adaptMesh creates region0_to_<region>_<zone>)."""
+        return [f"region0_to_{self.name}_{z}" for z in (self.zones or (self.zone,))]
+
     @classmethod
     def from_case(cls, case_dir: str, cm, region_name: str) -> "Region1D":
         """cm: CaseMesh of the primary region (faceZones resolved)."""
-        d = parse_file(f"{case_dir}/system/extrudeToRegionMeshDict", case_dir=case_dir)
+        d = None
+        for ed in getattr(cm, "extrude_dicts", []):
+            if ed.get_word("region", "") == region_name:
+                d = ed
+                break
+        if d is None:
+            d = parse_file(
+                f"{case_dir}/system/extrudeToRegionMeshDict", case_dir=case_dir
+            )
         zones = [str(z) for z in d.get_list("faceZones")]
-        zone = zones[0]
-        fz = cm.face_zones[zone]
-        faces = np.asarray(fz.faces, dtype=np.int64)
+        fl = []
+        zs = []
+        for z in zones:
+            fz = cm.face_zones.get(z)
+            if fz is None:
+                continue
+            fl.append(np.asarray(fz.faces, dtype=np.int64))
+            zs.append(z)
+        faces = np.concatenate(fl) if fl else np.zeros(0, np.int64)
         n_layers = d.get_int("nLayers")
         expansion = d.get_scalar("expansionRatio", 1.0)
         thickness = d.get_dict("linearNormalCoeffs").get_scalar("thickness")
@@ -71,7 +92,7 @@ class Region1D:
         bidx = np.where(faces >= n_int, faces - n_int, -1)
         return cls(
             name=region_name,
-            zone=zone,
+            zone=zs[0] if zs else (zones[0] if zones else ""),
             n_faces=len(faces),
             n_layers=n_layers,
             dx=dx,
@@ -81,6 +102,7 @@ class Region1D:
             prim_bidx=bidx,
             prim_cells=mesh.owner[faces].copy(),
             total_thickness=thickness,
+            zones=tuple(zs),
         )
 
 
