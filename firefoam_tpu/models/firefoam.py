@@ -177,6 +177,30 @@ class FireFoamSolver:
             n_hydrostatic=pimple.get_int("nHydrostaticCorrectors", 5),
         )
         self.fv_solution = self.case.fv_solution
+        # ---- AMG hierarchy for the pressure solve (the GAMG role) ----
+        # used when the case dict selects GAMG, when FIREFOAM_TPU_AMG=1, or
+        # automatically above 50k cells where diagonal-PCG's O(√n) iteration
+        # growth loses to the near-mesh-independent V-cycle (VERDICT: golden
+        # log DICPCG does 18-25 iters; diag-PCG needs 67-84 at 9k cells and
+        # grows with n).
+        self.amg = None
+        try:
+            _pc = _solver_controls(self.fv_solution, "p_rgh")
+            amg_env = os.environ.get("FIREFOAM_TPU_AMG", "")
+            want_amg = (
+                _pc["solver"] == "GAMG"
+                or amg_env == "1"
+                or (amg_env != "0" and g.n_cells >= 50000)
+            )
+        except KeyError:
+            want_amg = False
+        if want_amg:
+            from ..solvers.amg import AMGHierarchy
+
+            self.amg = AMGHierarchy.build(
+                np.asarray(g.own), np.asarray(g.nei),
+                np.asarray(g.magSf), g.n_cells,
+            )
         # equation relaxation (fvMatrix::relax — applied only when an
         # `relaxationFactors { equations { ... } }` entry names the field;
         # relax(1) still enforces diagonal dominance, so absence ≠ 1.0)
@@ -1121,10 +1145,18 @@ class FireFoamSolver:
 
         dtot = m.diag_total()
         b = m.rhs_total()
-        res = pcg(
-            lambda x: m.matvec(x, dtot), p_rgh.i, b, dtot,
-            tol=tols[sel], rel_tol=rels[sel],
-        )
+        if self.amg is not None:
+            from ..solvers.amg import amg_pcg
+
+            res = amg_pcg(
+                self.amg, dtot, m.lower, m.upper, b, p_rgh.i,
+                tol=tols[sel], rel_tol=rels[sel],
+            )
+        else:
+            res = pcg(
+                lambda x: m.matvec(x, dtot), p_rgh.i, b, dtot,
+                tol=tols[sel], rel_tol=rels[sel],
+            )
         info = {"res0": res.initial_residual, "iters": res.n_iterations}
 
         # boundary update + flux reconstruction
