@@ -2,26 +2,38 @@
 
 Re-designs the reference fvDOM stack (packages/thermophysicalModels/
 radiation/radiationModels/fvDOM — fvDOM.C:549-586 calculate,
-radiativeIntensityRay.C:267-322 per-ray RTE, radiationModel.C:209-244
-correct/Sh) as ONE vmapped solve over the ray axis instead of a C++ loop of
-nRay sequential sparse solves: the ordinate dimension is embarrassingly
-parallel and batches onto the TPU.
+radiativeIntensityRay.C:267-322 per-ray per-band RTE, radiationModel.C:
+209-244 correct/Sh) as ONE vmapped solve over the flattened
+(ray × wavelength-band) axis instead of a C++ loop of nRay×nLambda
+sequential sparse solves: both dimensions are embarrassingly parallel and
+batch onto the TPU.
 
 Ray discretisation (matches the golden log's 32 rays / omega values):
   θ ∈ nTheta bands of π (z polar), φ ∈ 4·nPhi sectors of 2π,
   ω_r   = (cosθ₁ − cosθ₂)·Δφ
   dAve_r = ∫∫ d̂ sinθ dθ dφ  (analytic, used for the convective flux d·Sf)
 
-Per-ray RTE (grey, absorption a, prescribed emission E = χ_r·Qdot from
-constRadFractionEmission — constRadFractionEmission.C:138-228):
-  div(I·dAve) + a·ω·I = ω·(a·σT⁴ + E/4)/π
-with greyDiffusiveRadiation walls: incoming rays get I = εσT_w⁴/π +
-(1−ε)·qin/π, outgoing rays are upwind-transparent.
+Per-ray per-band RTE (radiativeIntensityRay.C:289-306):
+  div(I·dAve) + (k_λ + σ_eff)·ω·I =
+      ω/π·((k_λ − aDisp_λ)·σT⁴·enFrac_λ + E_λ/4 + Ep_λ/4) + inScatter_λ
+with k_λ = aCont_λ + aDisp_λ (gas + spray), enFrac_λ the banded blackbody
+energy fraction (fvDOM.C:553 correctEnFrac), Ep the spray emission, and
+banded diffusive walls: incoming rays get
+I = (ε·enFrac_λ(T_w)·σT_w⁴ + (1−ε)·qin_λ)/π
+(greyDiffusiveRadiation / wideBandDiffusiveRadiation updateCoeffs),
+outgoing rays are upwind-transparent.
 
-Energy coupling: Sh = a·G − 4aσT⁴ − E  (absorbed − emitted), with G = Σ I_r·ω_r.
-The radiation field solve runs on the first step then every `solverFreq`
-steps (radiationModel.C:209-226), matching the reference's stale-field
-behaviour between solves.
+Scatter: gas constantScatter extinction σs·(3−C) with isotropic in-scatter
+ω_s·σs·G_λ/4π (constantScatter::sigmaEff; fvDOM::inScatEnergy includes the
+source ray's ω — fvDOM.C:769-803); spray scatter sigmap_λ with the
+anisotropic power-series phase function of ThermoCloud::phaseFunc
+(ThermoCloudI.H:493-535) when the cloud carries radiation state.
+
+Energy coupling: Sh = Σ_λ a_λ·G_λ − 4σT³·Σ_λ(a_λ·enFrac_λ)·T − E, matching
+radiationModel::Sh with fvDOM Ru (fvDOM.C:611-649) and Rp = 4σ·Σ a_λ·enFrac_λ
+(fvDOM.C:588-607 aDispCumm). The radiation field solve runs on the first
+step then every `solverFreq` steps (radiationModel.C:209-226), matching the
+reference's stale-field behaviour between solves.
 """
 
 from __future__ import annotations
@@ -46,6 +58,15 @@ __all__ = ["FvDOM", "SIGMA"]
 
 SIGMA = 5.670367e-8  # Stefan–Boltzmann (OpenFOAM physicoChemical::sigma)
 
+# absorptionEmissionModel names that carry an nLambda band axis
+_BAND_MODELS = {
+    "wideBandAbsorptionEmission",
+    "wsggmAbsorptionEmissionSmithBand",
+    "wsggmAbsorptionEmissionCassolBand",
+    "wsggmAbsorptionEmissionJohanssonBand",
+    "constRadFracWideBandEmission",
+}
+
 
 def _ray_geometry(n_theta: int, n_phi: int, dtype):
     """Directions, control angles and dAve for 4·nPhi·nTheta ordinates.
@@ -57,11 +78,13 @@ def _ray_geometry(n_theta: int, n_phi: int, dtype):
     d_theta = np.pi / n_theta
     n_phi_tot = 4 * n_phi
     d_phi = 2.0 * np.pi / n_phi_tot
-    omegas, d_aves = [], []
+    omegas, d_aves, dirs = [], [], []
     for i in range(n_theta):
         t1, t2 = i * d_theta, (i + 1) * d_theta
+        tm = 0.5 * (t1 + t2)
         for j in range(n_phi_tot):
             p1, p2 = j * d_phi, (j + 1) * d_phi
+            pm = 0.5 * (p1 + p2)
             omega = (np.cos(t1) - np.cos(t2)) * d_phi
             st = 0.5 * (t2 - t1) - 0.25 * (np.sin(2 * t2) - np.sin(2 * t1))
             dx = st * (np.sin(p2) - np.sin(p1))
@@ -69,9 +92,13 @@ def _ray_geometry(n_theta: int, n_phi: int, dtype):
             dz = 0.5 * (np.sin(t2) ** 2 - np.sin(t1) ** 2) * d_phi
             omegas.append(omega)
             d_aves.append([dx, dy, dz])
+            dirs.append(
+                [np.sin(tm) * np.cos(pm), np.sin(tm) * np.sin(pm), np.cos(tm)]
+            )
     return (
         jnp.asarray(d_aves, dtype),
         jnp.asarray(omegas, dtype),
+        jnp.asarray(dirs, dtype),
     )
 
 
@@ -153,16 +180,19 @@ class FvDOM:
     patch2: tuple
     emissivity: jnp.ndarray  # [nB]
     ae_model: str  # constRadFractionEmission | constantAbsorptionEmission |
-    #               greyMeanAbsorptionEmission
+    #               greyMeanAbsorptionEmission | band models (spectral)
     grey_species: tuple  # ((name, specie_idx_resolver later), ...) static data
     d_ave: jnp.ndarray  # [nRay, 3]
     omega: jnp.ndarray  # [nRay]
+    d_hat: jnp.ndarray  # [nRay, 3] unit bin-centre directions
     phi_ray: jnp.ndarray  # [nRay, nI] = dAve·Sf
     phi_ray_b: jnp.ndarray  # [nRay, nB]
     tol: float = 1e-4
-    wsggm: object = None  # WSGGMGreySmith when selected
+    wsggm: object = None  # WSGGMGreySmith / GreyCassol when selected
     sigma_s: float = 0.0  # constantScatter coefficient [1/m]
     scatter_C: float = 0.0  # constantScatter linear-anisotropy coefficient
+    spectral: object = None  # band model (spectral.py) when selected
+    n_lambda: int = 1
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -187,7 +217,7 @@ class FvDOM:
         dtype = geom.dtype
         n_theta = c.get_int("nTheta", 4)
         n_phi = c.get_int("nPhi", 2)
-        d_ave, omega = _ray_geometry(n_theta, n_phi, dtype)
+        d_ave, omega, d_hat = _ray_geometry(n_theta, n_phi, dtype)
         phi_ray = jnp.einsum("rd,fd->rf", d_ave, geom.Sf)
         phi_ray_b = jnp.einsum("rd,fd->rf", d_ave, geom.b_Sf)
         # grey absorption coefficient by submodel:
@@ -207,10 +237,18 @@ class FvDOM:
         if aem in ("greyMeanAbsorptionEmission", "greyMeanAbsorptionEmissionSoot"):
             grey_species = parse_grey_species(aec)
         wsggm = None
-        if aem.startswith("wsggmAbsorptionEmissionGrey"):
+        if aem == "wsggmAbsorptionEmissionGreySmith":
             from .wsggm import WSGGMGreySmith
 
             wsggm = WSGGMGreySmith.from_coeffs(aec)
+        elif aem == "wsggmAbsorptionEmissionGreyCassol":
+            from .wsggm import WSGGMGreyCassol
+
+            wsggm = WSGGMGreyCassol.from_coeffs(aec)
+        # banded (nLambda > 1) models
+        spectral = None
+        if aem in _BAND_MODELS or aem == "binaryAbsorptionEmission":
+            spectral = _build_spectral(aem, aec, rp)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         emissivity = _read_wall_emissivity(case, geom, dtype)
@@ -242,8 +280,11 @@ class FvDOM:
             wsggm=wsggm,
             sigma_s=sigma_s,
             scatter_C=scatter_C,
+            spectral=spectral,
+            n_lambda=spectral.n_lambda if spectral is not None else 1,
             d_ave=d_ave,
             omega=omega,
+            d_hat=d_hat,
             phi_ray=phi_ray,
             phi_ray_b=phi_ray_b,
         )
@@ -256,11 +297,15 @@ class FvDOM:
     def initial_state(self) -> Dict:
         g = self.geom
         dtype = g.dtype
+        nL = self.n_lambda
         return {
-            "I": jnp.zeros((self.n_rays, g.n_cells), dtype),
+            "I": jnp.zeros((self.n_rays, nL, g.n_cells), dtype),
             "G": jnp.zeros((g.n_cells,), dtype),
             "E": jnp.zeros((g.n_cells,), dtype),
             "a": jnp.full((g.n_cells,), self.a_const, dtype),
+            # stale Sh ingredients: Σ_λ a_λ·G_λ and Σ_λ a_λ·enFrac_λ
+            "aG": jnp.zeros((g.n_cells,), dtype),
+            "aEn": jnp.full((g.n_cells,), self.a_const, dtype),
             "count": jnp.asarray(0, jnp.int32),
             "chi": jnp.asarray(self.ehrr, dtype),
         }
@@ -296,57 +341,167 @@ class FvDOM:
             self.grey_species, self.a_const, self.ae_model, self.geom, state, gas
         )
 
-    # ------------------------------------------------------------ solve
-    def _solve_rays(self, rad, state, gas):
-        """One fvDOM calculate(): sweep all rays (vmapped) up to maxIter
-        times until the max initial residual drops below `convergence`,
-        re-evaluating wall reflection qin and the scatter in-source G each
-        sweep (reference fvDOM.C:549-586 do-while over radIter)."""
-        g = self.geom
-        dtype = g.dtype
+    def spectral_eval(self, state, gas) -> Dict:
+        """Banded absorption/emission/energy-fraction arrays [nL, ...]."""
         T = state["T"]
         chi = self._chi(state)
-        E_tot = chi * state["Qdot"]
+        if self.spectral is not None:
+            Y, p = state.get("Y"), state.get("p")
+            return dict(
+                self.spectral.eval(
+                    T.i,
+                    T.b,
+                    None if Y is None else Y.i,
+                    None if Y is None else Y.b,
+                    None if p is None else p.i,
+                    None if p is None else p.b,
+                    gas,
+                    state["Qdot"],
+                    chi,
+                ),
+                chi=chi,
+            )
         a, a_b = self.absorption(state, gas)
+        E = chi * state["Qdot"]
+        ones = jnp.ones_like(T.i)
+        return {
+            "a": a[None],
+            "a_b": a_b[None],
+            "E": E[None],
+            "enFrac": ones[None],
+            "enFrac_b": jnp.ones_like(T.b)[None],
+            "chi": chi,
+        }
+
+    # ------------------------------------------------------------ solve
+    def _cloud_terms(self, state):
+        """Spray radiation fields from the cloud accumulators, per band:
+        aDisp (ThermoCloud::ap), sigmap, Ep (ThermoCloudI.H:377-492) and the
+        scatter asymmetry factor g = radAreaPScAsy/radAreaPSc. Zeros when no
+        cloud radiation state is present."""
+        cr = state.get("cloud_rad")
+        if cr is None:
+            return None
+        # stored per band already divided by V and flow dt
+        return {
+            "ap": cr["ap"],
+            "sigmap": cr["sigmap"],
+            "Ep": cr["Ep"],
+            "g": cr["asy"] / jnp.maximum(cr["sigmap"], 1e-300),
+        }
+
+    def _solve_rays(self, rad, state, gas):
+        """One fvDOM calculate(): sweep all (ray × band) intensities
+        (vmapped) up to maxIter times until the max initial residual drops
+        below `convergence`, re-evaluating wall reflection qin and the
+        scatter in-source each sweep (reference fvDOM.C:549-586 do-while
+        over radIter)."""
+        g = self.geom
+        dtype = g.dtype
+        nL = self.n_lambda
+        nR = self.n_rays
+        T = state["T"]
+        sp = self.spectral_eval(state, gas)
+        chi = sp["chi"]
+        a_gas, a_gas_b = sp["a"], sp["a_b"]  # [nL, nC], [nL, nB]
+        E_band = sp["E"]  # [nL, nC]
+        enf, enf_b = sp["enFrac"], sp["enFrac_b"]
+
+        cloud = self._cloud_terms(state)
+        if cloud is not None:
+            a_disp = cloud["ap"]  # [nL, nC]
+            sigmap = cloud["sigmap"]
+            Ep = cloud["Ep"]
+        else:
+            a_disp = jnp.zeros_like(a_gas)
+            sigmap = jnp.zeros_like(a_gas)
+            Ep = jnp.zeros_like(a_gas)
+        k_tot = a_gas + a_disp  # absorptionEmissionModel::a = aCont + aDisp
 
         emis = self.emissivity
         sigT4_w = SIGMA * T.b**4
-        src_emit = (a * SIGMA * T.i**4 + 0.25 * E_tot) / jnp.pi  # per ω
+        # per-band emission source (per ω, per π):
+        #   (k − aDisp)·σT⁴·enFrac + E/4 + Ep/4   (radiativeIntensityRay.C:296-303)
+        src_emit = (
+            a_gas * SIGMA * T.i**4 * enf + 0.25 * (E_band + Ep)
+        ) / jnp.pi  # [nL, nC]
         # constantScatter: extinction uses sigmaEff = σs·(3−C)
-        # (constantScatter::sigmaEff), in-scatter source keeps σs/4π
+        # (constantScatter::sigmaEff); spray adds sigmap per band
         sig = self.sigma_s
-        sig_eff = sig * (3.0 - self.scatter_C)
+        sig_eff = sig * (3.0 - self.scatter_C) + sigmap  # [nL, nC]
+
+        # static anisotropic-scatter geometry (ThermoCloud::setCScatCoeffs)
+        if cloud is not None:
+            s_dot = jnp.einsum("rd,sd->rs", self.d_hat, self.d_hat)  # [nR,nR]
+            off = 1.0 - jnp.eye(nR, dtype=dtype)
+            c_geo = [
+                jnp.sum(self.omega[1:] * s_dot[0, 1:] ** k)
+                / (4.0 * jnp.pi - self.omega[0])
+                for k in range(1, 5)
+            ]
 
         def sweep(I):
-            # incident flux per boundary face for (1−ε) reflection
-            qin = jnp.einsum(
-                "rb,rb->b",
-                I[:, g.b_own],
-                jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf,
-            )
-            I_wall = emis * sigT4_w / jnp.pi + (1.0 - emis) * qin / jnp.pi
-            scat_src = jnp.zeros_like(src_emit)
-            if sig != 0.0:
-                # isotropic in-scatter σs·G_prev/4π from the previous sweep,
-                # added WITHOUT the source ray's ω factor, exactly as the
-                # reference does (radiativeIntensityRay.C IiEq RHS
-                # `+ dom_.inScatEnergy(...)`, fvDOM.C:769-799 pFunc = σ/4π)
-                G_prev = jnp.einsum("rc,r->c", I, self.omega)
-                scat_src = sig * G_prev / (4.0 * jnp.pi)
+            # I: [nR, nL, nC]
+            # incident flux per band per boundary face for (1−ε) reflection
+            w_in = jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf  # [nR, nB]
+            qin = jnp.einsum("rlb,rb->lb", I[:, :, g.b_own], w_in)  # [nL, nB]
+            I_wall = (
+                emis[None] * enf_b * sigT4_w[None] + (1.0 - emis[None]) * qin
+            ) / jnp.pi  # [nL, nB]
 
-            def solve_one(phi_i, phi_b, omega, I0):
-                psi = VolField(I0, I_wall)
+            # in-scatter source [nR, nL, nC] (before the ω_s factor applied
+            # in solve_one): gas isotropic σs·G_λ/4π + spray anisotropic
+            scat = jnp.zeros((nR, nL, g.n_cells), dtype)
+            if sig != 0.0:
+                G_band = jnp.einsum("rlc,r->lc", I, self.omega)
+                scat = scat + (sig / (4.0 * jnp.pi)) * G_band[None]
+            if cloud is not None:
+                gf = jnp.clip(cloud["g"], -0.999, 0.999)  # [nL, nC]
+                A = 2.0 * gf / (1.0 + gf * gf)
+                B = (1.0 - gf * gf) / (1.0 + gf * gf)
+                cscat = 1.0 / (
+                    B
+                    * (1.0 + A * c_geo[0] + A**2 * c_geo[1] + A**3 * c_geo[2] + A**4 * c_geo[3])
+                    + 1e-300
+                )
+                # M_k[s,l,c] = Σ_{r≠s} (ŝ_r·ŝ_s)^k ω_r I[r,l,c]
+                Iw = I * self.omega[:, None, None]
+                acc = jnp.einsum("rs,rlc->slc", off, Iw)  # k=0
+                poly = acc  # A^0 = 1 term
+                for k in range(1, 5):
+                    Mk = jnp.einsum("rs,rlc->slc", off * s_dot**k, Iw)
+                    poly = poly + (A[None] ** k) * Mk
+                scat = scat + (
+                    sigmap[None] * cscat[None] * B[None] * poly
+                ) / (4.0 * jnp.pi - self.omega[:, None, None])
+
+            # flatten (ray, band) for one big vmapped solve
+            phi_i_f = jnp.repeat(self.phi_ray, nL, axis=0)  # [nR*nL, nI]
+            phi_b_f = jnp.repeat(self.phi_ray_b, nL, axis=0)
+            om_f = jnp.repeat(self.omega, nL)
+            I_f = I.reshape(nR * nL, g.n_cells)
+            k_f = jnp.tile(k_tot, (nR, 1))  # [nR*nL, nC]
+            se_f = jnp.tile(sig_eff, (nR, 1))
+            src_f = jnp.tile(src_emit, (nR, 1))
+            Iw_f = jnp.tile(I_wall, (nR, 1))  # [nR*nL, nB]
+            scat_f = scat.reshape(nR * nL, g.n_cells)
+
+            def solve_one(phi_i, phi_b, omega, I0, kk, se, src, I_wall_l, sc):
+                psi = VolField(I0, I_wall_l)
                 phi = SurfaceField(phi_i, phi_b)
                 # upwind convection; walls: incoming fixed, outgoing zeroGrad
                 f = jnp.where(phi_b < 0.0, 1.0, 0.0).astype(dtype)
                 vic, vbc = fvm.mixed_value_coeffs(
-                    I_wall, jnp.zeros_like(I_wall), f, g.b_dc
+                    I_wall_l, jnp.zeros_like(I_wall_l), f, g.b_dc
                 )
                 w_up = fvm.upwind_weights(g, phi_i)
                 m = fvm.div(g, phi, psi, w_up, vic, vbc) + fvm.Sp(
-                    g, (a + sig_eff) * omega, psi
+                    g, (kk + se) * omega, psi
                 )
-                m = m.add_source(omega * src_emit + scat_src)
+                # both the emission and in-scatter sources carry the solved
+                # ray's ω (radiativeIntensityRay.C IiEq RHS; fvDOM.C:802
+                # inScatEnergy *= ω_sourDir)
+                m = m.add_source(omega * (src + sc))
                 dt_tot = m.diag_total()
                 b = m.rhs_total()
                 res = bicgstab(
@@ -355,10 +510,10 @@ class FvDOM:
                 )
                 return jnp.maximum(res.x, 0.0), res.initial_residual
 
-            I_new, res0 = jax.vmap(solve_one)(
-                self.phi_ray, self.phi_ray_b, self.omega, I
+            I_new_f, res0 = jax.vmap(solve_one)(
+                phi_i_f, phi_b_f, om_f, I_f, k_f, se_f, src_f, Iw_f, scat_f
             )
-            return I_new, jnp.max(res0)
+            return I_new_f.reshape(nR, nL, g.n_cells), jnp.max(res0)
 
         if self.max_iter <= 1:
             I_new, _ = sweep(rad["I"])
@@ -377,12 +532,14 @@ class FvDOM:
                 body,
                 (rad["I"], jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype)),
             )
-        G = jnp.einsum("rc,r->c", I_new, self.omega)
+        G_band = jnp.einsum("rlc,r->lc", I_new, self.omega)
         return {
             "I": I_new,
-            "G": G,
-            "E": E_tot,
-            "a": a,
+            "G": jnp.sum(G_band, axis=0),
+            "E": jnp.sum(E_band, axis=0),
+            "a": jnp.sum(a_gas * enf, axis=0),
+            "aG": jnp.sum(a_gas * G_band, axis=0),
+            "aEn": jnp.sum(a_gas * enf, axis=0),
             "count": rad["count"] + 1,
             "chi": chi,
         }
@@ -409,23 +566,45 @@ class FvDOM:
     def Sh(self, state, gas) -> jnp.ndarray:
         """Net radiative source to sensible enthalpy [W/m³].
 
-        Matches radiationModel::Sh with fvDOM Ru/Rp: Ru = a·G − E where E is
-        recomputed EVERY step from the current Qdot and radScaling mass
+        Matches radiationModel::Sh with fvDOM Ru/Rp: Ru = Σ a_λG_λ − E where
+        E is recomputed EVERY step from the current Qdot and radScaling mass
         fluxes (ECont is re-evaluated at each Sh — golden log prints a fresh
-        'Radiant Fraction' per step: 0.22 at step 1, 0.36 after), while G
-        and the absorption field a stay stale between solverFreq ray solves
-        (fvDOM.C:588-653 Rp = 4·a·σ, Ru = Σ a_j·G_j − E_j; a = 0 for
-        constRadFractionEmission so both terms vanish there)."""
+        'Radiant Fraction' per step: 0.22 at step 1, 0.36 after), while the
+        absorbed term (aG) and Rp weight (aEn = Σ a_λ·enFrac_λ, fvDOM.C:
+        588-607) stay stale between solverFreq ray solves."""
         chi = self._chi(state)
-        E = chi * state["Qdot"]
-        a = state["rad"]["a"]
-        return a * (state["rad"]["G"] - 4.0 * SIGMA * state["T"].i ** 4) - E
+        E = chi * state["Qdot"] * self._e_qdot_coeff()
+        rad = state["rad"]
+        return rad["aG"] - 4.0 * SIGMA * state["T"].i ** 4 * rad["aEn"] - E
+
+    def _e_qdot_coeff(self) -> float:
+        """Static Σ_λ(E_λ)/(χ·Qdot): 1 for grey/constRadFracWideBand (bands
+        sum to ~1), Σ(Ehrr_b·Δλ_b)/Σλ / χ for wideBand (per-band EhrrCoeff
+        replaces the global one there)."""
+        spc = self.spectral
+        if spc is None:
+            return 1.0
+        from .spectral import ConstRadFracWideBandAE, WideBandAE, WSGGBandAE
+
+        if isinstance(spc, ConstRadFracWideBandAE):
+            return float(sum(spc.en_fracs))
+        if isinstance(spc, WideBandAE):
+            total = sum(hi - lo for lo, hi in spc.bands)
+            return float(
+                sum(e * (hi - lo) for e, (lo, hi) in zip(spc.ehrr, spc.bands))
+                / total
+                / max(self.ehrr, 1e-300)
+            )
+        return 0.0  # WSGG band models have no prescribed emission
 
     # ------------------------------------------------------- diagnostics
     def qr_boundary(self, rad) -> jnp.ndarray:
         """Net radiative heat flux at boundary faces [W/m²] (into wall +)."""
         g = self.geom
-        return jnp.einsum("rb,rb->b", rad["I"][:, g.b_own], self.phi_ray_b) / g.b_magSf
+        return (
+            jnp.einsum("rlb,rb->b", rad["I"][:, :, g.b_own], self.phi_ray_b)
+            / g.b_magSf
+        )
 
     def qin_boundary(self, rad) -> jnp.ndarray:
         """Incident radiative flux at boundary faces [W/m²] (fvDOM qin —
@@ -433,10 +612,52 @@ class FvDOM:
         qin, reference turbulentTemperatureRadiationQinCoupledMixed)."""
         g = self.geom
         return jnp.einsum(
-            "rb,rb->b",
-            rad["I"][:, g.b_own],
+            "rlb,rb->b",
+            rad["I"][:, :, g.b_own],
             jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf,
         )
+
+    def G_bands(self, rad) -> jnp.ndarray:
+        """Per-band incident radiation [nL, nCells] (fvDOM GLambda — consumed
+        by the parcel radiative heating term, ThermoCloudI.H:600)."""
+        return jnp.einsum("rlc,r->lc", rad["I"], self.omega)
+
+
+def _build_spectral(aem: str, aec: FoamDict, rp: FoamDict):
+    """Construct the banded spectral model (spectral.py) for `aem`."""
+    from .spectral import (
+        BinaryAE,
+        ConstRadFracWideBandAE,
+        WideBandAE,
+        WSGGBandAE,
+    )
+
+    if aem == "wideBandAbsorptionEmission":
+        return WideBandAE.from_coeffs(aec)
+    if aem == "constRadFracWideBandEmission":
+        return ConstRadFracWideBandAE.from_coeffs(aec)
+    if aem == "wsggmAbsorptionEmissionSmithBand":
+        return WSGGBandAE.from_coeffs(aec, "smith")
+    if aem == "wsggmAbsorptionEmissionCassolBand":
+        return WSGGBandAE.from_coeffs(aec, "cassol")
+    if aem == "wsggmAbsorptionEmissionJohanssonBand":
+        return WSGGBandAE.from_coeffs(aec, "johansson")
+    if aem == "binaryAbsorptionEmission":
+        m1 = str(aec.lookup("model1", "none"))
+        m2 = str(aec.lookup("model2", "none"))
+        subs = []
+        for m in (m1, m2):
+            # cloudAbsorptionEmission contributions enter through the cloud
+            # radiation state (state["cloud_rad"]), not the gas spectral model
+            if m in ("none", "cloudAbsorptionEmission"):
+                continue
+            subs.append(_build_spectral(m, aec.get_dict(m + "Coeffs", FoamDict()), rp))
+        if len(subs) == 2:
+            return BinaryAE(subs[0], subs[1])
+        if len(subs) == 1:
+            return subs[0]
+        return None
+    raise ValueError(f"unsupported spectral absorptionEmissionModel {aem}")
 
 
 def _aslist(v):

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..io.foamdict import FoamDict
 
-__all__ = ["WSGGMGreySmith"]
+__all__ = ["WSGGMGreySmith", "WSGGMGreyCassol"]
 
 # emissivityCoeffs[regime][gas] — pressure-absorption coefficients k_i
 # [1/(atm·m)]; regimes: 0: Pw/Pc=2, 1: Pw/Pc=1, 2: CO2-only, 3: H2O→0,
@@ -155,6 +155,99 @@ class WSGGMGreySmith:
         else:
             # H2O-only regimes define the low band only (GreySmith.C:610-647)
             e = e_low
+        e = jnp.clip(e, 0.0, 0.9999)
+        a = -jnp.log1p(-e) / self.path_length
+        if fv is not None and self.c_soot != 0.0:
+            a = a + self.c_soot * fv * Tl
+        return a
+
+
+# ---------------------------------------------------------------------------
+# GreyCassol: 4 grey gases, Cassol et al. 2014 coefficients
+# (wsggmAbsorptionEmissionGreyCassol.C:104-230; regimes 0: Pw/Pc=2 mixture,
+# 1: H2O only, 2: CO2 only — selected by Pw_div_Pc 2/1/0).
+# The shipped reference applies the fitting factors UNscaled; the published
+# Cassol table carries 1e-5/1e-8/1e-11/1e-15 scalings on the T^1..T^4
+# coefficients (the banded variant in the same repo applies exactly these),
+# so we use the published scalings.
+# ---------------------------------------------------------------------------
+
+_CASSOL_K = np.array(
+    [
+        [0.192, 1.719, 11.37, 111.016],
+        [0.171, 1.551, 5.562, 49.159],
+        [0.138, 1.895, 13.301, 340.811],
+    ]
+)
+_CASSOL_SCALE = np.array([1.0, 1e-5, 1e-8, 1e-11, 1e-15])
+_CASSOL_B = (
+    np.array(
+        [
+            [
+                [0.05617, 78.44, -85.63, 42.46, -74.4],
+                [0.1426, 17.95, -1.077, -6.971, 17.74],
+                [0.1362, 25.74, -37.11, 15.7, -22.67],
+                [0.1222, -2.327, -7.492, 4.275, -6.608],
+            ],
+            [
+                [0.06617, 55.48, -48.41, 22.27, -40.17],
+                [0.11045, 0.576, 24.0, -17.01, 30.96],
+                [-0.04915, 70.63, -70.12, 26.07, -34.94],
+                [0.23675, -18.91, -0.907, 4.082, -8.778],
+            ],
+            [
+                [0.0999, 64.41, -86.94, 41.27, -67.74],
+                [0.00942, 10.36, -2.277, -2.134, 6.497],
+                [0.14511, -30.73, 37.65, -18.41, 30.16],
+                [-0.02915, 25.23, -26.1, 9.965, -13.26],
+            ],
+        ]
+    )
+    * _CASSOL_SCALE
+)
+
+_CASSOL_REGIMES = {2.0: 0, 1.0: 1, 0.0: 2}
+
+
+@dataclass
+class WSGGMGreyCassol:
+    """Grey-lumped Cassol WSGG (wsggmAbsorptionEmissionGreyCassol.C):
+    ε = Σ_i w_i(T)·(1 − e^{−k_i·pL}), a = −ln(1−ε)/L (+ soot)."""
+
+    path_length: float
+    regime: int
+    c_soot: float
+
+    @classmethod
+    def from_coeffs(cls, coeffs: FoamDict) -> "WSGGMGreyCassol":
+        pl = coeffs.lookup("pathLength")
+        if isinstance(pl, list):
+            pl = pl[-1]
+        ratio = float(coeffs.get_scalar("Pw_div_Pc", 2.0))
+        if ratio not in _CASSOL_REGIMES:
+            raise ValueError(f"WSGGM GreyCassol: unsupported Pw_div_Pc {ratio}")
+        csv = coeffs.lookup("Csoot", 0.0)
+        return cls(
+            path_length=float(pl),
+            regime=_CASSOL_REGIMES[ratio],
+            c_soot=float(csv[-1] if isinstance(csv, list) else csv),
+        )
+
+    def a(self, T, Y, p, gas, fv: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        dtype = T.dtype
+        W_mix = 8314.47 / gas.R(Y)
+        mol = jnp.zeros_like(T)
+        for sp in ("CO2", "H2O"):
+            if sp in gas.species:
+                si = gas.index(sp)
+                mol = mol + Y[:, si] / gas.W[si]
+        pL = W_mix * (p / 101325.0) * mol * self.path_length
+        Tl = jnp.minimum(T, 3000.0)  # no data above (GreyCassol.C:104 comment)
+        B = jnp.asarray(_CASSOL_B[self.regime], dtype)  # [4 gases, 5 coeffs]
+        K = jnp.asarray(_CASSOL_K[self.regime], dtype)
+        powers = jnp.stack([Tl**j for j in range(5)], axis=-1)  # [n, 5]
+        w = powers @ B.T  # [n, 4]
+        e = jnp.sum(w * (1.0 - jnp.exp(-K[None, :] * pL[:, None])), axis=-1)
         e = jnp.clip(e, 0.0, 0.9999)
         a = -jnp.log1p(-e) / self.path_length
         if fv is not None and self.c_soot != 0.0:

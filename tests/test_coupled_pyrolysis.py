@@ -25,7 +25,8 @@ def test_setup(wfs2d):
     patch = solver.geom.patch("region0_to_panelRegion_panel")
     assert patch.n == z.region.n_faces == 10
     # fuel-equivalence factor hocPyr/qFuel from hocSolid=1.66e7 (0/U)
-    _, _, scale = solver._pyro_maps["panelRegion"]
+    entries = solver._pyro_maps["panelRegion"]
+    mpatch, _, _, scale = next(e for e in entries if e[0].name == patch.name)
     assert 0.2 < scale < 1.0  # hocPyr < qFuel (char-corrected)
     # gas coupled T BC resolves to the coupled kind
     tb = next(b for b in solver.T_bcs.bcs if b.patch == patch.name)

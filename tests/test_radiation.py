@@ -11,7 +11,7 @@ from conftest import reference_case
 
 def test_ray_geometry_matches_golden_log():
     # steckler: nPhi=2, nTheta=4 → 32 rays; golden log omegas
-    d, w = _ray_geometry(4, 2, jnp.float64)
+    d, w, _ = _ray_geometry(4, 2, jnp.float64)
     assert d.shape == (32, 3)
     assert float(w[0]) == pytest.approx(0.2300378, rel=1e-6)
     assert float(w[8]) == pytest.approx(0.55536037, rel=1e-6)
