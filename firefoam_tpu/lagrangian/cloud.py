@@ -89,6 +89,11 @@ class CloudConfig:
     relax_U: float
     relax_Yi: float
     relax_h: float
+    # radiation (ThermoCloud.C:59-130: radiation switch + constRad/diaBanded
+    # particle radiative properties, coupledRadiation parcel heating)
+    radiation: bool = False
+    coupled_radiation: bool = True
+    n_bands: int = 1
 
 
 class ReactingCloud:
@@ -169,7 +174,31 @@ class ReactingCloud:
             relax_U=relax("U"),
             relax_Yi=relax("Yi"),
             relax_h=relax("h"),
+            radiation=sub.get_bool("radiation", False),
+            coupled_radiation=sub.get_bool("coupledRadiation", True),
+            n_bands=sub.get_int("nBands", 1),
         )
+
+        # particle radiative properties (ThermoCloud.C:70-107): constRad =
+        # diameter-independent efficiencies; diaBanded = per-diameter tables
+        # of absorption/scattering efficiency + asymmetry factor per band
+        self.rad_prop = sub.get_word("radiationProperty", "constRad")
+        rpc = sub.get_dict(self.rad_prop + "Coeffs", FoamDict())
+        nb = self.cfg.n_bands
+        if self.cfg.radiation and self.rad_prop == "diaBanded":
+            dia = [float(x) for x in rpc.get_list("diaList")]
+            qabs = _nested(rpc.lookup("absEfficiency", []), nb)
+            qsct = _nested(rpc.lookup("sctEfficiency", []), nb)
+            asyf = _nested(rpc.lookup("asymmetryFactor", []), nb)
+            self.rad_dia = np.asarray(dia)
+            self.rad_qabs = np.asarray(qabs)  # [nDia, nBands]
+            self.rad_qsct = np.asarray(qsct)
+            self.rad_asy = np.asarray(asyf)
+        else:
+            self.rad_dia = None
+            self.rad_qabs = np.full((1, nb), rpc.get_scalar("absEfficiency", 0.5))
+            self.rad_qsct = np.full((1, nb), rpc.get_scalar("sctEfficiency", 0.5))
+            self.rad_asy = np.zeros((1, nb))
 
         # injectors
         inj_dict = sub.get_dict("injectionModels", FoamDict())
@@ -180,6 +209,16 @@ class ReactingCloud:
             )
         for inj in self.injectors:
             inj.max_per_step = inj.capacity_for_dt(dt_max)
+
+        # stochastic collision: SuppressionCollision gates combustion of
+        # this cloud's parcels by another cloud's spray coverage
+        scm = sub.get_word("stochasticCollisionModel", "none")
+        if scm == "SuppressionCollision":
+            from .suppression import SuppressionCollision
+
+            self.suppression = SuppressionCollision.from_dict(sub)
+        else:
+            self.suppression = None
 
         # cloud function objects: ParticleCollectorFmg (lib/
         # additionalCloudFunctionObjects — SURVEY §2.10)
@@ -247,6 +286,10 @@ class ReactingCloud:
             "cell": jnp.zeros((cap,), INT_DTYPE),
             "alive": jnp.zeros((cap,), bool),
             "age": jnp.zeros((cap,), dtp),
+            # reacting-multiphase combustion gate (−1 = suppressed) and
+            # parcel type id — consumed by SuppressionCollision
+            "canCombust": jnp.ones((cap,), jnp.int32),
+            "typeId": jnp.zeros((cap,), jnp.int32),
             "rng": jax.random.PRNGKey(seed),
             "inj": [inj.init_state() for inj in self.injectors],
             "coll": [c.init_state(dtp) for c in self.collectors],
@@ -298,6 +341,12 @@ class ReactingCloud:
         st["cell"] = st["cell"].at[tgt].set(jnp.where(ok, cand["cell"], st["cell"][tgt]))
         st["alive"] = st["alive"].at[tgt].set(ok | st["alive"][tgt])
         st["age"] = put(st["age"], jnp.zeros((m,), self.dtype))
+        st["canCombust"] = st["canCombust"].at[tgt].set(
+            jnp.where(ok, 1, st["canCombust"][tgt])
+        )
+        st["typeId"] = st["typeId"].at[tgt].set(
+            jnp.where(ok, 0, st["typeId"][tgt])
+        )
         # relocalise injected parcels from their seed cell (sprinkler offset)
         x, U, cell, alive, hit, code = self.walk.walk(
             st["x"], st["U"], st["cell"], st["alive"], self.b_code, self.b_e,
@@ -368,6 +417,23 @@ class ReactingCloud:
         evap_all = m1_new * st["nP"] <= cfg.min_mass
         d_new = jnp.maximum((6.0 * m1_new / (_PI * rho_l)) ** (1.0 / 3.0), 1e-9)
 
+        # ---- particle radiative efficiencies + heating -------------------
+        # (ThermoParcel::calcHeatTransfer radiation branch + ThermoCloud::
+        # radCalc — s = kG/4 − σ·kEmm·T⁴ added to the analytic T solve)
+        s_rad = jnp.zeros_like(d)
+        if cfg.radiation:
+            QAbs, QSct, gAsy = self._rad_efficiencies(d)  # [N, nBands] each
+            Gb = gas.get("G_bands")  # [nBands, nC] from fvDOM (stale)
+            if Gb is not None and cfg.coupled_radiation:
+                G_par = Gb[:, c].T  # [N, nBands]
+                kG = jnp.sum(QAbs * G_par, axis=1)
+                # Kirchhoff emission: QEmm = QAbs with equal band fractions
+                # (the reference's getQEmmFrac is an unimplemented stub —
+                # ThermoCloudI.H:627-631 returns zeros; we use the
+                # energy-consistent closure instead)
+                kEmm = jnp.sum(QAbs, axis=1) / max(cfg.n_bands, 1)
+                s_rad = 0.25 * kG - 5.670367e-8 * kEmm * T_p**4
+
         # ---- heat transfer (Ranz-Marshall, analytic T integration) ------
         T_new = T_p
         q_conv1 = jnp.zeros_like(d)  # heat gained by one particle from gas
@@ -389,13 +455,21 @@ class ReactingCloud:
             hl = self.liquid.hl(p_c, T_p) if cfg.phase_change else 0.0
             mcp = jnp.maximum(m1_new * cp_l, 1e-30)
             beta_T = htc * A / mcp
-            # effective bath temperature incl. latent-heat sink
-            T_eff = T_c - (dm1 / jnp.maximum(dt_sub, 1e-300)) * hl / jnp.maximum(
-                htc * A, 1e-30
+            # effective bath temperature incl. latent-heat sink and the
+            # radiative surface flux s_rad (ThermoParcel.C:295-319 ap += s/htc)
+            T_eff = (
+                T_c
+                - (dm1 / jnp.maximum(dt_sub, 1e-300)) * hl / jnp.maximum(htc * A, 1e-30)
+                + s_rad / jnp.maximum(htc, 1e-30)
             )
             T_new = T_eff + (T_p - T_eff) * jnp.exp(-beta_T * dt_sub)
             T_new = jnp.clip(T_new, cfg.T_min, cfg.Tbp)
-            q_conv1 = m1_new * cp_l * (T_new - T_p) + dm1 * hl  # = ∫htc A (Tc−T)dt
+            # convective-only heat from the gas (the radiative part comes
+            # from the radiation field, not the carrier enthalpy — dhsTrans
+            # in the reference is Sph·(Tres.average − Tc), convective only)
+            q_conv1 = (
+                m1_new * cp_l * (T_new - T_p) + dm1 * hl - s_rad * A * dt_sub
+            )
         T_new = jnp.where(mask, T_new, T_p)
 
         # ---- momentum (sphere drag + gravity, drag-implicit Euler) ------
@@ -437,6 +511,26 @@ class ReactingCloud:
             q = -w * q_conv1 + dm * hv
             src["hsTrans"] = src["hsTrans"] + seg(q)
 
+        # ---- spray radiation accumulators (ThermoCloud::radCalc:
+        # radAreaP/radAreaPSc/radAreaPT4/radAreaPScAsy per band) ----------
+        if cfg.radiation:
+            Ap = 0.25 * _PI * d_new**2  # projected area
+            QAbs, QSct, gAsy = self._rad_efficiencies(d_new)
+            wA = jnp.where(mask, nP * Ap, 0.0) * dt_sub  # time-weighted
+            segb = lambda v: jax.vmap(
+                lambda col: jax.ops.segment_sum(col, c, num_segments=nC)
+            )(v.T)  # [N, nB] -> [nB, nC]
+            src = dict(src)
+            src["radAp"] = src["radAp"] + segb(wA[:, None] * QAbs)
+            src["radSigp"] = src["radSigp"] + segb(wA[:, None] * QSct)
+            src["radAsy"] = src["radAsy"] + segb(wA[:, None] * QSct * gAsy)
+            # emission ∝ particle SURFACE (4·Ap)·σ·QEmm·emFrac·T⁴, energy-
+            # consistent with the parcel sink above (QEmm = QAbs, equal
+            # band fractions)
+            src["radEpT4"] = src["radEpT4"] + segb(
+                (4.0 * wA * T_new**4 / max(cfg.n_bands, 1))[:, None] * QAbs
+            )
+
         # ---- commit parcel updates --------------------------------------
         st = dict(st)
         st["T"] = jnp.where(mask, T_new, st["T"])
@@ -445,6 +539,42 @@ class ReactingCloud:
         st["alive"] = st["alive"] & ~(mask & evap_all)
         st["age"] = st["age"] + jnp.where(mask, dt_sub, 0.0)
         return st, src
+
+    # ------------------------------------------------------------------
+    def _rad_efficiencies(self, d):
+        """Per-parcel per-band (QAbs, QSct, g): constRad constants or
+        diaBanded linear interpolation in particle diameter with endpoint
+        extrapolation (ThermoCloud::getQAbsQSct, ThermoCloudI.H:647-720)."""
+        nb = self.cfg.n_bands
+        dtp = self.dtype
+        if self.rad_dia is None or len(self.rad_dia) == 1:
+            one = jnp.ones(d.shape + (1,), dtp)
+            return (
+                one * jnp.asarray(self.rad_qabs[0], dtp),
+                one * jnp.asarray(self.rad_qsct[0], dtp),
+                one * jnp.asarray(self.rad_asy[0], dtp),
+            )
+        dia = jnp.asarray(self.rad_dia, dtp)
+
+        def interp(tab):
+            tabj = jnp.asarray(tab, dtp)  # [nDia, nB]
+            return jax.vmap(
+                lambda col: jnp.interp(d, dia, col), in_axes=1, out_axes=1
+            )(tabj)
+
+        return interp(self.rad_qabs), interp(self.rad_qsct), interp(self.rad_asy)
+
+    # ------------------------------------------------------------------
+    def vDotSweep(self, st) -> jnp.ndarray:
+        """Per-cell swept volume rate Σ np·π/4·d²·|U| / V [1/s] — the
+        suppression-probability driver (kinematicCloud::vDotSweep consumed
+        by SuppressionCollision.C:collide)."""
+        magU = jnp.sqrt(jnp.sum(st["U"] ** 2, axis=1))
+        v = jnp.where(st["alive"], st["nP"] * 0.25 * _PI * st["d"] ** 2 * magU, 0.0)
+        return (
+            jax.ops.segment_sum(v, st["cell"], num_segments=self.geom.n_cells)
+            / self.geom.V
+        )
 
     # ------------------------------------------------------------------
     def _film_interaction(self, st, src, code, hit, mass_before, T_hit,
@@ -559,10 +689,19 @@ class ReactingCloud:
             "filmEnthalpy": jnp.zeros(self.geom.n_boundary, dtp),
             "escapedMass": jnp.zeros((), dtp),
         }
+        if self.cfg.radiation:
+            nb = self.cfg.n_bands
+            for k in ("radAp", "radSigp", "radAsy", "radEpT4"):
+                src[k] = jnp.zeros((nb, nC), dtp)
         if not self.cfg.active:
             return st, src
 
         st = self._inject(st, gas["t"], dt, gas)
+
+        # stochastic collision (KinematicCloud.C:205): SuppressionCollision
+        # driven by the suppressing cloud's per-cell swept-volume rate
+        if self.suppression is not None and gas.get("vDotSweep_sup") is not None:
+            st = self.suppression.collide(st, gas["vDotSweep_sup"], dt)
 
         dt_sub = dt / self.cfg.n_sub
         for _ in range(self.cfg.n_sub):
@@ -603,6 +742,17 @@ class ReactingCloud:
             # physics + gas-side sources
             st, src = self._calc(st, gas, dt_sub, src)
 
+        if self.cfg.radiation:
+            # time-averaged dispersed-phase radiation fields for the RTE
+            # (ThermoCloud::ap/sigmap/Ep — ThermoCloudI.H:377-492: the dt
+            # accumulation divides by the flow Δt; V division here)
+            Vdt = self.geom.V[None, :] * jnp.maximum(dt, 1e-300)
+            src["cloud_rad"] = {
+                "ap": src.pop("radAp") / Vdt,
+                "sigmap": src.pop("radSigp") / Vdt,
+                "asy": src.pop("radAsy") / Vdt,
+                "Ep": 5.670367e-8 * src.pop("radEpT4") / Vdt,
+            }
         return st, src
 
     # ------------------------------------------------------------------
@@ -639,3 +789,14 @@ def _bmask(mask, v):
     if v.ndim == 2:
         return mask[:, None]
     return mask
+
+
+def _nested(v, nb):
+    """Parse a List<List<scalar>> dict entry into [nDia][nBands] floats."""
+    rows = []
+    for row in v if isinstance(v, list) else []:
+        if isinstance(row, list):
+            rows.append([float(x) for x in row])
+        else:
+            rows.append([float(row)] * nb)
+    return rows or [[0.5] * nb]

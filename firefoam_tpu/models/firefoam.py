@@ -354,6 +354,10 @@ class FireFoamSolver:
             state["rad"] = self.radiation.initial_state()
         if self.cloud is not None:
             state["cloud"] = self.cloud.initial_state()
+            if self.cloud.cfg.radiation:
+                nb = self.cloud.cfg.n_bands
+                z = jnp.zeros((nb, g.n_cells), dt)
+                state["cloud_rad"] = {"ap": z, "sigmap": z, "asy": z, "Ep": z}
         if self.pyrolysis is not None:
             state["pyro"] = self.pyrolysis.initial_state()
         if self.film is not None:
@@ -770,9 +774,17 @@ class FireFoamSolver:
             gas_ctx["film_delta_b"] = fd.at[m["bidx"]].set(
                 state["film"]["delta"][m["rows"]]
             )
+        if self.cloud.cfg.radiation and self.radiation is not None and "rad" in state:
+            # stale per-band incident radiation for the parcel heating term
+            # (ThermoCloud::radCalc reads fvdomModel_.GLambda)
+            gas_ctx["G_bands"] = self.radiation.G_bands(state["rad"])
         cst, src = self.cloud.evolve(state["cloud"], gas_ctx, state["dt"])
         state = dict(state)
         state["cloud"] = cst
+        if "cloud_rad" in src:
+            # spray aDisp/sigmap/Ep enter the next fvDOM solve
+            # (radiativeIntensityRay.C:296-303)
+            state["cloud_rad"] = src["cloud_rad"]
         inv_vdt = 1.0 / (g.V * state["dt"])
         cfg = self.cloud.cfg
         out = {

@@ -383,11 +383,20 @@ class FvDOM:
         if cr is None:
             return None
         # stored per band already divided by V and flow dt
+        ap, sigmap, asy, Ep = cr["ap"], cr["sigmap"], cr["asy"], cr["Ep"]
+        if ap.shape[0] != self.n_lambda:
+            # cloud nBands ≠ fvDOM nLambda: lump to grey, split equally
+            # (the reference's getQAbsQSct nBands==1 beam-length lumping)
+            nL = self.n_lambda
+            ap = jnp.tile(jnp.mean(ap, axis=0)[None], (nL, 1))
+            sigmap = jnp.tile(jnp.mean(sigmap, axis=0)[None], (nL, 1))
+            asy = jnp.tile(jnp.mean(asy, axis=0)[None], (nL, 1))
+            Ep = jnp.tile(jnp.sum(Ep, axis=0)[None] / nL, (nL, 1))
         return {
-            "ap": cr["ap"],
-            "sigmap": cr["sigmap"],
-            "Ep": cr["Ep"],
-            "g": cr["asy"] / jnp.maximum(cr["sigmap"], 1e-300),
+            "ap": ap,
+            "sigmap": sigmap,
+            "Ep": Ep,
+            "g": asy / jnp.maximum(sigmap, 1e-300),
         }
 
     def _solve_rays(self, rad, state, gas):
