@@ -452,12 +452,24 @@ def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None) -> Injec
         return ConeInjection(name, d, walk, dtype)
     if kind in ("patchInjection", "patchFlowRateInjection") and geom is not None:
         return PatchInjection(name, d, geom, dtype)
-    if kind in (
-        "detailedSprinklerInjection",
-        "detailedSprinklerInjection2",
-        "lookupTableSprinklerInjection",
-        "lookupTableVolumeFluxSprinklerInjection",
-        "multiSprinklerInjection",
-    ):
+    if kind in ("detailedSprinklerInjection", "detailedSprinklerInjection2"):
         return DetailedSprinklerInjection(name, d, walk, case, dtype)
+    if kind in ("sprinklerInjection", "multiSprinklerInjection"):
+        from .sprinklers import AnalyticSprinklerInjection
+
+        return AnalyticSprinklerInjection(
+            name, d, walk, dtype, multi=(kind == "multiSprinklerInjection")
+        )
+    if kind == "lookupTableSprinklerInjection":
+        from .sprinklers import LookupTableSprinklerInjection
+
+        return LookupTableSprinklerInjection(name, d, walk, case, dtype)
+    if kind == "lookupTableVolumeFluxSprinklerInjection":
+        from .sprinklers import LookupTableVolumeFluxSprinklerInjection
+
+        return LookupTableVolumeFluxSprinklerInjection(name, d, walk, case, dtype)
+    if kind == "uniformSamplingSprinklerInjection":
+        from .sprinklers import UniformSamplingSprinklerInjection
+
+        return UniformSamplingSprinklerInjection(name, d, walk, case, dtype)
     raise NotImplementedError(f"injection model '{kind}'")
