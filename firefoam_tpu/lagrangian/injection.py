@@ -446,6 +446,98 @@ class PatchInjection(InjectorBase):
 
 
 # ---------------------------------------------------------------------------
+class FilmDripInjection(InjectorBase):
+    """Film → cloud drip re-injection (the reference's surfaceFilm().inject
+    path: KinematicCloud.C:186 cloud-side + drippingInjection film-side).
+
+    Consumes the film's per-boundary-face dripped-mass flux (supplied each
+    step via gas["film_drip_b"] [kg/m²/s over nB faces]) from an owed-mass
+    account; parcels are released from the film face centres (nudged into
+    the gas) with the film-face velocity plus a small gravity kick, sizes
+    from the drippingInjection parcelDistribution, particlesPerParcel
+    particles per parcel."""
+
+    def __init__(self, name, geom, bidx, d_min, d_max, n_per_parcel,
+                 g_vec, film_U_getter=None, dtype=jnp.float64,
+                 max_parcels_per_step: int = 64, rho_l: float = 1000.0):
+        super().__init__(name, soi=0.0, duration=1e30)
+        self.dtype = dtype
+        self.geom = geom
+        self.bidx = np.asarray(bidx)  # film-covered boundary-face indices
+        self.d_min, self.d_max = d_min, d_max
+        self.n_per_parcel = n_per_parcel
+        self.rho_l = rho_l
+        self.max_per_step = max_parcels_per_step
+        own = np.asarray(geom.b_own)[self.bidx]
+        Cf = np.asarray(geom.b_Cf)[self.bidx]
+        C = np.asarray(geom.C)[own]
+        self.cells = own
+        self.x_rel = Cf + 0.1 * (C - Cf)
+        g = np.asarray(g_vec, float)
+        self.g_hat = g / max(np.linalg.norm(g), 1e-12)
+        self.areas = np.asarray(geom.b_magSf)[self.bidx]
+
+    def capacity_for_dt(self, dt_max: float) -> int:
+        return self.max_per_step
+
+    def init_state(self) -> Dict:
+        return {"n_inj": jnp.zeros((), INT_DTYPE), "m_owed": jnp.zeros((), self.dtype)}
+
+    def inject(self, st: Dict, key, t, dt, gas) -> Tuple[Dict, Dict]:
+        cap = self.max_per_step
+        dtp = self.dtype
+        drip_b = gas.get("film_drip_b")  # [nB] kg/m²/s
+        zero_cand = {
+            "x": jnp.zeros((cap, 3), dtp),
+            "U": jnp.zeros((cap, 3), dtp),
+            "d": jnp.full((cap,), self.d_min, dtp),
+            "cell": jnp.zeros((cap,), INT_DTYPE),
+            "valid": jnp.zeros((cap,), bool),
+            "mass": jnp.zeros((cap,), dtp),
+        }
+        if drip_b is None or self.bidx.size == 0:
+            return dict(st), zero_cand
+        w = drip_b[jnp.asarray(self.bidx)] * jnp.asarray(self.areas, dtp)  # kg/s
+        total = jnp.sum(w) * dt
+        owed = st["m_owed"] + total.astype(dtp)
+
+        ks = jax.random.split(key, 3)
+        # sample release faces ∝ dripped mass (uniform when none this step)
+        wsafe = jnp.where(jnp.sum(w) > 0, w, jnp.ones_like(w))
+        cdf = jnp.cumsum(wsafe) / jnp.sum(wsafe)
+        u = jax.random.uniform(ks[0], (cap,), dtype=dtp)
+        f = jnp.minimum(
+            jnp.searchsorted(cdf, u).astype(INT_DTYPE), len(self.bidx) - 1
+        )
+        dia = jax.random.uniform(
+            ks[1], (cap,), dtype=dtp, minval=self.d_min, maxval=self.d_max
+        )
+        m_par = self.n_per_parcel * self.rho_l * _PI / 6.0 * dia**3
+        # release as many parcels as the owed account affords
+        csum = jnp.cumsum(m_par)
+        valid = csum <= owed
+        released = jnp.sum(jnp.where(valid, m_par, 0.0))
+        st = dict(st)
+        st["m_owed"] = owed - released
+        st["n_inj"] = st["n_inj"] + jnp.sum(valid).astype(INT_DTYPE)
+        x = jnp.asarray(self.x_rel, dtp)[f]
+        filmU = gas.get("film_U_b")
+        U = (
+            filmU[jnp.asarray(self.bidx)][f]
+            if filmU is not None
+            else jnp.zeros((cap, 3), dtp)
+        )
+        U = U + 0.1 * jnp.asarray(self.g_hat, dtp)[None, :]
+        cand = {
+            "x": x, "U": U, "d": dia,
+            "cell": jnp.asarray(self.cells, INT_DTYPE)[f],
+            "valid": valid,
+            "mass": jnp.where(valid, m_par, 0.0),
+        }
+        return st, cand
+
+
+# ---------------------------------------------------------------------------
 def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None) -> InjectorBase:
     kind = d.get_word("type")
     if kind == "coneInjection":

@@ -292,6 +292,9 @@ class FireFoamSolver:
         self.k, self.k_bcs = self._read_field("k")
         self.alphat, self.alphat_bcs = self._read_field("alphat")
         self.nut, self.nut_bcs = self._read_field("nut")
+        self._has_film_alphat_wf = self.film is not None and any(
+            b.kind == "alphatFilmWallFunction" for b in self.alphat_bcs.bcs
+        )
 
         Yi, Yb, self.Y_bcs = [], [], []
         for sp in self.species:
@@ -362,6 +365,11 @@ class FireFoamSolver:
             state["pyro"] = self.pyrolysis.initial_state()
         if self.film is not None:
             state["film"] = self.film.initial_state()
+            if self.cloud is not None and self.film.drip_enabled:
+                state["film_drip_b"] = jnp.zeros((g.n_boundary,), dt)
+                state["film_U_b"] = jnp.zeros((g.n_boundary, 3), dt)
+            if self._has_film_alphat_wf:
+                state["film_evap_b"] = jnp.zeros((g.n_boundary,), dt)
         if self.rtis is not None and self.rtis.n > 0:
             state["rtis"] = self.rtis.initial_state()
         # phrghEqn.H runs only at t = 0 (reference guards on runTime == 0)
@@ -632,6 +640,23 @@ class FireFoamSolver:
 
             b_code[bidx[keep]] = INTERACT_FILM
             self.cloud.b_code = jnp.asarray(b_code)
+            # film → cloud drip re-injection (surfaceFilm().inject —
+            # KinematicCloud.C:186; film drippingInjectionCoeffs)
+            if self.film.drip_enabled:
+                from ..lagrangian.injection import FilmDripInjection
+
+                self.cloud.injectors.append(
+                    FilmDripInjection(
+                        "filmDrip",
+                        self.geom,
+                        bidx[keep],
+                        self.film.drip_d_min,
+                        self.film.drip_d_max,
+                        self.film.particles_per_parcel,
+                        self.g_vec,
+                        dtype=self.dtype,
+                    )
+                )
 
     def _evolve_film(self, state: Dict, srcs: Dict, log) -> Tuple[Dict, Dict]:
         """surfaceFilm.evolve() (fireFoam.C:90) + gas-side sources."""
@@ -673,6 +698,17 @@ class FireFoamSolver:
         fstate, out = self.film.evolve(state["film"], dt, inp)
         state = dict(state)
         state["film"] = fstate
+        # dripped-mass flux + film surface velocity per gas boundary face,
+        # consumed by the cloud's FilmDripInjection next step
+        if self.cloud is not None and self.film.drip_enabled:
+            fd = jnp.zeros((g.n_boundary,), dtp).at[bidx].set(out["drip"][rows])
+            fU = jnp.zeros((g.n_boundary, 3), dtp).at[bidx].set(fstate["U"][rows])
+            state["film_drip_b"] = fd
+            state["film_U_b"] = fU
+        if self._has_film_alphat_wf:
+            state["film_evap_b"] = (
+                jnp.zeros((g.n_boundary,), dtp).at[bidx].set(out["m_evap"][rows])
+            )
         # gas sources: evaporated H2O + heat exchange (film.Srho/Sh —
         # surfaceFilmModel.H:147-243)
         import jax as _jax
@@ -693,6 +729,40 @@ class FireFoamSolver:
         return state, srcs
 
     # ------------------------------------------------------------------
+    def _film_bc_overrides(self, state: Dict, ov: Dict) -> Dict:
+        """filmPyrolysisTemperature/VelocityCoupled wet/dry switching
+        (lib/regionCoupling/derivedFvPatchFields): gas wall T = α·T_film +
+        (1−α)·T_pyrolysis (dry fallback: current wall value); gas wall
+        U = U_film (FM fork pins Up = UFilm)."""
+        m = self._film_maps
+        g = self.geom
+        dtp = self.dtype
+        bidx, rows = m["bidx"], m["rows"]
+        fstate = state["film"]
+        alpha_b = jnp.zeros((g.n_boundary,), dtp).at[bidx].set(
+            self.film.alpha(fstate["delta"])[rows]
+        )
+        Tf_b = jnp.zeros((g.n_boundary,), dtp).at[bidx].set(fstate["T"][rows])
+        Uf_b = jnp.zeros((g.n_boundary, 3), dtp).at[bidx].set(fstate["U"][rows])
+        ov = dict(ov)
+        for bc in self.T_bcs.bcs:
+            if bc.kind != "filmPyrolysisTemperatureCoupled":
+                continue
+            p = g.patch(bc.patch)
+            sl = p.slice
+            base = ov.get(("T", p.name, "value"))
+            T_dry = base if base is not None else state["T"].b[sl]
+            ov[("T", p.name, "value")] = (
+                alpha_b[sl] * Tf_b[sl] + (1.0 - alpha_b[sl]) * T_dry
+            )
+        for bc in self.U_bcs.bcs:
+            if bc.kind != "filmPyrolysisVelocityCoupled":
+                continue
+            p = g.patch(bc.patch)
+            ov[("U", p.name, "value")] = Uf_b[p.slice]
+        return ov
+
+    # ------------------------------------------------------------------
     def _apply_wall_functions(self, state: Dict) -> Dict:
         """Fire wall functions (lib/fvPatchFields — SURVEY §2.9):
         alphatFireWallFunction sets the gas-side turbulent thermal
@@ -706,7 +776,8 @@ class FireFoamSolver:
         """
         g = self.geom
         has_fire_wf = any(
-            b.kind == "alphatFireWallFunction" for b in self.alphat_bcs.bcs
+            b.kind in ("alphatFireWallFunction", "alphatFilmWallFunction")
+            for b in self.alphat_bcs.bcs
         )
         if not has_fire_wf:
             return state
@@ -715,6 +786,11 @@ class FireFoamSolver:
         alphat_b = state["alphat"].b
         tiny = jnp.finfo(self.dtype).tiny * 1e6
         for bc, p in zip(self.alphat_bcs.bcs, g.patches):
+            if bc.kind == "alphatFilmWallFunction" and self.film is not None:
+                alphat_b = alphat_b.at[p.slice].set(
+                    self._alphat_film_wf(state, bc, p)
+                )
+                continue
             if bc.kind != "alphatFireWallFunction":
                 continue
             sl = p.slice
@@ -737,6 +813,49 @@ class FireFoamSolver:
             alphat_b = alphat_b.at[sl].set(a_t)
         state["alphat"] = VolField(state["alphat"].i, alphat_b)
         return state
+
+    # ------------------------------------------------------------------
+    def _alphat_film_wf(self, state: Dict, bc, p) -> jnp.ndarray:
+        """alphatFilmWallFunction (packages/regionModels/surfaceFilmModels/
+        derivedFvPatchFields/wallFunctions/alphatFilmWallFunction/...C:
+        updateCoeffs): gas-side turbulent thermal diffusivity over an
+        evaporating film —
+          u_τ = Cμ^0.25·√k,  y⁺ = y·u_τ/ν_w,  m* = ṁ_film/(y·u_τ)
+          factor = m*/(e^{min(y⁺,y⁺crit)·m*·Pr}·(y⁺/y⁺crit)^{m*·Prt/κ} − 1)
+          alphat = max(Δ⁻¹·ρ_w·u_τ·factor − α_w, 0)"""
+        g = self.geom
+        sl = p.slice
+        T, Y = state["T"], state["Y"]
+        Cmu = float(bc.params.get("Cmu", 0.09))
+        kappa_k = float(bc.params.get("kappa", 0.41))
+        Prt = float(bc.params.get("Prt", 0.85))
+        yplus_crit = float(bc.params.get("yPlusCrit", 11.05))
+        own = g.b_own[sl]
+        k_c = state["k"].i[own]
+        rho_w = state["rho"].b[sl]
+        mu_w = state["mu"].b[sl]
+        alpha_w = state["alpha"].b[sl]
+        y = 1.0 / g.b_dc[sl]
+        u_tau = Cmu**0.25 * jnp.sqrt(jnp.maximum(k_c, 0.0))
+        y_plus = y * u_tau / jnp.maximum(mu_w / rho_w, 1e-30)
+        Pr = mu_w / jnp.maximum(alpha_w, 1e-30)
+        # film evaporation mass flux on this patch
+        mdot_b = state.get("film_evap_b")
+        if mdot_b is None:
+            mdot_b = jnp.zeros((g.n_boundary,), self.dtype)
+        m_star = mdot_b[sl] / jnp.maximum(y * u_tau, 1e-30)
+        exp_lo = jnp.exp(jnp.minimum(y_plus * m_star * Pr, 50.0))
+        exp_hi = jnp.exp(jnp.minimum(yplus_crit * m_star * Pr, 50.0))
+        pow_term = (jnp.maximum(y_plus / yplus_crit, 1e-30)) ** (
+            m_star * Prt / kappa_k
+        )
+        factor = jnp.where(
+            y_plus > yplus_crit,
+            m_star / jnp.maximum(exp_hi * pow_term - 1.0, 1e-30),
+            m_star / jnp.maximum(exp_lo - 1.0, 1e-30),
+        )
+        alpha_eff = g.b_dc[sl] * rho_w * u_tau * factor
+        return jnp.maximum(alpha_eff - alpha_w, 0.0)
 
     # ------------------------------------------------------------------
     def _evolve_cloud(self, state: Dict, log) -> Tuple[Dict, Dict]:
@@ -778,6 +897,10 @@ class FireFoamSolver:
             # stale per-band incident radiation for the parcel heating term
             # (ThermoCloud::radCalc reads fvdomModel_.GLambda)
             gas_ctx["G_bands"] = self.radiation.G_bands(state["rad"])
+        if "film_drip_b" in state:
+            # previous step's film drip feeds FilmDripInjection
+            gas_ctx["film_drip_b"] = state["film_drip_b"]
+            gas_ctx["film_U_b"] = state["film_U_b"]
         cst, src = self.cloud.evolve(state["cloud"], gas_ctx, state["dt"])
         state = dict(state)
         state["cloud"] = cst
@@ -1242,6 +1365,8 @@ class FireFoamSolver:
         ov: Dict = {}
         if self.pyrolysis is not None:
             state, ov = self._evolve_pyrolysis(state, log)
+        if self.film is not None:
+            ov = self._film_bc_overrides(state, ov)
         srcs["_ov"] = ov
 
         # ---- rhoEqn (diagonal, + parcels.Srho — rhoEqn.H:40) ----

@@ -196,6 +196,19 @@ def _flow_rate_pyro_coupled(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     return u, _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)
 
 
+def _film_velocity_coupled(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
+    """filmPyrolysisVelocityCoupled (lib/regionCoupling/derivedFvPatchFields
+    /filmPyrolysisVelocityCoupled/...C:updateCoeffs): the FM fork pins the
+    gas patch velocity to the film surface velocity (Up = UFilm), supplied
+    per step through ctx overrides ('U', patch, 'value'); falls back to the
+    pyrolysate mdot path (as the commented-out blend) when only the
+    pyrolysis override is present."""
+    v = ctx.get("overrides", {}).get(("U", p.name, "value"))
+    if v is not None:
+        return v, _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)
+    return _flow_rate_pyro_coupled(bc, p, geom, psi_i, psi_b, ctx, nc, dt)
+
+
 def _thermal_baffle_1d(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     """compressible::thermalBaffle1D<solidType> on T: 1-D steady conduction
     through a thin solid baffle between this patch and its samplePatch, with
@@ -278,7 +291,10 @@ _REGISTRY: Dict[str, Callable] = {
     "filmPyrolysisTemperatureCoupled": _coupled_wall_T,
     "flowRateInletVelocityPyrolysisCoupled": _flow_rate_pyro_coupled,
     "flowRateInletVelocityFuelConvertCoupled": _flow_rate_pyro_coupled,
-    "filmPyrolysisVelocityCoupled": _flow_rate_pyro_coupled,
+    "filmPyrolysisVelocityCoupled": _film_velocity_coupled,
+    # gas-side turbulent thermal diffusivity over a wall film — values set
+    # by the solver's wall-function pass (alphatFilmWallFunction...C)
+    "alphatFilmWallFunction": _calculated,
 }
 
 

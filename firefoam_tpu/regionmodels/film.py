@@ -43,6 +43,20 @@ __all__ = ["ThermoSingleLayerFilm"]
 SIGMA_SB = 5.670374419e-8
 
 
+def _aslist(v):
+    return v if isinstance(v, list) else [v]
+
+
+def _dimval(v, default=None):
+    """Last token of a dimensionedScalar-style entry."""
+    if isinstance(v, list):
+        return float(v[-1])
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return default
+
+
 class ThermoSingleLayerFilm:
     """One film region over a set of wall faces."""
 
@@ -64,8 +78,75 @@ class ThermoSingleLayerFilm:
         self.delta_wet = coeffs.get_scalar("deltaWet", 2e-4)
         self.T_min = coeffs.get_scalar("Tmin", 200.0)
         self.T_max = coeffs.get_scalar("Tmax", 500.0)
-        self.htc_wall = 1e3  # wall-side conduction coefficient [W/m²K]
-        self.htc_gas = 10.0  # gas-side convective fallback
+
+        # ---- heatTransfer submodels (thermoSingleLayer.C:215-249 htcw_/
+        # htcs_ from lower/upperSurfaceModels; constant c0 or
+        # mappedConvective = use the gas-side htc mapped from the primary
+        # region). Defaults keep the previous fixed coefficients.
+        def _htc(side_key, default_c0):
+            side = coeffs.get_dict(side_key, FoamDict())
+            model = side.get_word("heatTransferModel", "constant")
+            c0 = side.get_dict(model + "Coeffs", FoamDict()).get_scalar(
+                "c0", default_c0
+            )
+            return model, c0
+
+        self.htcw_model, self.htc_wall = _htc("lowerSurfaceModels", 1e3)
+        self.htcs_model, self.htc_gas = _htc("upperSurfaceModels", 10.0)
+
+        # ---- filmViscosityModel (submodels/thermo/filmViscosity): liquid
+        # (property correlation), constant mu0, Arrhenius factor over the
+        # base liquid viscosity (ArrheniusViscosity.C::correct)
+        self.visc_model = coeffs.get_word("filmViscosityModel", "liquid")
+        vc = coeffs.get_dict(self.visc_model + "ViscosityCoeffs", FoamDict())
+        self.mu0 = _dimval(vc.lookup("mu0", 1e-3))
+        self.visc_k1 = vc.get_scalar("k1", 0.0)
+        self.visc_k2 = vc.get_scalar("k2", 0.0)
+        self.visc_Tref = vc.get_scalar("Tref", 298.15)
+
+        # ---- filmRadiation (standardRadiation: absorbed fraction of the
+        # incident flux — FM fork Shs = qin·alpha, standardRadiation.C::Shs;
+        # constantRadiation: fixed absorptivity)
+        self.rad_model = coeffs.get_word("radiationModel", "standardRadiation")
+        rc = coeffs.get_dict(self.rad_model + "Coeffs", FoamDict())
+        self.rad_beta = rc.get_scalar("beta", 0.75)
+        self.rad_kappa_bar = rc.get_scalar("kappaBar", 0.25)
+        self.rad_delta_min = rc.get_scalar("deltaMin", 1e-6)
+        self.rad_absorptivity = rc.get_scalar("absorptivity", 0.9)
+
+        # ---- forces (submodels/kinematic/force): thermocapillary dσ/dT·∇T
+        # and the contact-angle line force σ(1−cosθ)/Ccf at wet/dry
+        # interfaces (contactAngleForce.C::correct)
+        forces = [str(x) for x in _aslist(coeffs.lookup("forces", []))]
+        self.f_thermocap = "thermocapillary" in forces
+        ca = next((f for f in forces if "ontactAngle" in f), None)
+        self.f_contact = ca is not None
+        cac = coeffs.get_dict((ca or "x") + "Coeffs", FoamDict())
+        self.ca_Ccf = cac.get_scalar("Ccf", 0.016)
+        pw = coeffs.get_dict("partialWettingCoeffs", FoamDict())
+        dist = cac.get_dict("distribution", FoamDict()).get_dict(
+            "normalDistribution", FoamDict()
+        )
+        self.ca_theta = math.radians(
+            dist.get_scalar("expectation", pw.get_scalar("contactAngleMean", 75.0))
+        )
+
+        # ---- injectionModels: drippingInjection (deltaStable threshold on
+        # gravity-detaching faces) and curvatureSeparation
+        inj = [str(x) for x in _aslist(coeffs.lookup("injectionModels", []))]
+        self.drip_enabled = "drippingInjection" in inj or not inj
+        dc = coeffs.get_dict("drippingInjectionCoeffs", FoamDict())
+        self.drip_cloud = dc.get_word("cloudName", "reactingCloud1")
+        self.delta_stable = dc.get_scalar("deltaStable", 1e30 if not inj else 1e-3)
+        self.particles_per_parcel = dc.get_scalar("particlesPerParcel", 100.0)
+        pd = dc.get_dict("parcelDistribution", FoamDict()).get_dict(
+            "uniformDistribution", FoamDict()
+        )
+        self.drip_d_min = pd.get_scalar("minValue", 1e-3)
+        self.drip_d_max = pd.get_scalar("maxValue", 2e-3)
+        self.curvature_sep = "curvatureSeparation" in inj
+        cs = coeffs.get_dict("curvatureSeparationCoeffs", FoamDict())
+        self.delta_by_r1_min = cs.get_scalar("deltaByR1Min", 0.0)
 
         g = np.asarray(g_vec, float)
         n = np.asarray(fm.n_hat)
@@ -74,6 +155,31 @@ class ThermoSingleLayerFilm:
         # dripping rim edges: gravity has a component out of the film there
         be_m = np.asarray(fm.be_m)
         self._drip_edge = jnp.asarray((be_m @ g) > 0.1 * np.linalg.norm(g) + 1e-12)
+        # faces where gravity detaches the film from the wall: n̂ points OUT
+        # of the fluid (into the wall), so a ceiling has g·n̂ < 0 — gravity
+        # pulls the film into the gas (reference drippingInjection operates
+        # on these via deltaStable)
+        gmag = max(np.linalg.norm(g), 1e-12)
+        self._detach_face = jnp.asarray((n @ g) < -0.5 * gmag)
+        self.g_mag = gmag
+        # static surface curvature 1/R1 for curvatureSeparation: normal
+        # turning rate across the edge stencil (curvatureSeparation.C
+        # calcInvR1 role, mesh-static here)
+        if self.curvature_sep and fm.e_own.shape[0] > 0:
+            dn = np.asarray(fm.n_hat)[np.asarray(fm.e_nei)] - np.asarray(fm.n_hat)[
+                np.asarray(fm.e_own)
+            ]
+            e_dc = np.asarray(fm.e_dc)
+            inv_r_e = np.linalg.norm(dn, axis=1) * e_dc
+            inv_r = np.zeros(fm.n_faces)
+            cnt = np.zeros(fm.n_faces)
+            np.add.at(inv_r, np.asarray(fm.e_own), inv_r_e)
+            np.add.at(inv_r, np.asarray(fm.e_nei), inv_r_e)
+            np.add.at(cnt, np.asarray(fm.e_own), 1.0)
+            np.add.at(cnt, np.asarray(fm.e_nei), 1.0)
+            self._inv_r1 = jnp.asarray(inv_r / np.maximum(cnt, 1.0), self.dtype)
+        else:
+            self._inv_r1 = None
 
     # ------------------------------------------------------------------
     def initial_state(self, delta0: float = 0.0, T0: float = 298.15) -> Dict:
@@ -86,6 +192,30 @@ class ThermoSingleLayerFilm:
             "drippedMass": jnp.zeros((), dtp),
             "evaporatedMass": jnp.zeros((), dtp),
         }
+
+    # ------------------------------------------------------------------
+    def _viscosity(self, p, T):
+        """filmViscosityModel: liquid correlation, constant mu0, or the
+        Arrhenius factor over the liquid base (ArrheniusViscosity.C)."""
+        if self.visc_model == "constant":
+            return jnp.full_like(T, self.mu0)
+        mu = self.liquid.mu(p, T)
+        if self.visc_model == "Arrhenius":
+            mu = mu * jnp.exp(
+                self.visc_k1
+                * (1.0 / (T + self.visc_k2) - 1.0 / (self.visc_Tref + self.visc_k2))
+            )
+        return mu
+
+    def _absorbed_radiation(self, qr, delta, alpha):
+        """filmRadiation submodel: absorbed fraction of the incident flux."""
+        if self.rad_model in ("none",):
+            return jnp.zeros_like(qr)
+        if self.rad_model == "constantRadiation":
+            return self.rad_absorptivity * qr * alpha
+        # standardRadiation (FM fork Shs = qin·alpha); the stock ShsConst
+        # attenuation beta·(1−exp(−kappaBar·δ/deltaMin)) gates thin films
+        return qr * alpha
 
     # ------------------------------------------------------------------
     def alpha(self, delta: jnp.ndarray) -> jnp.ndarray:
@@ -107,7 +237,7 @@ class ThermoSingleLayerFilm:
         delta, U, T = st["delta"], st["U"], st["T"]
         p = 101325.0
         rho = self.liquid.rho(p, T)
-        mu = self.liquid.mu(p, T)
+        mu = self._viscosity(p, T)
         cp = self.liquid.cp(p, T)
         alpha = self.alpha(delta)
         d_eff = jnp.maximum(delta, 1e-8)
@@ -125,8 +255,10 @@ class ThermoSingleLayerFilm:
         T_gas = inp.get("T_gas")
         if T_gas is None:
             T_gas = jnp.full_like(T, 298.15)
+        # upperSurfaceModels: constant c0 or mappedConvective (gas-side htc
+        # mapped from the primary region — thermoSingleLayer htcs_)
         htc_gas = inp.get("htc_gas")
-        if htc_gas is None:
+        if htc_gas is None or self.htcs_model == "constant":
             htc_gas = jnp.full_like(T, self.htc_gas)
         U_gas = inp.get("U_gas")
         if U_gas is None:
@@ -154,6 +286,7 @@ class ThermoSingleLayerFilm:
         # mass-transfer coefficient from the gas-side heat-transfer analogy
         kc = htc_gas / jnp.maximum(rho_gas * 1007.0, 1e-30)  # hm ≈ h/(ρ cp) Lewis≈1
         m_evap = rho_gas * kc * jnp.log1p(B)  # kg/m²/s
+        q_rad = self._absorbed_radiation(qr, delta, self.alpha(delta))
         q_in_tot = self.htc_wall * (T_wall - T) + htc_gas * (T_gas - T) + qr
         m_boil = jnp.maximum(q_in_tot, 0.0) / hl
         boiling = T >= 373.0
@@ -180,7 +313,7 @@ class ThermoSingleLayerFilm:
             div_mom = jnp.zeros_like(U)
             div_e = jnp.zeros_like(T)
 
-        # ---- dripping at rim edges (drippingInjection role) ----
+        # ---- dripping at rim edges (film running off the panel bottom) ----
         drip = jnp.zeros_like(delta)
         if fm.be_face.shape[0] > 0:
             u_out = jnp.maximum(
@@ -189,6 +322,37 @@ class ThermoSingleLayerFilm:
             u_out = jnp.where(self._drip_edge, u_out, 0.0)
             drip_e = u_out * fm.be_len * delta[fm.be_face]  # m³/s of film
             drip = drip.at[fm.be_face].add(drip_e) / fm.area
+
+        # ---- drippingInjection (deltaStable): on faces where gravity pulls
+        # the film off the wall, everything above deltaStable drips this
+        # substep (reference drippingInjection.C: availableMass beyond the
+        # stable thickness)
+        if self.drip_enabled:
+            excess = jnp.maximum(delta - self.delta_stable, 0.0)
+            drip = drip + jnp.where(
+                self._detach_face, excess / jnp.maximum(dt_sub, 1e-300), 0.0
+            )
+
+        # ---- curvatureSeparation: inertial detachment at convex corners
+        # (curvatureSeparation.C:correct — Fnet = Fi + Fb + Fs < 0 separates
+        # the whole local film)
+        if self._inv_r1 is not None:
+            inv_r1 = self._inv_r1
+            r1 = 1.0 / jnp.maximum(inv_r1, 1e-12)
+            r2 = r1 + delta
+            magU2 = jnp.sum(U * U, axis=1)
+            sigma_l = self.liquid.sigma(p, T)
+            Fi = -delta * rho * magU2 * (72.0 / 60.0) * inv_r1
+            Fb = -0.5 * rho * self.g_mag * inv_r1 * (r1**2 - r2**2)
+            Fs = sigma_l / jnp.maximum(r2, 1e-12)
+            separate = (
+                (inv_r1 > 0.0)
+                & (delta * inv_r1 > self.delta_by_r1_min)
+                & (Fi + Fb + Fs + 1e-10 < 0.0)
+            )
+            drip = drip + jnp.where(
+                separate, delta / jnp.maximum(dt_sub, 1e-300), 0.0
+            )
 
         # ---- donor-limited continuity: scale every outgoing flux by the
         # donor face's available film so δ ≥ 0 exactly and mass is conserved
@@ -225,12 +389,52 @@ class ThermoSingleLayerFilm:
             U_gas - U, axis=1, keepdims=True
         )
         tau_wall_coeff = 3.0 * mu / d_eff  # τ_w = 3 μ U / δ (implicit below)
+
+        # surface forces [N/m²]: contact-angle line force at wet/dry
+        # interfaces (contactAngleForce.C: σ(1−cosθ)/Ccf·min(δ/δ0,1) along
+        # ∇α) and thermocapillary dσ/dT·∇ₛT
+        f_surf = jnp.zeros_like(U)
+        if (self.f_contact or self.f_thermocap) and fm.e_own.shape[0] > 0:
+            def sgrad(q):
+                dq = (q[fm.e_nei] - q[fm.e_own]) * fm.e_dc
+                contrib = dq[:, None] * fm.e_m * fm.e_len[:, None]
+                out = jnp.zeros_like(U)
+                out = out.at[fm.e_own].add(contrib)
+                out = out.at[fm.e_nei].add(contrib)
+                return out / (2.0 * fm.area[:, None])
+
+            sigma_l = self.liquid.sigma(p, T)
+            if self.f_contact:
+                ga = sgrad(alpha)
+                gmagn = jnp.maximum(jnp.linalg.norm(ga, axis=1, keepdims=True), 1e-12)
+                wet_o = alpha[fm.e_own] > 0.5
+                wet_n = alpha[fm.e_nei] > 0.5
+                iface_e = wet_o != wet_n
+                iface = jnp.zeros_like(alpha, bool)
+                iface = iface.at[fm.e_own].max(iface_e)
+                iface = iface.at[fm.e_nei].max(iface_e)
+                ratio = jnp.minimum(delta / 2e-4, 1.0)
+                f_ca = (
+                    (ga / gmagn)
+                    * (sigma_l * (1.0 - math.cos(self.ca_theta)) / self.ca_Ccf * ratio)[
+                        :, None
+                    ]
+                )
+                f_surf = f_surf + jnp.where(iface[:, None], f_ca, 0.0)
+            if self.f_thermocap:
+                dT = 0.5
+                dsig_dT = (
+                    self.liquid.sigma(p, T + dT) - self.liquid.sigma(p, T - dT)
+                ) / (2.0 * dT)
+                f_surf = f_surf + dsig_dT[:, None] * sgrad(T)
+
         mom = delta[:, None] * U
         rhs = (
             -div_mom
             - (drip)[:, None] * U  # dripping mass carries its momentum away
             + delta[:, None] * fm.g_tan
-            + (tau_gas + m_imp[:, None] * inp.get("U_imp", U * 0.0)) / rho[:, None]
+            + (tau_gas + f_surf + m_imp[:, None] * inp.get("U_imp", U * 0.0))
+            / rho[:, None]
         )
         mom_new = mom + dt_sub * rhs
         d_new_eff = jnp.maximum(delta_new, 1e-8)
@@ -245,7 +449,7 @@ class ThermoSingleLayerFilm:
         q_net = (
             self.htc_wall * (T_wall - T) * alpha
             + htc_gas * (T_gas - T) * alpha
-            + qr * alpha
+            + q_rad
             - m_evap * hl
             + h_imp
         )
