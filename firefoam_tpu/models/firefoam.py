@@ -552,7 +552,7 @@ class FireFoamSolver:
             if entries:
                 self._pyro_maps[z.region_name] = entries
 
-    def _evolve_pyrolysis(self, state: Dict, log) -> Tuple[Dict, Dict]:
+    def _evolve_pyrolysis(self, state: Dict, log, srcs=None) -> Tuple[Dict, Dict]:
         """pyrolysis.evolve() (fireFoam.C:92-95) + gas-side BC overrides."""
         g = self.geom
         q_conv: Dict = {}
@@ -568,6 +568,16 @@ class FireFoamSolver:
                     "kDelta": kappa_eff * g.b_dc[bidx],
                     "T_nbr": state["T"].i[g.b_own[bidx]],
                 }
+                if getattr(z, "char_oxi", False) and "O2" in self.species:
+                    # O2 diffusive supply for char oxidation
+                    # (reactingOneDim21CharOxi::updateCharOxi: αΔ·O2·|Sf|)
+                    o2 = self.gas.index("O2")
+                    q_conv[z.region_name]["O2_nbr"] = state["Y"].i[
+                        g.b_own[bidx], o2
+                    ]
+                    q_conv[z.region_name]["alphaDelta_O2"] = (
+                        state["alpha"].b[bidx] * g.b_dc[bidx]
+                    )
                 if self.radiation is not None:
                     qr[z.region_name] = self.radiation.qin_boundary(state["rad"])[bidx]
         pstates, pouts = self.pyrolysis.evolve(
@@ -585,6 +595,32 @@ class FireFoamSolver:
             if m is None or not self.solve_primary:
                 continue
             dtp = self.dtype
+            # char oxidation gas exchange: O2 consumed from / CO2 returned
+            # to the wall-adjacent cells (reactingOneDim21CharOxi phiO2_/
+            # phiCO2_ — volumetric-source formulation of the patch fluxes)
+            if (
+                srcs is not None
+                and getattr(z, "char_oxi", False)
+                and "O2" in self.species
+                and "CO2" in self.species
+            ):
+                bidx = jnp.asarray(z.region.prim_bidx)
+                own = g.b_own[bidx]
+                inv_v = 1.0 / g.V[own]
+                sy = dict(srcs.get("SY", {}))
+                o2, co2 = self.gas.index("O2"), self.gas.index("CO2")
+                add_o2 = jnp.zeros((g.n_cells,), dtp).at[own].add(
+                    out["phiO2"] * inv_v
+                )
+                add_co2 = jnp.zeros((g.n_cells,), dtp).at[own].add(
+                    out["phiCO2"] * inv_v
+                )
+                sy[o2] = sy.get(o2, 0.0) + add_o2
+                sy[co2] = sy.get(co2, 0.0) + add_co2
+                srcs["SY"] = sy
+                # net mass exchange (CO2 out-gassing minus O2 uptake)
+                srcs["Srho"] = srcs["Srho"] + add_o2 + add_co2
+                log[f"pyro_{z.region_name}_charOxiQdot"] = out["charOxiQdot"]
             for patch, rows, loc, scale in m:
                 rows_j = jnp.asarray(rows)
                 T_patch = jnp.zeros((patch.n,), dtp).at[loc].set(
@@ -1055,6 +1091,9 @@ class FireFoamSolver:
             src_s = self.combustion.R(w_fuel, s)
             if self.cloud is not None and s == self.cloud.vapour_index:
                 src_s = src_s + srcs["SYv"]  # parcels.SYi (YEEqn.H:52)
+            extra = srcs.get("SY", {}).get(s)  # per-species sources (e.g.
+            if extra is not None:  # char-oxidation O2 sink / CO2 return)
+                src_s = src_s + extra
             srcss.append(src_s)
         rv_s = jnp.stack(rvs)
         rg_s = jnp.stack(rgs)
@@ -1364,7 +1403,7 @@ class FireFoamSolver:
         # ---- pyrolysis regions (fireFoam.C:92-95) ----
         ov: Dict = {}
         if self.pyrolysis is not None:
-            state, ov = self._evolve_pyrolysis(state, log)
+            state, ov = self._evolve_pyrolysis(state, log, srcs)
         if self.film is not None:
             ov = self._film_bc_overrides(state, ov)
         srcs["_ov"] = ov

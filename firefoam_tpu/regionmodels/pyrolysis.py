@@ -86,7 +86,10 @@ class ReactingOneDim:
         self.dtype = dtype or real_dtype()
         self.active = zone_dict.get_bool("active", True)
         self.region_name = zone_dict.get_word("regionName")
-        coeffs = zone_dict.get_dict("reactingOneDimCoeffs", FoamDict())
+        self.model = zone_dict.get_word("pyrolysisModel", "reactingOneDim")
+        coeffs = zone_dict.get_dict(
+            self.model + "Coeffs", zone_dict.get_dict("reactingOneDimCoeffs", FoamDict())
+        )
         self.gas_h_source = coeffs.get_bool("gasHSource", False)
         self.qr_h_source = coeffs.get_bool("qrHSource", False)
         self.film_coupled = coeffs.get_bool("filmCoupled", False)
@@ -133,6 +136,15 @@ class ReactingOneDim:
         self._Y0 = Y0
         self._rho0 = rho0
 
+        # ---- char oxidation (reactingOneDim21CharOxi.H:64-87) ----
+        # O2 diffuses from the gas to the surface, burns available char
+        # (12 g/mol) to CO2 (44 g/mol) at HocChar = 32.8 MJ/kg
+        self.char_oxi = self.model == "reactingOneDim21CharOxi" and "char" in species
+        if self.char_oxi:
+            self.char_idx = species.index("char")
+            self.rho_char = float(self.thermo.rho_s[self.char_idx])
+        self.hoc_char = 32.8e6
+
         # ---- end BCs from 0/<region>/T ----
         tfield = self._region_field(case_dir, "T")
         bf = tfield.get_dict("boundaryField") if tfield is not None else FoamDict()
@@ -177,6 +189,9 @@ class ReactingOneDim:
             "Ys0": rho[..., None] * Y,  # c₀ per species (pyrolysisChemistryModel)
             "lostSolidMass": jnp.zeros((), dtp),
             "addedGasMass": jnp.zeros((), dtp),
+            **(
+                {"mCharBurnt": jnp.zeros((nF,), dtp)} if self.char_oxi else {}
+            ),
         }
 
     # ------------------------------------------------------------------
@@ -280,11 +295,41 @@ class ReactingOneDim:
         diag = diag.at[:, -1].add(Bn)
         rhs = rhs.at[:, -1].add(An + Bn * h[:, -1])
 
+        # ---- char oxidation (reactingOneDim21CharOxi::updateCharOxi) ----
+        area = jnp.asarray(r.area, dtp)
+        phi_o2 = jnp.zeros((rho.shape[0],), dtp)
+        phi_co2 = jnp.zeros((rho.shape[0],), dtp)
+        m_char_burnt = st.get("mCharBurnt")
+        char_qdot = jnp.zeros((rho.shape[0],), dtp)
+        if (
+            self.char_oxi
+            and isinstance(q_conv, dict)
+            and q_conv.get("O2_nbr") is not None
+        ):
+            mW_O2, mW_char, mW_CO2 = 32.0, 12.0, 44.0
+            # O2 diffusive flux from the gas (negative = consumed):
+            # phiO2 = −αΔ·(O2 − 0)·|Sf|  [kg/s]
+            phi_o2 = -q_conv["alphaDelta_O2"] * q_conv["O2_nbr"] * area
+            dm_o2 = -phi_o2 * dt  # [kg] arriving this step
+            # available char in the column
+            vol_l = dx[None, :] * area[:, None]
+            m_char = jnp.sum(
+                rho_new * Y_new[..., self.char_idx] * vol_l, axis=1
+            )
+            char_avail = jnp.maximum(m_char - m_char_burnt, 0.0)
+            dm_burn = jnp.minimum(char_avail, dm_o2 / mW_O2 * mW_char)
+            phi_o2 = -dm_burn / mW_char * mW_O2 / jnp.maximum(dt, 1e-300)
+            phi_co2 = dm_burn / mW_char * mW_CO2 / jnp.maximum(dt, 1e-300)
+            m_char_burnt = m_char_burnt + dm_burn
+            # heat released into the surface cell: HocChar·dm/(A·dt) [W/m²]
+            q_char = self.hoc_char * dm_burn / (area * jnp.maximum(dt, 1e-300))
+            rhs = rhs.at[:, 0].add(q_char)
+            char_qdot = q_char * area  # [W] per column
+
         h_new = tridiag_solve(lower, diag, upper, rhs)
         T_new = self.thermo.T_from_hs(h_new, Y_new)
 
         # ---- mass transfer to the gas (calculateMassTransfer) ----
-        area = jnp.asarray(r.area, dtp)
         phi_gas = jnp.sum(RRg * dx[None, :], axis=1) * area  # [nF] kg/s
         mlr = jnp.sum(RRg * dx[None, :], axis=1)  # kg/m²/s
 
@@ -297,6 +342,7 @@ class ReactingOneDim:
             "Ys0": Ys0_new,
             "lostSolidMass": st["lostSolidMass"] - jnp.sum(RRs.sum(-1) * vol) * dt,
             "addedGasMass": st["addedGasMass"] + jnp.sum(RRg * vol) * dt,
+            **({"mCharBurnt": m_char_burnt} if self.char_oxi else {}),
         }
         out = {
             "phiGas": phi_gas,
@@ -305,6 +351,9 @@ class ReactingOneDim:
             "Qdot_total": jnp.sum(qc * vol),
             "T_min": jnp.min(T_new),
             "T_max": jnp.max(T_new),
+            "phiO2": phi_o2,  # [nF] kg/s (≤ 0: consumed from the gas)
+            "phiCO2": phi_co2,  # [nF] kg/s returned to the gas
+            "charOxiQdot": jnp.sum(char_qdot),
         }
         return st_new, out
 
@@ -333,7 +382,13 @@ class PyrolysisCollection:
                 continue
             if zd.get_bool("active", True):
                 model = zd.get_word("pyrolysisModel", "reactingOneDim")
-                if model in ("reactingOneDim", "reactingOneDim21", "none", "noPyrolysis"):
+                if model in (
+                    "reactingOneDim",
+                    "reactingOneDim21",
+                    "reactingOneDim21CharOxi",
+                    "none",
+                    "noPyrolysis",
+                ):
                     if model in ("none", "noPyrolysis"):
                         continue
                     self.zones.append(ReactingOneDim(case_dir, cm, zd, dtype))

@@ -125,3 +125,65 @@ def test_pyrolysis1d_mass_loss(pyro1d):
     # diffusion number is finite and positive
     di = float(z.diffusion_number(st, dt))
     assert 0.0 < di < 1.0
+
+
+# ---------------------------------------------------------------------------
+# reactingOneDim21CharOxi: char oxidation with O2 uptake / CO2 return
+# (lib/regionModels/pyrolysisModels/reactingOneDim21CharOxi/
+#  reactingOneDim21CharOxi.C::updateCharOxi)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def charoxi():
+    import shutil
+
+    src = reference_case("pyrolysis1D")
+    case = "/tmp/pyro1d_charoxi"
+    shutil.rmtree(case, ignore_errors=True)
+    shutil.copytree(src, case)
+    txt = open(f"{case}/constant/pyrolysisZones").read()
+    txt = txt.replace("pyrolysisModel  reactingOneDim;",
+                      "pyrolysisModel  reactingOneDim21CharOxi;")
+    open(f"{case}/constant/pyrolysisZones", "w").write(txt)
+    cm = build_case_mesh(case)
+    return PyrolysisCollection(case, cm)
+
+
+def test_char_oxidation(charoxi):
+    coll = charoxi
+    z = coll.zones[0]
+    assert z.char_oxi and z.model == "reactingOneDim21CharOxi"
+    st = z.initial_state()
+    assert "mCharBurnt" in st
+    # pre-charred surface: half char in every layer
+    nS = len(z.thermo.species)
+    ci = z.char_idx
+    Y = np.array(st["Y"])
+    Y[..., :] = 0.0
+    Y[..., 0] = 0.5
+    Y[..., ci] = 0.5
+    st = dict(st, Y=jnp.asarray(Y))
+    dt = 0.1
+    q = {
+        "kDelta": jnp.full((1,), 50.0),
+        "T_nbr": jnp.full((1,), 600.0),
+        "O2_nbr": jnp.full((1,), 0.23),
+        "alphaDelta_O2": jnp.full((1,), 2.0e-2),  # α·Δ⁻¹ [kg/m²/s]
+    }
+    st2, out = z.evolve(st, dt, q, None)
+    phi_o2 = float(out["phiO2"][0])
+    phi_co2 = float(out["phiCO2"][0])
+    assert phi_o2 < 0.0 and phi_co2 > 0.0
+    # stoichiometry: CO2/O2 mass ratio 44/32; char burn = |O2|·12/32
+    assert phi_co2 / (-phi_o2) == pytest.approx(44.0 / 32.0, rel=1e-12)
+    dm_burn = -phi_o2 * dt / 32.0 * 12.0
+    assert float(st2["mCharBurnt"][0]) == pytest.approx(dm_burn, rel=1e-9)
+    # heat release: HocChar·dm/dt
+    assert float(out["charOxiQdot"]) == pytest.approx(32.8e6 * dm_burn / dt, rel=1e-9)
+    # char-limited: with essentially no char, burn stops at the available mass
+    Y2 = np.array(st["Y"])
+    Y2[..., :] = 0.0
+    Y2[..., 0] = 1.0
+    Y2[..., ci] = 1e-12
+    st3 = dict(st, Y=jnp.asarray(Y2))
+    st4, out3 = z.evolve(st3, dt, q, None)
+    assert -float(out3["phiO2"][0]) <= -phi_o2 * 1e-3
