@@ -350,6 +350,7 @@ class FireFoamSolver:
             "phi": phi,
             "Qdot": jnp.zeros(g.n_cells, dt),
             "ph_rgh_b": jnp.zeros(g.n_boundary, dt),
+            "_U_b0": self.U.b,
             "dpdt": jnp.zeros(g.n_cells, dt),
             "K_old_i": 0.5 * jnp.sum(self.U.i * self.U.i, axis=1),
         }
@@ -1242,7 +1243,13 @@ class FireFoamSolver:
         rAU = 1.0 / u_matrix.A()
         rho_rAU_f = fvc.interpolate(g, VolField(rho.i * rAU, rho.b * rAU[g.b_own]))
         HbyA_i = rAU[:, None] * u_matrix.H()
-        HbyA = VolField(HbyA_i, state["U"].b)
+        # constrainHbyA uses the START-of-step U boundary values: OpenFOAM's
+        # inlet BCs update lazily (U.correctBoundaryConditions at pEqn.H:46
+        # is the first refresh), which delays a flow-rate inlet's flux by
+        # one full step — the golden log's burner admits no fuel until
+        # step 3 (log.fireFoam C3H8 7e-15 / 7.7e-13 / 0.069 / 0.131)
+        U_b0 = state.get("_U_b0", state["U"].b)
+        HbyA = VolField(HbyA_i, U_b0)
 
         sg_rho = fvc.sn_grad(g, rho)
         phig = SurfaceField(
@@ -1272,7 +1279,7 @@ class FireFoamSolver:
         )
 
         # constrainPressure: fixedFluxPressure gradients so flux matches U_b
-        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, state["U"].b)
+        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, U_b0)
         grad_override = (phi_hbya.b - u_flux_b) / (rho_rAU_f.b * g.b_magSf)
         overrides = dict(srcs.get("_ov") or {}) if srcs is not None else {}
         for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
@@ -1392,6 +1399,8 @@ class FireFoamSolver:
             return state, log
 
         log["CoNum"] = self.courant(state)
+        # freeze the step-start U boundary for constrainHbyA (see _p_eqn)
+        state["_U_b0"] = state["U"].b
 
         # ---- parcels.evolve() (fireFoam.C:88) ----
         state, srcs = self._evolve_cloud(state, log)
