@@ -317,6 +317,26 @@ class FireFoamSolver:
         dt = self.dtype
         Y, T, p = self.Y, self.T, self.p
 
+        # totalFlowRateAdvectiveDiffusive inlets start as zeroGradient (the
+        # mixed fraction is 0 at phi = 0), so the initial FACE composition is
+        # the cell mixture, not the file's 'value' — this sets the burner
+        # rho_b the first flowRateInletVelocity update divides by: air gives
+        # U_b = mdot/(rho_air·A) and the full 0.03 kg/s jet from step 0
+        # (golden log Courant 0.054 at step 1)
+        tfrad_patches = {
+            pch.name
+            for bcs in self.Y_bcs
+            for bc, pch in zip(bcs.bcs, g.patches)
+            if bc.kind == "totalFlowRateAdvectiveDiffusive"
+        }
+        Yb = Y.b
+        for pch in g.patches:
+            if pch.name in tfrad_patches:
+                # every specie (inert included) → cell mixture, so the face
+                # stays a normalised air composition
+                Yb = Yb.at[pch.slice, :].set(Y.i[g.b_own[pch.slice], :])
+        Y = VolField(Y.i, Yb)
+
         psi_i = self.gas.psi(T.i, Y.i)
         psi_b = self.gas.psi(T.b, Y.b)
         rho = VolField(psi_i * p.i, psi_b * p.b)
@@ -350,7 +370,9 @@ class FireFoamSolver:
             "phi": phi,
             "Qdot": jnp.zeros(g.n_cells, dt),
             "ph_rgh_b": jnp.zeros(g.n_boundary, dt),
-            "_U_b0": self.U.b,
+            # boundary phi the species equations saw LAST step (lagged
+            # refValue gate of totalFlowRateAdvectiveDiffusive)
+            "_phi_b_prev": jnp.zeros(g.n_boundary, dt),
             "dpdt": jnp.zeros(g.n_cells, dt),
             "K_old_i": 0.5 * jnp.sum(self.U.i * self.U.i, axis=1),
         }
@@ -465,6 +487,7 @@ class FireFoamSolver:
             "alphaEff_b": alpha_eff_b,
             "kappaEff_b": alpha_eff_b * cp_b,  # turbulenceModel::kappaEff
             "ph_rgh_b": state["ph_rgh_b"],
+            "phi_prev_b": state.get("_phi_b_prev"),
             "overrides": overrides or {},
         }
 
@@ -474,6 +497,14 @@ class FireFoamSolver:
         g = self.geom
         sum_phi = g.cell_sum_unsigned(jnp.abs(state["phi"].i), jnp.abs(state["phi"].b))
         return 0.5 * jnp.max(sum_phi / (state["rho"].i * g.V)) * state["dt"]
+
+    def courant_mean(self, state: Dict) -> jnp.ndarray:
+        """compressibleCourantNo meanCoNum: 0.5·(ΣsumPhi/ρ)/ΣV·Δt."""
+        g = self.geom
+        sum_phi = g.cell_sum_unsigned(jnp.abs(state["phi"].i), jnp.abs(state["phi"].b))
+        return (
+            0.5 * jnp.sum(sum_phi / state["rho"].i) / jnp.sum(g.V) * state["dt"]
+        )
 
     def _adjust_write_dt(self, t, dt):
         """Time::adjustDeltaT (adjustableRunTime): shrink/stretch dt so an
@@ -1033,8 +1064,12 @@ class FireFoamSolver:
             log[f"U{comp}_res0"] = res.initial_residual[c]
             log[f"U{comp}_iters"] = res.n_iterations[c]
         U_new = VolField(res.x.T, U.b)
-        U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctx)
-        return U_new, m
+        U_new = bcmod.apply_coeffs(g, U_new, rv, rg, f)
+        # the resolved coefficients are reused by pEqn.H:46's
+        # U.correctBoundaryConditions() — OpenFOAM's updateCoeffs runs once
+        # per step (at this assembly), so flowRateInletVelocity's value is
+        # fixed with THIS moment's rho_b for the whole step
+        return U_new, m, (rv, rg, f)
 
     def _multivariate_weights(self, state):
         """div(phi,Yi_h) Gauss multivariateSelection — ONE shared convection
@@ -1230,7 +1265,7 @@ class FireFoamSolver:
         alpha_new = VolField(self.gas.alpha(T_i, Y_new.i), self.gas.alpha(T_b, Y_new.b))
         return hs_new, T_new, psi_new, mu_new, alpha_new
 
-    def _p_eqn(self, state, u_matrix, final, srcs=None):
+    def _p_eqn(self, state, u_matrix, final, srcs=None, ubc_coeffs=None):
         """PISO pressure corrector (solver/pEqn.H). `final` may be a traced
         0/1 index selecting p_rgh vs p_rghFinal solver controls; returns the
         updated fields plus a residual/continuity info dict (the corrector
@@ -1243,13 +1278,13 @@ class FireFoamSolver:
         rAU = 1.0 / u_matrix.A()
         rho_rAU_f = fvc.interpolate(g, VolField(rho.i * rAU, rho.b * rAU[g.b_own]))
         HbyA_i = rAU[:, None] * u_matrix.H()
-        # constrainHbyA uses the START-of-step U boundary values: OpenFOAM's
-        # inlet BCs update lazily (U.correctBoundaryConditions at pEqn.H:46
-        # is the first refresh), which delays a flow-rate inlet's flux by
-        # one full step — the golden log's burner admits no fuel until
-        # step 3 (log.fireFoam C3H8 7e-15 / 7.7e-13 / 0.069 / 0.131)
-        U_b0 = state.get("_U_b0", state["U"].b)
-        HbyA = VolField(HbyA_i, U_b0)
+        # constrainHbyA sees the CURRENT U boundary: OpenFOAM updates U's
+        # inlet BCs during UEqn assembly (fvMatrix ctor updateCoeffs), so
+        # the burner flux is live from step 0's pEqn — the golden log's
+        # step-1 Courant 0.054 is that jet. The one-step fuel delay comes
+        # from the species BC's lagged refValue instead (see
+        # ops/bcs.py:_total_flow_rate_adv_diff).
+        HbyA = VolField(HbyA_i, state["U"].b)
 
         sg_rho = fvc.sn_grad(g, rho)
         phig = SurfaceField(
@@ -1279,7 +1314,7 @@ class FireFoamSolver:
         )
 
         # constrainPressure: fixedFluxPressure gradients so flux matches U_b
-        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, U_b0)
+        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, state["U"].b)
         grad_override = (phi_hbya.b - u_flux_b) / (rho_rAU_f.b * g.b_magSf)
         overrides = dict(srcs.get("_ov") or {}) if srcs is not None else {}
         for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
@@ -1354,9 +1389,15 @@ class FireFoamSolver:
             (phig.i - lap_flux.i) / rho_rAU_f.i, (phig.b - lap_flux.b) / rho_rAU_f.b
         )
         U_new_i = HbyA.i + rAU[:, None] * fvc.reconstruct(g, corr_flux)
-        ctxU = self._ctx(state, (srcs or {}).get("_ov"))
-        ctxU["phi"] = phi_new
-        U_new = bcmod.evaluate(self.U_bcs, g, VolField(U_new_i, state["U"].b), ctxU)
+        # U.correctBoundaryConditions() (pEqn.H:46) re-applies the UEqn-time
+        # coefficients — updateCoeffs is once-per-step in OpenFOAM
+        U_new = VolField(U_new_i, state["U"].b)
+        if ubc_coeffs is not None:
+            U_new = bcmod.apply_coeffs(g, U_new, *ubc_coeffs)
+        else:
+            ctxU = self._ctx(state, (srcs or {}).get("_ov"))
+            ctxU["phi"] = phi_new
+            U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctxU)
 
         # p = p_rgh + rho·gh + pRef (boundary too; rho = thermo.rho() from
         # the corrector start, pEqn.H:52)
@@ -1399,8 +1440,10 @@ class FireFoamSolver:
             return state, log
 
         log["CoNum"] = self.courant(state)
-        # freeze the step-start U boundary for constrainHbyA (see _p_eqn)
-        state["_U_b0"] = state["U"].b
+        log["CoMean"] = self.courant_mean(state)
+        # boundary phi the species equations are about to see — becomes the
+        # lagged refValue gate for the NEXT step's species inlet BCs
+        phi_b_species = state["phi"].b
 
         # ---- parcels.evolve() (fireFoam.C:88) ----
         state, srcs = self._evolve_cloud(state, log)
@@ -1427,7 +1470,7 @@ class FireFoamSolver:
 
         for outer in range(self.ctl.n_outer):
             # ---- momentum predictor ----
-            U_new, u_matrix = self._u_eqn(state, log, srcs)
+            U_new, u_matrix, ubc_coeffs = self._u_eqn(state, log, srcs)
             state["U"] = U_new
 
             # ---- species + energy (one shared multivariate convection
@@ -1462,7 +1505,7 @@ class FireFoamSolver:
                 st2 = dict(base_state)
                 (st2["p_rgh"], st2["p"], st2["rho"], st2["phi"], st2["U"]) = carry
                 sel = jnp.where(corr == n_corr - 1, 1, 0)
-                *fields, info = self._p_eqn(st2, u_matrix, sel, srcs)
+                *fields, info = self._p_eqn(st2, u_matrix, sel, srcs, ubc_coeffs)
                 return tuple(fields), info
 
             carry0 = (state["p_rgh"], state["p"], state["rho"], state["phi"], state["U"])
@@ -1505,6 +1548,7 @@ class FireFoamSolver:
         state["p_rgh_old_i"] = state["p_rgh"].i
         state["phi_old_i"] = state["phi"].i
         state["K_old_i"] = 0.5 * jnp.sum(state["U"].i * state["U"].i, axis=1)
+        state["_phi_b_prev"] = phi_b_species
         # rti link probes (solver/rti.H — before time advance, current fields)
         if "rtis" in state and self.rtis is not None:
             state["rtis"] = self.rtis.advance(state["rtis"], state)
@@ -1512,6 +1556,19 @@ class FireFoamSolver:
         if self.ctl.adjust:
             state["dt"] = self.new_dt(state)
         log["Qdot_total"] = jnp.sum(state["Qdot"] * g.V)
+        log["Qdot_max"] = jnp.max(state["Qdot"])
+        for pch in g.patches:
+            if pch.name == "burner":
+                log["burner_influx"] = -jnp.sum(state["phi"].b[pch.slice])
+                log["burner_rho_b"] = jnp.mean(state["rho"].b[pch.slice])
+                log["burner_Yfuel_b"] = jnp.mean(
+                    state["Y"].b[pch.slice, self.reaction.fuel_index]
+                ) if self.reaction is not None else jnp.asarray(0.0)
+        log["HRR"] = log["Qdot_total"] / 1e3  # kW
+        log["k_max"] = jnp.max(state["k"].i)
+        log["T_max_int"] = jnp.max(state["T"].i)
+        log["T_max_b"] = jnp.max(state["T"].b)
+        log["U_max"] = jnp.max(jnp.linalg.norm(state["U"].i, axis=1))
         # golden-log diffables: species min/gAverage/max (YEEqn.H:72-77),
         # the dt used this step and the post-increment time
         for s, sp in enumerate(self.species):

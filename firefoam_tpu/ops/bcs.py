@@ -156,17 +156,34 @@ def _total_flow_rate_adv_diff(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     """totalFlowRateAdvectiveDiffusive (species inlet, burner):
     total (advective+diffusive) patch flux = massFluxFraction·phi, giving
     valueFraction = 1/(1 + α_b·Δc / max(|phi|/A, small)) — advection-dominated
-    inlets pin the value to massFluxFraction."""
+    inlets pin the value to massFluxFraction.
+
+    The refValue LAGS the flux by one step: the reference's mixed refValue
+    at step k is whatever the previous update wrote, so the first step of
+    active flux advects faces of 0 for EVERY solved species — the inflow
+    behaves as pure inert for exactly one step. The golden steckler log
+    shows this: step 1 has O2 min 0.21694 / N2 max 0.78306 / C3H8 7.7e-13
+    (burner cell diluted by N2), fuel arriving only at step 2
+    (log.fireFoam, Time 0.16 / 0.253333 species tables)."""
     phi = _phi_b(ctx, p)
     alpha_b = ctx.get("alphaEff_b")
     if alpha_b is None:
         alpha_b = jnp.zeros((geom.n_boundary,), dt)
     a = alpha_b[p.slice]
-    phi_per_area = jnp.maximum(jnp.abs(phi) / geom.b_magSf[p.slice], 1e-30)
-    f = 1.0 / (1.0 + a * geom.b_dc[p.slice] / phi_per_area)
+
+    def frac(ph):
+        per_area = jnp.maximum(jnp.abs(ph) / geom.b_magSf[p.slice], 1e-30)
+        return 1.0 / (1.0 + a * geom.b_dc[p.slice] / per_area)
+
+    f = frac(phi)
     mf = jnp.asarray(bc.params.get("massFluxFraction", 0.0), dt)
-    rv = jnp.full((p.n,), mf, dt)
-    return rv, _zeros(p, nc, dt), f.astype(dt)
+    phi_prev = ctx.get("phi_prev_b")
+    if phi_prev is None or ctx.get("_tfrad_ungated"):
+        gate = jnp.ones_like(f)
+    else:
+        gate = frac(phi_prev[p.slice])
+    rv = mf * gate
+    return rv.astype(dt), _zeros(p, nc, dt), f.astype(dt)
 
 
 def _coupled_wall_T(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
@@ -321,15 +338,23 @@ def resolve(
     return jnp.concatenate(rvs), jnp.concatenate(rgs), jnp.concatenate(fs)
 
 
+def apply_coeffs(geom: MeshGeometry, psi: VolField, rv, rg, f) -> VolField:
+    """Apply already-resolved mixed coefficients to refresh boundary values.
+    OpenFOAM updates BC coefficients ONCE per step (updateCoeffs guarded by
+    updated_); later correctBoundaryConditions calls re-evaluate with the
+    SAME coefficients — use this to reproduce that timing."""
+    own_vals = psi.i[geom.b_own]
+    dc = geom.b_dc[:, None] if own_vals.ndim == 2 else geom.b_dc
+    b = f * rv + (1.0 - f) * (own_vals + rg / dc)
+    return VolField(psi.i, b)
+
+
 def evaluate(
     fbcs: FieldBCs, geom: MeshGeometry, psi: VolField, ctx: dict
 ) -> VolField:
     """Update boundary values from the mixed form (correctBoundaryConditions)."""
     rv, rg, f = resolve(fbcs, geom, psi, ctx)
-    own_vals = psi.i[geom.b_own]
-    dc = geom.b_dc[:, None] if own_vals.ndim == 2 else geom.b_dc
-    b = f * rv + (1.0 - f) * (own_vals + rg / dc)
-    return VolField(psi.i, b)
+    return apply_coeffs(geom, psi, rv, rg, f)
 
 
 correct_boundary = evaluate

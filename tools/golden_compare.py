@@ -164,6 +164,17 @@ def main(argv=None):
     for r in rows:
         print(f"{r[0]:>3} {r[1]:>9.5f} {r[2]:>9.6f} {r[3]:>10.2e} "
               f"{r[4]:>9.3f} {r[5]:>9.3f} {r[6]:>+8.3f} {r[7]:>8.4f} {r[8]:>8.4f} {r[9]:>9.2e}")
+    print("\nper-corrector p_rgh res0 and continuity (ref | ours):")
+    for k in range(len(rows)):
+        g, o = gold[k], ours[k]
+        for c in range(max(len(g["p_rgh"]), len(o["p_rgh"]))):
+            gr = g["p_rgh"][c] if c < len(g["p_rgh"]) else (float("nan"), -1)
+            orr = o["p_rgh"][c] if c < len(o["p_rgh"]) else (float("nan"), -1)
+            gc = g["cont"][c] if c < len(g["cont"]) else (float("nan"),) * 2
+            oc = o["cont"][c] if c < len(o["cont"]) else (float("nan"),) * 2
+            print(f"  k={k} c={c}: res0 {gr[0]:>10.3e} | {orr[0]:>10.3e}   "
+                  f"iters {gr[1]:>3} | {orr[1]:>3}   contL {gc[0]:>10.3e} | {oc[0]:>10.3e}   "
+                  f"contG {gc[1]:>10.3e} | {oc[1]:>10.3e}")
     print("\nworst-over-run:", {k: f"{v:.4g}" for k, v in worst.items()})
     if args.json:
         with open(args.json, "w") as f:
