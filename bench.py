@@ -34,9 +34,17 @@ def main():
     import jax
 
     # persistent compile cache: the step graph is large (~5 min cold compile
-    # on TPU); cached recompiles are seconds
-    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    # on TPU); cached recompiles are seconds. Keyed by host CPU flags —
+    # XLA:CPU AOT artifacts SIGILL when loaded on a different machine.
+    import hashlib
+
+    try:
+        feat = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+    except Exception:
+        feat = os.uname().machine
+    cache = f"/root/.cache/jax_comp_{hashlib.sha1(feat.encode()).hexdigest()[:12]}"
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     # bench must run on the real accelerator; tests pin CPU, we do not.

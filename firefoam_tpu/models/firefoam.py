@@ -45,6 +45,23 @@ from ..turbulence.kEqn import KEqnLES
 __all__ = ["FireFoamSolver"]
 
 
+def spalding_utau(mag_up, mag_grad_u, nuw, y, kappa=0.41, E=9.8):
+    """u_τ from Spalding's unified wall law by Newton iteration
+    (nutUSpaldingWallFunctionFvPatchScalarField::calcUTau)."""
+    tiny = jnp.finfo(jnp.asarray(mag_up).dtype).tiny * 1e6
+    ut = jnp.sqrt(nuw * mag_grad_u)
+    # the reference caps at 10 Newton steps with a 1% step-change exit;
+    # a fixed 30 steps is jit-friendly and strictly tighter
+    for _ in range(30):
+        ut_s = jnp.maximum(ut, tiny)
+        kuu = jnp.minimum(kappa * mag_up / ut_s, 50.0)
+        fkuu = jnp.exp(kuu) - 1.0 - kuu * (1.0 + 0.5 * kuu)
+        f = -ut_s * y / nuw + mag_up / ut_s + 1.0 / E * (fkuu - kuu ** 3 / 6.0)
+        df = y / nuw + mag_up / ut_s ** 2 + 1.0 / E * kuu * fkuu / ut_s
+        ut = jnp.maximum(ut_s + f / jnp.maximum(df, tiny), 0.0)
+    return ut
+
+
 def _solver_controls(fv_solution: FoamDict, *names: str) -> dict:
     """Look up solver controls, trying name variants in order (cases differ:
     steckler has Ux/Uy/Uz entries, wallFireSpread2D a single U entry)."""
@@ -57,19 +74,14 @@ def _solver_controls(fv_solution: FoamDict, *names: str) -> dict:
     if d is None:
         raise KeyError(f"none of {names} found in fvSolution solvers")
     solver = str(d.lookup("solver"))
-    max_iter = int(d.get_scalar("maxIter", 1000))
-    if solver == "smoothSolver":
-        # the reference's symGaussSeidel reaches tolerance in 3-4 sweeps;
-        # our damped-Jacobi needs more sweeps for the same tolerance, and
-        # honouring the dict's maxIter (typically 10) would stop it short
-        # of tol. Field match to tolerance is what matters, so give the
-        # smoother headroom — the while_loop exits on convergence anyway.
-        max_iter = max(max_iter, 200)
     return {
         "solver": solver,
         "tolerance": d.get_scalar("tolerance", 1e-6),
         "relTol": d.get_scalar("relTol", 0.0),
-        "maxIter": max_iter,
+        "maxIter": int(d.get_scalar("maxIter", 1000)),
+        "preconditioner": str(d.lookup("preconditioner", "") or ""),
+        "smoother": str(d.lookup("smoother", "") or ""),
+        "nSweeps": int(d.get_scalar("nSweeps", 1)),
     }
 
 
@@ -114,6 +126,18 @@ class FireFoamSolver:
         self.combustion = EddyDissipationModel.from_case(
             self.case.constant("combustionProperties"), self.reaction
         )
+        if self.combustion.variant == "eddyDissipationIgnModel":
+            # pilot heat field dQI masked to the 'igniter' cellZone
+            # (eddyDissipationIgnModel::correct)
+            try:
+                dqi_f, _ = self._read_field("dQI")
+                mask = np.zeros(g.n_cells)
+                zone = self.cm.sets.cell_zones.get("igniter")
+                if zone is not None:
+                    mask[np.asarray(zone)] = 1.0
+                self.combustion.ign_dQI = np.asarray(dqi_f.i) * mask
+            except Exception:
+                pass
 
         # ---- turbulence ----
         self.turb = KEqnLES.from_case(g, self.case.constant("turbulenceProperties"))
@@ -135,6 +159,11 @@ class FireFoamSolver:
             self.radiation = None
         else:
             self.radiation = radiation
+        if self.radiation is not None and hasattr(self.radiation, "ae_model"):
+            # spSootRadFracEmission needs the reaction + SGS dissipation for
+            # its strain-rate/flamelet table lookup
+            self.radiation.reaction = self.reaction
+            self.radiation.epsilon_fn = lambda st: self.turb.epsilon(st["k"].i)
         # soot model owned by the radiation model (radiationModel.C:222-225)
         from ..radiation.soot import make_soot_model
 
@@ -183,6 +212,34 @@ class FireFoamSolver:
         # growth loses to the near-mesh-independent V-cycle (VERDICT: golden
         # log DICPCG does 18-25 iters; diag-PCG needs 67-84 at 9k cells and
         # grows with n).
+        # wavefront LDU schedule for OpenFOAM-exact DIC-PCG / symGaussSeidel
+        # (solvers/dic.py) — built once per mesh from the original face order.
+        # Default: on for f64 (the reference-matching fidelity path), off for
+        # f32 (the TPU perf path keeps the flat Krylov/AMG solvers — the
+        # level-scheduled triangular sweeps serialize ~60 steps per
+        # application, a poor fit for the MXU). FIREFOAM_TPU_EXACT_SOLVERS
+        # overrides either way.
+        _ex = os.environ.get("FIREFOAM_TPU_EXACT_SOLVERS", "")
+        if _ex == "1" or (_ex != "0" and self.dtype == jnp.float64):
+            from ..solvers.dic import build_schedule
+
+            _nIr = self.cm.mesh.n_internal_faces
+            self._ldu = build_schedule(
+                np.asarray(self.cm.mesh.owner[:_nIr]),
+                np.asarray(self.cm.mesh.neighbour),
+                g.n_cells,
+                perm=g.face_perm,
+            )
+        else:
+            self._ldu = None
+
+        # cells adjacent to wall patches (BertExt's nearWallCells gate)
+        _nw = np.zeros(g.n_cells, bool)
+        for pch in g.patches:
+            if "wall" in (pch.ptype or "").lower():
+                _nw[np.asarray(g.b_own)[pch.slice]] = True
+        self._near_wall_mask = jnp.asarray(_nw)
+
         self.amg = None
         try:
             _pc = _solver_controls(self.fv_solution, "p_rgh")
@@ -263,6 +320,10 @@ class FireFoamSolver:
 
         self.function_objects = make_function_objects(self, cd)
         self.rtis = RtiProbes.try_from_case(self, case_dir)
+        # cell-wise 5-link RTI fields (solver/rti.H, constant/rtiProperties)
+        from ..functionobjects.rtilinks import RTILinks
+
+        self.rti_links = RTILinks(self.case, g.n_cells, self.dtype)
 
     # ------------------------------------------------------------------
     def _read_field(self, name: str, default_name: Optional[str] = None):
@@ -378,6 +439,8 @@ class FireFoamSolver:
         }
         if self.radiation is not None:
             state["rad"] = self.radiation.initial_state()
+        if self.combustion.stream_rad_fracs:
+            state["localRadFrac"] = jnp.zeros(g.n_cells, dt)
         if self.cloud is not None:
             state["cloud"] = self.cloud.initial_state()
             if self.cloud.cfg.radiation:
@@ -395,6 +458,8 @@ class FireFoamSolver:
                 state["film_evap_b"] = jnp.zeros((g.n_boundary,), dt)
         if self.rtis is not None and self.rtis.n > 0:
             state["rtis"] = self.rtis.initial_state()
+        if self.rti_links.active:
+            state["rti_links"] = self.rti_links.initial_state()
         # phrghEqn.H runs only at t = 0 (reference guards on runTime == 0)
         if self.ctl.hydrostatic_init and self.t0 == 0.0:
             state = self._hydrostatic_init(state)
@@ -458,7 +523,11 @@ class FireFoamSolver:
                 g, m.diag, m.lower, m.upper, m.source - rhs, m.internal_coeffs, m.boundary_coeffs, m.psi
             )
             ctl = _solver_controls(self.fv_solution, "ph_rgh", "p_rgh")
-            res = solve_scalar(m, ph.i, solver="PCG", tol=ctl["tolerance"], rel_tol=ctl["relTol"])
+            res = solve_scalar(
+                m, ph.i, solver=ctl["solver"], tol=ctl["tolerance"],
+                rel_tol=ctl["relTol"], sched=self._ldu,
+                preconditioner=ctl["preconditioner"],
+            )
             ph_b = f * 0.0 + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
             ph = VolField(res.x, ph_b)
             p = VolField(
@@ -467,6 +536,9 @@ class FireFoamSolver:
             )
         state = dict(state)
         state["p"] = VolField(p.i, state["p"].b)
+        # oldTime copies refresh at the init too — otherwise step 0 sees a
+        # spurious dpdt = (p_hydrostatic − p_file)/dt in the energy equation
+        state["p_old_i"] = p.i
         state["p_rgh"] = VolField(ph.i, ph.b)
         state["ph_rgh_b"] = ph.b
         psi_i = self.gas.psi(T.i, Y.i)
@@ -883,6 +955,76 @@ class FireFoamSolver:
         return state
 
     # ------------------------------------------------------------------
+    def _nut_wall_functions(self, state: Dict, k_new, nut_b) -> jnp.ndarray:
+        """nut wall-function family (SURVEY §2.9):
+
+        * nutkWallFunction — log-law from k: y⁺ = Cμ^¼√k·y/ν,
+          νt = ν·(y⁺κ/ln(Ey⁺) − 1) above the laminar y⁺ (stock OpenFOAM).
+        * nutUSpaldingWallFunction — u_τ from Spalding's unified law by
+          Newton iteration; νt = u_τ²/|∂U/∂n| − ν.
+        * nutUSpaldingBlowingWallFunction — same u_τ with a transpiration
+          attenuation min(1, (ṁ″/hOCp)/(e^{ṁ″/hOCp}−1)), ṁ″ the
+          pyrolysate flux in g/m²/s (lib/fvPatchFields/nutUSpaldingBlowing-
+          WallFunction/...C:41-74).
+        * nutFireWallFunction — νt = αt·ν/α, consuming the fire-corrected
+          alphat (lib/fvPatchFields/nutFireWallFunction/...C:62-80).
+        """
+        g = self.geom
+        kinds = {
+            "nutkWallFunction",
+            "nutUSpaldingWallFunction",
+            "nutUSpaldingBlowingWallFunction",
+            "nutFireWallFunction",
+        }
+        if not any(b.kind in kinds for b in self.nut_bcs.bcs):
+            return nut_b
+        kappa, E, cmu25 = 0.41, 9.8, 0.09 ** 0.25
+        # yPlusLam: fixed point of y⁺ = ln(E y⁺)/κ
+        ypl = 11.0
+        for _ in range(10):
+            ypl = np.log(E * ypl) / kappa
+        U, rho, mu = state["U"], state["rho"], state["mu"]
+        tiny = jnp.finfo(self.dtype).tiny * 1e6
+
+        for bc, p in zip(self.nut_bcs.bcs, g.patches):
+            if bc.kind not in kinds:
+                continue
+            sl = p.slice
+            nuw = mu.b[sl] / rho.b[sl]
+            y = 1.0 / g.b_dc[sl]
+            if bc.kind == "nutkWallFunction":
+                yp = cmu25 * jnp.sqrt(jnp.maximum(k_new.i[g.b_own[sl]], 0.0)) * y / nuw
+                val = jnp.where(
+                    yp > ypl,
+                    nuw * (yp * kappa / jnp.log(jnp.maximum(E * yp, 1.0 + 1e-12)) - 1.0),
+                    0.0,
+                )
+            elif bc.kind == "nutFireWallFunction":
+                val = state["alphat"].b[sl] * nuw / jnp.maximum(
+                    state["alpha"].b[sl], tiny
+                )
+            else:  # nutUSpalding[Blowing]
+                du = U.i[g.b_own[sl]] - U.b[sl]
+                mag_up = jnp.linalg.norm(du, axis=1)
+                mag_grad = mag_up * g.b_dc[sl]
+                ut = spalding_utau(mag_up, mag_grad, nuw, y, kappa, E)
+                val = ut ** 2 / jnp.maximum(mag_grad, tiny)
+                if bc.kind == "nutUSpaldingBlowingWallFunction":
+                    h_ocp = float(bc.params.get("hOCp", 10.0))
+                    r_phi = float(bc.params.get("rPhi", 2.5))
+                    fmf = -state["phi"].b[sl] / g.b_magSf[sl] * r_phi * 1000.0
+                    x = fmf / h_ocp
+                    atten = jnp.minimum(
+                        1.0,
+                        (x + 1e-15)
+                        / (jnp.expm1(jnp.clip(x, -50.0, 50.0)) + 1e-15),
+                    )
+                    val = val * atten
+                val = val - nuw
+            nut_b = nut_b.at[sl].set(jnp.maximum(val, 0.0))
+        return nut_b
+
+    # ------------------------------------------------------------------
     def _alphat_film_wf(self, state: Dict, bc, p) -> jnp.ndarray:
         """alphatFilmWallFunction (packages/regionModels/surfaceFilmModels/
         derivedFvPatchFields/wallFunctions/alphatFilmWallFunction/...C:
@@ -1045,19 +1187,13 @@ class FireFoamSolver:
         # one vmapped solve over the 3 components (same matrix, 3 RHS) —
         # a single while_loop in the graph instead of three
         ctl = _solver_controls(self.fv_solution, "Ux", "U")
-        from ..solvers.linear import bicgstab, jacobi_smooth, pcg
+        fn = self._lin_fn(ctl)
 
         dtot = m.diag_total()
         b = m.rhs_total()
-        fn = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
-            ctl["solver"], bicgstab
-        )
 
         def solve_c(x0, d, bb):
-            return fn(
-                lambda x: m.matvec(x, d), x0, bb, d,
-                tol=ctl["tolerance"], rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
-            )
+            return fn(lambda x: m.matvec(x, d), x0, bb, d, m)
 
         res = jax.vmap(solve_c, in_axes=(1, 1, 1), out_axes=0)(U.i, dtot, b)
         for c, comp in enumerate("xyz"):
@@ -1070,6 +1206,37 @@ class FireFoamSolver:
         # per step (at this assembly), so flowRateInletVelocity's value is
         # fixed with THIS moment's rho_b for the whole step
         return U_new, m, (rv, rg, f)
+
+    def _lin_fn(self, ctl):
+        """fn(matvec, x0, b, diag, m) → SolverResult, honouring the case's
+        fvSolution exactly: PCG+DIC and smoothSolver+symGaussSeidel run the
+        OpenFOAM-exact wavefront implementations (solvers/dic.py) so the
+        iteration counts and the left-over error modes track the golden
+        log's; anything else falls back to the generic Krylov solvers."""
+        from ..solvers.dic import dic_pcg, sgs_solve
+        from ..solvers.linear import bicgstab, jacobi_smooth, pcg
+
+        sol, pre, smo = ctl["solver"], ctl["preconditioner"], ctl["smoother"]
+        tol, rel, mx = ctl["tolerance"], ctl["relTol"], ctl["maxIter"]
+        if self._ldu is None:
+            sol = {"smoothSolver": "smoothSolver"}.get(sol, sol)
+            pre, smo = "", ""
+        if sol == "PCG" and pre == "DIC":
+            return lambda mv, x0, b, d, m: dic_pcg(
+                self._ldu, mv, d, m.upper, b, x0, tol, rel, mx
+            )
+        if sol == "smoothSolver" and smo.endswith("GaussSeidel"):
+            return lambda mv, x0, b, d, m: sgs_solve(
+                self._ldu, mv, d, m.lower, m.upper, b, x0,
+                tol, rel, mx, ctl["nSweeps"],
+            )
+        base = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
+            sol, bicgstab
+        )
+        mx2 = mx if sol != "smoothSolver" else max(mx, 200)
+        return lambda mv, x0, b, d, m: base(
+            mv, x0, b, d, tol=tol, rel_tol=rel, max_iter=mx2
+        )
 
     def _multivariate_weights(self, state):
         """div(phi,Yi_h) Gauss multivariateSelection — ONE shared convection
@@ -1100,10 +1267,27 @@ class FireFoamSolver:
         dt = state["dt"]
 
         eps = self.turb.epsilon(state["k"].i)
-        w_fuel = self.combustion.w_fuel(
-            rho.i, Y.i, state["k"].i, eps, state["alpha"].i, self.turb.delta, dt
+        spray_rho = None
+        if self.cloud is not None and "cloud" in state:
+            c = state["cloud"]
+            vol = (
+                c["nP"] * (jnp.pi / 6.0) * c["d"] ** 3
+                * c["alive"].astype(rho.i.dtype)
+            )
+            spray_rho = (
+                1000.0 * jnp.zeros_like(rho.i).at[c["cell"]].add(vol) / g.V
+            )
+        rates = self.combustion.rates(
+            rho.i, Y.i, state["k"].i, eps, state["alpha"].i, self.turb.delta,
+            dt, T=state["T"].i, p=state["p"].i, spray_rho=spray_rho,
+            near_wall=self._near_wall_mask, t=state["t"],
+            nu=state["mu"].i / rho.i, nut=state["nut"].i,
         )
-        qdot = self.combustion.qdot(w_fuel)
+        w_fuel = rates["w_fuel"]
+        qdot = self.combustion.qdot(rates)
+        if "localRadFrac" in rates:
+            # consumed by localFuelRadFractionEmission (ECont = lrf·Qdot)
+            state["localRadFrac"] = rates["localRadFrac"]
 
         alpha_eff = VolField(
             state["alphat"].i + state["alpha"].i, state["alphat"].b + state["alpha"].b
@@ -1124,7 +1308,7 @@ class FireFoamSolver:
             rvs.append(rv)
             rgs.append(rg)
             fs.append(f)
-            src_s = self.combustion.R(w_fuel, s)
+            src_s = self.combustion.R(rates, s)
             if self.cloud is not None and s == self.cloud.vapour_index:
                 src_s = src_s + srcs["SYv"]  # parcels.SYi (YEEqn.H:52)
             extra = srcs.get("SY", {}).get(s)  # per-species sources (e.g.
@@ -1138,11 +1322,7 @@ class FireFoamSolver:
         Yi_s = Y.i[:, jnp.asarray(solved)].T
         Yb_s = Y.b[:, jnp.asarray(solved)].T
 
-        from ..solvers.linear import bicgstab, jacobi_smooth, pcg
-
-        fn = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
-            ctl["solver"], bicgstab
-        )
+        fn = self._lin_fn(ctl)
         rho_old = state["rho_old_i"]
         # YiEqn.relax(): all solved species share one factor in practice
         # (regex keys); None = no relax call
@@ -1164,10 +1344,7 @@ class FireFoamSolver:
                 m = m.relax(relax_f)  # YiEqn.relax() (YEEqn.H:56)
             dtot = m.diag_total()
             b = m.rhs_total()
-            return fn(
-                lambda x: m.matvec(x, dtot), ys_i, b, dtot,
-                tol=ctl["tolerance"], rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
-            )
+            return fn(lambda x: m.matvec(x, dtot), ys_i, b, dtot, m)
 
         res = jax.vmap(assemble_solve)(Yi_s, Yb_s, rv_s, rg_s, f_s, src_s)
 
@@ -1250,6 +1427,8 @@ class FireFoamSolver:
         res = solve_scalar(
             m, hs.i, solver=ctl["solver"], tol=ctl["tolerance"],
             rel_tol=ctl["relTol"], max_iter=ctl["maxIter"],
+            sched=self._ldu, preconditioner=ctl["preconditioner"],
+            smoother=ctl["smoother"], n_sweeps=ctl["nSweeps"],
         )
         log["h_res0"] = res.initial_residual
         log["h_iters"] = res.n_iterations
@@ -1367,6 +1546,18 @@ class FireFoamSolver:
             res = amg_pcg(
                 self.amg, dtot, m.lower, m.upper, b, p_rgh.i,
                 tol=tols[sel], rel_tol=rels[sel],
+            )
+        elif (
+            self._ldu is not None
+            and c0["solver"] == "PCG"
+            and c0["preconditioner"] == "DIC"
+        ):
+            from ..solvers.dic import dic_pcg
+
+            res = dic_pcg(
+                self._ldu, lambda x: m.matvec(x, dtot), dtot, m.upper, b,
+                p_rgh.i, tol=tols[sel], rel_tol=rels[sel],
+                max_iter=c0["maxIter"],
             )
         else:
             res = pcg(
@@ -1524,6 +1715,7 @@ class FireFoamSolver:
             # ---- turbulence ----
             ctx = self._ctx(state, srcs.get("_ov"))
             ctl_k = _solver_controls(self.fv_solution, "k", "kFinal")
+            ctl_k["sched"] = self._ldu
             k_new, nut_i, res_k = self.turb.correct(
                 state["k"], self.k_bcs, state["U"], state["rho"],
                 state["rho_old_i"], state["phi"], state["mu"], dt, ctx, ctl_k,
@@ -1537,6 +1729,17 @@ class FireFoamSolver:
                 state["rho"].b * nut_b / self.turb.Prt,
             )
             state = self._apply_wall_functions(state)
+            # nut wall functions (nutk/nutUSpalding[Blowing]/nutFire) follow
+            # the alphat pass — nutFire consumes the fire-corrected alphat
+            nut_b = self._nut_wall_functions(state, k_new, nut_b)
+            state["nut"] = VolField(nut_i, nut_b)
+            alphat_b = state["alphat"].b
+            for bc, p in zip(self.alphat_bcs.bcs, g.patches):
+                if bc.kind == "compressible::alphatWallFunction":
+                    alphat_b = alphat_b.at[p.slice].set(
+                        state["rho"].b[p.slice] * nut_b[p.slice] / self.turb.Prt
+                    )
+            state["alphat"] = VolField(state["alphat"].i, alphat_b)
             log["k_res0"] = res_k.initial_residual
             log["k_iters"] = res_k.n_iterations
 
@@ -1552,6 +1755,10 @@ class FireFoamSolver:
         # rti link probes (solver/rti.H — before time advance, current fields)
         if "rtis" in state and self.rtis is not None:
             state["rtis"] = self.rtis.advance(state["rtis"], state)
+        if "rti_links" in state:
+            state["rti_links"] = self.rti_links.advance(
+                state["rti_links"], state["T"].i, state["U"].i, state["t"], dt
+            )
         state["t"] = state["t"] + dt
         if self.ctl.adjust:
             state["dt"] = self.new_dt(state)
@@ -1569,6 +1776,12 @@ class FireFoamSolver:
         log["T_max_int"] = jnp.max(state["T"].i)
         log["T_max_b"] = jnp.max(state["T"].b)
         log["U_max"] = jnp.max(jnp.linalg.norm(state["U"].i, axis=1))
+        # flame heights from mixture fraction (infoOutput.H:34-57) — the
+        # reference appends these to outFlameHeight every step
+        if self.reaction is not None and float(np.linalg.norm(self.g_vec)) > 0:
+            from ..functionobjects.infofields import flame_heights
+
+            log.update(flame_heights(self, state))
         # golden-log diffables: species min/gAverage/max (YEEqn.H:72-77),
         # the dt used this step and the post-increment time
         for s, sp in enumerate(self.species):

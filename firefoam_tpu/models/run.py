@@ -95,6 +95,19 @@ def run_case(
         log = {k: np.asarray(v) for k, v in log.items()}
         logs.append(log)
         solver.function_objects.record(float(state["t"]), log)
+        if write_fields and "flameHeight" in log:
+            # outFlameHeight_<startTime>: t, flameHeight, flameHeight2 per
+            # step (reference infoFieldsOutput.H:18 / infoOutput.H:52-57)
+            import os as _os
+
+            fh_path = _os.path.join(
+                output_dir, f"outFlameHeight_{solver.t0:.6g}"
+            )
+            with open(fh_path, "a") as fh:
+                fh.write(
+                    f"{float(state['t'])}  {float(log['flameHeight'])}  "
+                    f"{float(log['flameHeight2'])}  \n"
+                )
         if solver.rtis is not None and "rtis" in state:
             solver.rtis.record(float(state["t"]), state["rtis"])
         if write_fields and float(state["t"]) + 1e-9 >= next_write:

@@ -401,7 +401,8 @@ def make_field_bcs(ff: FieldFile, geom: MeshGeometry) -> FieldBCs:
         params = {}
         for key in ("value", "inletValue", "outletValue", "gradient",
                     "massFluxFraction", "emissivity", "hocSolid", "hocPyr",
-                    "QcFlame", "QcThreshold", "Tinf", "h", "QrIncident"):
+                    "QcFlame", "QcThreshold", "Tinf", "h", "QrIncident",
+                    "hOCp", "rPhi"):
             v = _param_value(pd, key)
             if v is not None and not isinstance(v, tuple):
                 params[key] = v

@@ -192,6 +192,9 @@ class FvDOM:
     sigma_s: float = 0.0  # constantScatter coefficient [1/m]
     scatter_C: float = 0.0  # constantScatter linear-anisotropy coefficient
     spectral: object = None  # band model (spectral.py) when selected
+    spsoot: object = None  # SpSootRadFrac flamelet table when selected
+    reaction: object = None  # set by the solver (spSoot/localFuelRadFrac)
+    epsilon_fn: object = None  # state → SGS dissipation (spSoot strain rate)
     n_lambda: int = 1
 
     # ------------------------------------------------------------ factory
@@ -249,6 +252,21 @@ class FvDOM:
         spectral = None
         if aem in _BAND_MODELS or aem == "binaryAbsorptionEmission":
             spectral = _build_spectral(aem, aec, rp)
+        # flamelet-table soot radiant fraction (spSootRadFracEmission.C)
+        spsoot = None
+        if aem == "spSootRadFracEmission":
+            from .spsoot import SpSootRadFrac
+
+            try:
+                les = case.constant("turbulenceProperties")
+                ck = 0.094
+                for sub in ("LES", "kEqnCoeffs"):
+                    dd = les.get_dict(sub, None)
+                    if dd is not None:
+                        ck = dd.get_scalar("Ck", ck)
+            except Exception:
+                ck = 0.094
+            spsoot = SpSootRadFrac.from_case(case, aec, turb_ck=ck)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
         emissivity = _read_wall_emissivity(case, geom, dtype)
@@ -281,6 +299,7 @@ class FvDOM:
             sigma_s=sigma_s,
             scatter_C=scatter_C,
             spectral=spectral,
+            spsoot=spsoot,
             n_lambda=spectral.n_lambda if spectral is not None else 1,
             d_ave=d_ave,
             omega=omega,
@@ -341,10 +360,29 @@ class FvDOM:
             self.grey_species, self.a_const, self.ae_model, self.geom, state, gas
         )
 
+    def _chi_field(self, state, gas):
+        """Radiant fraction — scalar for constRadFraction, per-cell for
+        localFuelRadFractionEmission (MultiFuelStream's localRadFrac) and
+        spSootRadFracEmission (flamelet PsiR table)."""
+        if self.ae_model == "localFuelRadFractionEmission":
+            lrf = state.get("localRadFrac")
+            if lrf is not None:
+                return lrf
+        if (
+            self.ae_model == "spSootRadFracEmission"
+            and self.spsoot is not None
+            and self.reaction is not None
+            and self.epsilon_fn is not None
+        ):
+            return self.spsoot.psi_r(
+                state, gas, self.reaction, self.epsilon_fn(state)
+            )
+        return self._chi(state)
+
     def spectral_eval(self, state, gas) -> Dict:
         """Banded absorption/emission/energy-fraction arrays [nL, ...]."""
         T = state["T"]
-        chi = self._chi(state)
+        chi = self._chi_field(state, gas)
         if self.spectral is not None:
             Y, p = state.get("Y"), state.get("p")
             return dict(
@@ -370,7 +408,7 @@ class FvDOM:
             "E": E[None],
             "enFrac": ones[None],
             "enFrac_b": jnp.ones_like(T.b)[None],
-            "chi": chi,
+            "chi": chi if jnp.ndim(chi) == 0 else jnp.mean(chi),
         }
 
     # ------------------------------------------------------------ solve
@@ -550,7 +588,7 @@ class FvDOM:
             "aG": jnp.sum(a_gas * G_band, axis=0),
             "aEn": jnp.sum(a_gas * enf, axis=0),
             "count": rad["count"] + 1,
-            "chi": chi,
+            "chi": chi if jnp.ndim(chi) == 0 else jnp.mean(chi),
         }
 
     def maybe_correct(self, state, gas) -> Dict:
@@ -581,7 +619,7 @@ class FvDOM:
         'Radiant Fraction' per step: 0.22 at step 1, 0.36 after), while the
         absorbed term (aG) and Rp weight (aEn = Σ a_λ·enFrac_λ, fvDOM.C:
         588-607) stay stale between solverFreq ray solves."""
-        chi = self._chi(state)
+        chi = self._chi_field(state, gas)
         E = chi * state["Qdot"] * self._e_qdot_coeff()
         rad = state["rad"]
         return rad["aG"] - 4.0 * SIGMA * state["T"].i ** 4 * rad["aEn"] - E

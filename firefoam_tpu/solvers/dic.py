@@ -32,7 +32,7 @@ import numpy as np
 
 from .linear import SolverResult
 
-__all__ = ["LduSchedule", "build_schedule", "dic_pcg", "sgs_solve"]
+__all__ = ["LduSchedule", "build_schedule", "dic_pcg", "sgs_solve", "real_coeffs"]
 
 _SMALL = 1e-20  # SolverPerformance::small_
 
@@ -49,11 +49,30 @@ class LduSchedule(NamedTuple):
     bwd_faces: Tuple[np.ndarray, ...]
     bwd_cells: Tuple[np.ndarray, ...]
     n_cells: int
+    perm: np.ndarray = None  # original face → storage slot (DIA layouts)
+    swap: np.ndarray = None  # faces whose stored own/nei were reversed
 
 
-def build_schedule(own, nei, n_cells: int) -> LduSchedule:
+def real_coeffs(sch: LduSchedule, lower, upper):
+    """Map storage-layout lower/upper to the schedule's normalized face
+    order (perm gather + own<nei swap)."""
+    if sch.perm is not None:
+        lower, upper = lower[sch.perm], upper[sch.perm]
+    if sch.swap is not None and sch.swap.any():
+        sw = jnp.asarray(sch.swap)
+        lower, upper = (
+            jnp.where(sw, upper, lower),
+            jnp.where(sw, lower, upper),
+        )
+    return lower, upper
+
+
+def build_schedule(own, nei, n_cells: int, perm=None) -> LduSchedule:
     own = np.asarray(own, np.int32)
     nei = np.asarray(nei, np.int32)
+    swap = own > nei
+    if swap.any():
+        own, nei = np.where(swap, nei, own), np.where(swap, own, nei)
 
     def levels(src, dst):
         lv = np.zeros(n_cells, np.int64)
@@ -78,7 +97,11 @@ def build_schedule(own, nei, n_cells: int) -> LduSchedule:
 
     fwd_faces, fwd_cells = group(own, nei)
     bwd_faces, bwd_cells = group(nei, own)
-    return LduSchedule(own, nei, fwd_faces, fwd_cells, bwd_faces, bwd_cells, n_cells)
+    return LduSchedule(
+        own, nei, fwd_faces, fwd_cells, bwd_faces, bwd_cells, n_cells,
+        None if perm is None else np.asarray(perm),
+        swap if swap.any() else None,
+    )
 
 
 def _calc_reciprocal_d(sch: LduSchedule, diag, upper):
@@ -117,8 +140,11 @@ def _norm_factor(matvec, x, b):
 
 
 def dic_pcg(sch: LduSchedule, matvec, diag, upper, b, x0,
-            tol=1e-6, rel_tol=0.0, max_iter=1000) -> SolverResult:
-    """lduMatrix PCG with the DIC preconditioner (PCG.C recurrences)."""
+            tol=1e-6, rel_tol=0.0, max_iter=1000, lower=None) -> SolverResult:
+    """lduMatrix PCG with the DIC preconditioner (PCG.C recurrences).
+    `upper` may be in storage layout — it is mapped through the schedule's
+    perm/swap (for symmetric systems lower==upper, so `lower` is optional)."""
+    _, upper = real_coeffs(sch, upper if lower is None else lower, upper)
     rD = _calc_reciprocal_d(sch, diag, upper)
     Ax0, norm = _norm_factor(matvec, x0, b)
     r0 = b - Ax0
@@ -191,7 +217,9 @@ def _sgs_sweep(sch: LduSchedule, diag, lower, upper, b, x):
 def sgs_solve(sch: LduSchedule, matvec, diag, lower, upper, b, x0,
               tol=1e-6, rel_tol=0.0, max_iter=10, n_sweeps=1) -> SolverResult:
     """smoothSolver with symGaussSeidel (smoothSolver.C): smooth nSweeps,
-    re-check the normalised residual, stop on tolerance/relTol/maxIter."""
+    re-check the normalised residual, stop on tolerance/relTol/maxIter.
+    lower/upper may be in storage layout (mapped via the schedule)."""
+    lower, upper = real_coeffs(sch, lower, upper)
     Ax0, norm = _norm_factor(matvec, x0, b)
     res0 = jnp.sum(jnp.abs(b - Ax0)) / norm
 

@@ -177,8 +177,15 @@ def solve_scalar(
     rel_tol: float = 0.0,
     max_iter: int = 1000,
     component: int = None,
+    sched=None,
+    preconditioner: str = None,
+    smoother: str = None,
+    n_sweeps: int = 1,
 ) -> SolverResult:
-    """Solve one (component of an) FvMatrix system."""
+    """Solve one (component of an) FvMatrix system. When an LduSchedule is
+    provided, PCG+DIC and smoothSolver+*GaussSeidel use the OpenFOAM-exact
+    wavefront implementations (solvers/dic.py) so iteration counts and
+    left-over error modes track the reference's."""
     diag_t = m.diag_total()
     b = m.rhs_total()
     if component is not None:
@@ -190,12 +197,27 @@ def solve_scalar(
     def matvec(x):
         return m.matvec(x, diag_c)
 
+    if sched is not None:
+        from .dic import dic_pcg, sgs_solve
+
+        if solver == "PCG" and preconditioner == "DIC":
+            return dic_pcg(
+                sched, matvec, diag_c, m.upper, b, x0, tol, rel_tol, max_iter
+            )
+        if solver == "smoothSolver" and (smoother or "").endswith("GaussSeidel"):
+            return sgs_solve(
+                sched, matvec, diag_c, m.lower, m.upper, b, x0,
+                tol, rel_tol, max_iter, n_sweeps,
+            )
     if solver in ("PCG", "GAMG"):
         return pcg(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
     if solver in ("PBiCGStab", "PBiCG"):
         return bicgstab(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
     if solver == "smoothSolver":
-        return jacobi_smooth(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
+        # damped Jacobi needs headroom beyond the dict's maxIter (typically
+        # 10 symGaussSeidel sweeps' worth) to reach the same tolerance
+        return jacobi_smooth(matvec, x0, b, diag_c, tol, rel_tol,
+                             max(max_iter, 200))
     if solver == "diagonal":
         # exact for diagonal systems (rhoEqn "diagonal" solver)
         x = b / diag_c

@@ -44,9 +44,12 @@ def test_initial_thermo(steckler):
 
 
 def test_three_steps(steckler):
+    # 4 steps: with the reference's lazy inlet activation the burner admits
+    # inert at step 1 and fuel at step 2, so ignition lands on step 3
+    # (golden log Qdot first nonzero at Time 0.346667)
     solver, state = steckler
     step = solver.make_step()
-    for i in range(3):
+    for i in range(4):
         state, log = step(state)
         # species stay bounded
         Y = np.asarray(state["Y"].i)
