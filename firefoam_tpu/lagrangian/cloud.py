@@ -111,6 +111,7 @@ class ReactingCloud:
         dt_max: float,
         dtype=None,
         capacity: Optional[int] = None,
+        cell_zones=None,
     ):
         self.name = name
         self.dtype = dtype or real_dtype()
@@ -132,6 +133,9 @@ class ReactingCloud:
             return 1.0
 
         forces = sub.get_dict("particleForces", FoamDict())
+        from .forces import ParticleForces
+
+        self.forces = ParticleForces.from_dict(forces)
         htm = sub.get_word("heatTransferModel", "none")
         pcm = sub.get_word("phaseChangeModel", "none")
         ht_coeffs = sub.get_dict("RanzMarshallCoeffs", None) or sub.get_dict(
@@ -165,7 +169,7 @@ class ReactingCloud:
             eps0=cp.get_scalar("epsilon0", 1.0),
             f0=cp.get_scalar("f0", 0.5),
             min_mass=cp.get_scalar("minParticleMass", 1e-15),
-            drag="sphereDrag" in forces or forces.found("sphereDrag"),
+            drag=self.forces.drag_model is not None,
             gravity_on="gravity" in forces or forces.found("gravity"),
             heat_transfer=htm != "none",
             bird_correction=ht_coeffs.get_bool("BirdCorrection", False),
@@ -205,7 +209,10 @@ class ReactingCloud:
         self.injectors = []
         for iname, idict in inj_dict.subdicts():
             self.injectors.append(
-                make_injector(iname, idict, walk, case, self.dtype, geom=geom)
+                make_injector(
+                    iname, idict, walk, case, self.dtype, geom=geom,
+                    cell_zones=cell_zones,
+                )
             )
         for inj in self.injectors:
             inj.max_per_step = inj.capacity_for_dt(dt_max)
@@ -223,28 +230,23 @@ class ReactingCloud:
         # cloud function objects: ParticleCollectorFmg (lib/
         # additionalCloudFunctionObjects — SURVEY §2.10)
         from .collector import make_collectors
+        from .cloudfunctions import make_cloud_functions
 
         self.collectors = make_collectors(props)
+        self.cloud_functions = make_cloud_functions(props, geom)
 
-        # patch interaction: standardWallInteraction type over wall patches;
-        # thermoSurfaceFilm marks film-covered patches (filmPatches arg later)
-        pim = sub.get_word("patchInteractionModel", "standardWallInteraction")
-        it = (
-            sub.get_dict("standardWallInteractionCoeffs", FoamDict()).get_word("type", "rebound")
-            if pim == "standardWallInteraction"
-            else "rebound"
-        )
-        code_of = {"escape": INTERACT_ESCAPE, "stick": INTERACT_STICK, "rebound": INTERACT_REBOUND}
-        wall_code = code_of.get(it, INTERACT_REBOUND)
-        b_code = np.zeros(geom.n_boundary, np.int64)
-        for p in geom.patches:
-            if p.ptype in ("wall",):
-                b_code[p.slice] = wall_code
-            elif p.ptype in ("patch", "inlet", "outlet"):
-                b_code[p.slice] = INTERACT_ESCAPE
-            # empty/symmetry: rebound (INTERACT_NONE path reflects too)
-            else:
-                b_code[p.slice] = INTERACT_REBOUND
+        # patch interaction (submodels/Kinematic/PatchInteractionModel):
+        # the whole family compiles down to per-boundary-face interaction
+        # codes + restitution, consumed by the tracking walk.
+        #   standardWallInteraction: one type (+e) for every wall patch
+        #     (StandardWallInteraction.C:94-150)
+        #   localInteraction: per-patch {type, e} entries by patch name
+        #     (LocalInteraction.C patchData lookup)
+        #   multiInteraction: ordered sub-models, first defined wins per
+        #     patch (MultiInteraction.H:33-60 'oneInteractionOnly true')
+        #   rebound: every patch rebounds with elasticity e (Rebound.C)
+        #   none/noInteraction: parcel halts at the patch — mapped to stick
+        b_code, b_e = self._parse_patch_interaction(sub, geom)
         self.film_patches: List[str] = []
         sfm = sub.get_word("surfaceFilmModel", "none")
         self.has_film_handoff = sfm != "none"
@@ -256,13 +258,78 @@ class ReactingCloud:
         self.splash_Adry = tsf.get_scalar("Adry", 2630.0)
         self.splash_Awet = tsf.get_scalar("Awet", 1320.0)
         self.b_code = jnp.asarray(b_code, INT_DTYPE)
-        self.b_e = jnp.ones(geom.n_boundary, self.dtype)  # rebound elasticity
+        self.b_e = jnp.asarray(b_e, self.dtype)  # rebound elasticity
 
         # capacity: generous default = what all injectors can make in ~2000 steps
         if capacity is None:
             per_step = sum(i.max_per_step for i in self.injectors) or 1
             capacity = int(min(max(4096, per_step * 2048), 262144))
         self.cfg.capacity = capacity
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _parse_patch_interaction(sub, geom):
+        """PatchInteractionModel family → (b_code[int64], b_e[float]) per
+        boundary face. See the docstring at the call site."""
+        code_of = {
+            "escape": INTERACT_ESCAPE,
+            "stick": INTERACT_STICK,
+            "rebound": INTERACT_REBOUND,
+            "none": INTERACT_STICK,
+        }
+        b_code = np.zeros(geom.n_boundary, np.int64)
+        b_e = np.ones(geom.n_boundary, float)
+
+        def default_codes():
+            for p in geom.patches:
+                if p.ptype in ("wall",):
+                    b_code[p.slice] = INTERACT_REBOUND
+                elif p.ptype in ("patch", "inlet", "outlet"):
+                    b_code[p.slice] = INTERACT_ESCAPE
+                else:
+                    b_code[p.slice] = INTERACT_REBOUND
+
+        def apply_model(pim, coeffs):
+            if pim == "standardWallInteraction":
+                it = coeffs.get_word("type", "rebound")
+                e = coeffs.get_scalar("e", 1.0)
+                for p in geom.patches:
+                    if p.ptype in ("wall",):
+                        b_code[p.slice] = code_of.get(it, INTERACT_REBOUND)
+                        b_e[p.slice] = e
+            elif pim in ("localInteraction", "LocalInteraction"):
+                pd = coeffs.get_dict("patches", FoamDict())
+                for pname, entry in pd.subdicts():
+                    it = entry.get_word("type", "rebound")
+                    e = entry.get_scalar("e", 1.0)
+                    import re as _re
+
+                    for p in geom.patches:
+                        if p.name == pname or _re.fullmatch(pname, p.name):
+                            b_code[p.slice] = code_of.get(it, INTERACT_REBOUND)
+                            b_e[p.slice] = e
+            elif pim in ("rebound", "Rebound"):
+                e = coeffs.get_scalar("e", 1.0)
+                b_code[:] = INTERACT_REBOUND
+                b_e[:] = e
+            elif pim in ("none", "noInteraction", "NoInteraction"):
+                b_code[:] = INTERACT_STICK
+
+        default_codes()
+        pim = sub.get_word("patchInteractionModel", "standardWallInteraction")
+        if pim in ("multiInteraction", "MultiInteraction"):
+            mc = sub.get_dict("multiInteractionCoeffs", FoamDict())
+            # first-listed model wins per patch ('oneInteractionOnly true'):
+            # apply in reverse so earlier entries overwrite later ones
+            for mname, entry in reversed(list(mc.subdicts())):
+                inner = entry.get_word("patchInteractionModel", mname)
+                apply_model(
+                    inner,
+                    entry.get_dict(inner + "Coeffs", entry),
+                )
+        else:
+            apply_model(pim, sub.get_dict(pim + "Coeffs", FoamDict()))
+        return b_code, b_e
 
     # ------------------------------------------------------------------
     def set_film_patches(self, names: List[str]):
@@ -293,6 +360,16 @@ class ReactingCloud:
             "rng": jax.random.PRNGKey(seed),
             "inj": [inj.init_state() for inj in self.injectors],
             "coll": [c.init_state(dtp) for c in self.collectors],
+            "cfo": [
+                f.init_state(
+                    self.cfg.capacity,
+                    self.geom.n_boundary
+                    if hasattr(f, "post_patch")
+                    else self.geom.n_cells,
+                    dtp,
+                )
+                for f in self.cloud_functions
+            ],
         }
         return st
 
@@ -472,17 +549,42 @@ class ReactingCloud:
             )
         T_new = jnp.where(mask, T_new, T_p)
 
-        # ---- momentum (sphere drag + gravity, drag-implicit Euler) ------
+        # ---- momentum (particle force list, drag-implicit Euler) --------
+        # forceSuSp composition (ParticleForceList): implicit Σ Sp·(Uc−Up)
+        # from the drag model, explicit Σ Su from lift/pressureGradient/
+        # virtualMass, plus gravity-buoyancy. The default sphereDrag path
+        # reduces to exactly the original Schiller-Naumann update.
         U_new = st["U"]
         if cfg.drag:
-            CdRe = jnp.where(
-                Re > 1000.0, 0.424 * Re, 24.0 * (1.0 + (Re ** (2.0 / 3.0)) / 6.0)
-            )
-            tau_inv = 0.75 * mu_c * CdRe / (rho_l * d_new**2)
+            fr = self.forces
+            m1n = _sphere_mass(rho_l, d_new)
+            if fr.drag_model in (None, "sphereDrag"):
+                # unit-mass fast path, bitwise-identical to the original
+                # Schiller-Naumann update (SphereDragForce.C)
+                from .forces import _sphere_cdre
+
+                tau_inv = 0.75 * mu_c * _sphere_cdre(Re) / (rho_l * d_new**2)
+            else:
+                sp = fr.drag_sp(
+                    Re, mu_c, rho_l, d_new, m1n,
+                    alpha_c=gas.get("alphac"),
+                    y=st.get("distort_y"),
+                )
+                tau_inv = sp / jnp.maximum(m1n, 1e-300)
             g_eff = self.g[None, :] * (1.0 - rho_c / rho_l)[:, None] if cfg.gravity_on else 0.0
-            U_new = (st["U"] + dt_sub * (tau_inv[:, None] * U_c + g_eff)) / (
-                1.0 + dt_sub * tau_inv
-            )[:, None]
+            su = jnp.zeros_like(U_new)
+            if fr.lift_model is not None and "curlU" in gas:
+                su = su + fr.lift_su(
+                    st["U"], U_c, gas["curlU"][c], Re, mu_c, rho_c, rho_l,
+                    d_new, m1n, g=np.asarray(self.g),
+                )
+            if (fr.pressure_gradient or fr.virtual_mass) and "DUDt" in gas:
+                su = su + fr.pgrad_su(gas["DUDt"][c], rho_c, rho_l, m1n)
+            m_eff = m1n + fr.mass_add(m1n, rho_c, rho_l)
+            U_new = (
+                st["U"]
+                + dt_sub * (tau_inv[:, None] * U_c + su / jnp.maximum(m_eff, 1e-300)[:, None] + g_eff)
+            ) / (1.0 + dt_sub * tau_inv)[:, None]
         elif cfg.gravity_on:
             U_new = st["U"] + dt_sub * self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
 
@@ -703,6 +805,14 @@ class ReactingCloud:
         if self.suppression is not None and gas.get("vDotSweep_sup") is not None:
             st = self.suppression.collide(st, gas["vDotSweep_sup"], dt)
 
+        # cloud function object preEvolve (VoidFraction zeroes θ each step)
+        if self.cloud_functions:
+            st = dict(st)
+            st["cfo"] = [
+                f.reset(fst) if hasattr(f, "reset") else fst
+                for f, fst in zip(self.cloud_functions, st["cfo"])
+            ]
+
         dt_sub = dt / self.cfg.n_sub
         for _ in range(self.cfg.n_sub):
             # ballistic move + containment walk (wall interactions inside)
@@ -734,6 +844,19 @@ class ReactingCloud:
             src["escapedMass"] = src["escapedMass"] + jnp.sum(
                 jnp.where(esc, mass_before, 0.0)
             )
+            # cloud function objects: postPatch on wall strikes
+            if self.cloud_functions:
+                b_normal = self.geom.b_Sf / self.geom.b_magSf[:, None]
+                hit_mask = hit >= 0
+                hit_c = jnp.maximum(hit, 0)
+                cfos = []
+                for f, fst in zip(self.cloud_functions, st["cfo"]):
+                    if hasattr(f, "post_patch"):
+                        fst = f.post_patch(
+                            fst, st, hit_c, hit_mask, mass_before, U, b_normal
+                        )
+                    cfos.append(fst)
+                st["cfo"] = cfos
             # film interaction (absorb / Bai-Gosman splash)
             st, src = self._film_interaction(
                 st, src, code, hit, mass_before, hit_T,
@@ -741,6 +864,15 @@ class ReactingCloud:
             )
             # physics + gas-side sources
             st, src = self._calc(st, gas, dt_sub, src)
+            # cloud function objects: postMove (void fraction, tracks, trap)
+            if self.cloud_functions:
+                cfos = []
+                for f, fst in zip(self.cloud_functions, st["cfo"]):
+                    if hasattr(f, "post_move"):
+                        fst, st = f.post_move(fst, st, dt_sub, dt, gas, self.geom)
+                    cfos.append(fst)
+                st = dict(st)
+                st["cfo"] = cfos
 
         if self.cfg.radiation:
             # time-averaged dispersed-phase radiation fields for the RTE

@@ -538,10 +538,35 @@ class FilmDripInjection(InjectorBase):
 
 
 # ---------------------------------------------------------------------------
-def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None) -> InjectorBase:
+def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None,
+                  cell_zones=None) -> InjectorBase:
     kind = d.get_word("type")
     if kind == "coneInjection":
         return ConeInjection(name, d, walk, dtype)
+    if kind in (
+        "manualInjection", "cellZoneInjection", "fieldActivatedInjection",
+        "kinematicLookupTableInjection", "coneNozzleInjection", "none",
+        "noInjection", "inflationInjection",
+    ):
+        from . import injection_stock as stk
+
+        if kind == "manualInjection":
+            return stk.ManualInjection(name, d, walk, case, dtype)
+        if kind == "cellZoneInjection":
+            return stk.CellZoneInjection(
+                name, d, walk, case, geom, cell_zones or {}, dtype
+            )
+        if kind == "fieldActivatedInjection":
+            return stk.FieldActivatedInjection(name, d, walk, case, dtype)
+        if kind == "kinematicLookupTableInjection":
+            return stk.KinematicLookupTableInjection(name, d, walk, case, dtype)
+        if kind == "coneNozzleInjection":
+            return stk.ConeNozzleInjection(name, d, walk, dtype)
+        if kind == "inflationInjection":
+            return stk.InflationInjection(
+                name, d, walk, case, geom, cell_zones or {}, dtype
+            )
+        return stk.NoInjection(name, d, dtype)
     if kind in ("patchInjection", "patchFlowRateInjection") and geom is not None:
         return PatchInjection(name, d, geom, dtype)
     if kind in ("detailedSprinklerInjection", "detailedSprinklerInjection2"):

@@ -276,6 +276,7 @@ class FireFoamSolver:
                 self.cloud = ReactingCloud(
                     "reactingCloud1", props, walk, g, self.case, self.gas,
                     self.g_vec, dt_max=min(self.ctl.max_dt, 0.1), dtype=self.dtype,
+                    cell_zones=getattr(self.cm.sets, "cell_zones", None),
                 )
 
         # ---- additional controls + pyrolysis regions ----
@@ -486,6 +487,36 @@ class FireFoamSolver:
         return state
 
     # ------------------------------------------------------------------
+    def _phrgh_fixed_mask(self, dtp):
+        """[n_boundary] 1.0 where ph_rgh is a fixed-value patch. Prefers the
+        0/ph_rgh(.orig) file's own BC types (phrghEqn.H MUST_READ)."""
+        g = self.geom
+        kinds = None
+        for nm in ("ph_rgh", "ph_rgh.orig"):
+            try:
+                if self.case.has_field(nm):
+                    ff = self.case.field(nm)
+                    kinds = {}
+                    for pname in ff.boundary:
+                        sub = ff.boundary.get_dict(pname, None)
+                        if isinstance(sub, FoamDict):
+                            kinds[pname] = sub.get_word("type", "")
+                    break
+            except Exception:
+                kinds = None
+        f_list = []
+        for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
+            if kinds is not None and pch.name in kinds:
+                is_fixed = kinds[pch.name] in (
+                    "fixedValue", "totalPressure", "uniformFixedValue"
+                )
+            else:
+                is_fixed = bc.kind in (
+                    "prghTotalHydrostaticPressure", "fixedValue", "totalPressure"
+                )
+            f_list.append(jnp.full((pch.n,), 1.0 if is_fixed else 0.0, dtp))
+        return jnp.concatenate(f_list)
+
     def _hydrostatic_init(self, state: Dict) -> Dict:
         """solver/phrghEqn.H: iterate lap(rho_f, ph_rgh) = div(phig) so the
         initial pressure field is in hydrostatic balance."""
@@ -507,14 +538,14 @@ class FireFoamSolver:
                 -rho_f.b * self.ghf_b * sg_rho.b * g.b_magSf,
             )
             rhs = fvc.surface_sum(g, phig)  # div(phig)·V
-            # mixed BCs: fixedValue 0 where p_rgh BC is a value BC; otherwise
-            # constrainPressure semantics — snGrad(ph_rgh) = phig/(ρ_f·A) so
-            # the boundary buoyancy flux cancels (fixedFluxPressure walls)
-            f_list = []
-            for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
-                is_fixed = bc.kind in ("prghTotalHydrostaticPressure", "fixedValue", "totalPressure")
-                f_list.append(jnp.full((pch.n,), 1.0 if is_fixed else 0.0, dtp))
-            f = jnp.concatenate(f_list)
+            # mixed BCs: ph_rgh has its OWN boundary file (phrghEqn.H reads
+            # 0/ph_rgh MUST_READ — steckler ships 0/ph_rgh.orig: top
+            # fixedValue 0, everything else fixedFluxPressure). Where the
+            # file exists use its patch types verbatim; otherwise infer from
+            # the p_rgh kinds. Gradient patches get constrainPressure
+            # semantics — snGrad(ph_rgh) = phig/(ρ_f·A) so the boundary
+            # buoyancy flux cancels.
+            f = self._phrgh_fixed_mask(dtp)
             rv = jnp.zeros(g.n_boundary, dtp)
             rg = phig.b / (rho_f.b * g.b_magSf)
             gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
@@ -1096,6 +1127,27 @@ class FireFoamSolver:
             "Yv": Y.i[:, self.cloud.vapour_index],
             "W": 8314.47 / self.gas.R(Y.i),
         }
+        if self.cloud.forces.needs_curl():
+            gu = fvc.grad(g, state["U"])  # [nC,3,3], gu[c,i,j] = dU_j/dx_i
+            gas_ctx["curlU"] = jnp.stack(
+                [
+                    gu[:, 1, 2] - gu[:, 2, 1],
+                    gu[:, 2, 0] - gu[:, 0, 2],
+                    gu[:, 0, 1] - gu[:, 1, 0],
+                ],
+                axis=1,
+            )
+        if self.cloud.forces.needs_ddt():
+            # DUc/Dt ≈ ∂U/∂t + (U·∇)U from the stored old-time velocity
+            gu = fvc.grad(g, state["U"])
+            conv = jnp.einsum("cd,cde->ce", state["U"].i, gu)
+            if "rhoU_old_i" in state:
+                u_old = state["rhoU_old_i"] / jnp.maximum(
+                    state["rho_old_i"], 1e-300
+                )[:, None]
+                gas_ctx["DUDt"] = (state["U"].i - u_old) / state["dt"] + conv
+            else:
+                gas_ctx["DUDt"] = conv
         if self.film is not None and "film" in state:
             # film thickness per boundary face → splash wet/dry regimes
             m = self._film_maps
@@ -1463,7 +1515,36 @@ class FireFoamSolver:
         # step-1 Courant 0.054 is that jet. The one-step fuel delay comes
         # from the species BC's lagged refValue instead (see
         # ops/bcs.py:_total_flow_rate_adv_diff).
-        HbyA = VolField(HbyA_i, state["U"].b)
+        #
+        # flowRateInletVelocity patches are RE-METERED against THIS
+        # corrector's thermo rho_b: the pEqn's rho = thermo.rho() update
+        # (pEqn.H:1) runs after the YEqn/thermo pass, so a stale UEqn-time
+        # U_b times the new rho_b would inject rho_new/rho_old × ṁ for one
+        # whole step — +55% fuel mass the step after the burner turns
+        # fuel-rich (air→C3H8 ≈ 1.15→1.78). The golden log's per-step fuel
+        # inventory (ΔgAverage(C3H8) = 3.31e-5/step = exactly ṁ·Δt) shows
+        # the reference's flux stays metered through that transition.
+        U_b_eff = state["U"].b
+        metered = []  # [(slice, u_met)] for the post-solve U_b carry
+        for bc in self.U_bcs.bcs:
+            if bc.kind != "flowRateInletVelocity":
+                continue
+            pch = next(p for p in g.patches if p.name == bc.patch)
+            sl = pch.slice
+            from ..ops.bcs import _interp_table
+
+            if "massFlowRate_table" in bc.params:
+                mdot = _interp_table(bc.params["massFlowRate_table"], state["t"])
+            else:
+                mdot = jnp.asarray(
+                    bc.params.get("massFlowRate", 0.0), self.dtype
+                )
+            A = jnp.sum(g.b_magSf[sl])
+            n = g.b_Sf[sl] / g.b_magSf[sl, None]
+            u_met = -n * (mdot / (rho.b[sl] * A))[:, None]
+            U_b_eff = U_b_eff.at[sl].set(u_met)
+            metered.append((sl, u_met))
+        HbyA = VolField(HbyA_i, U_b_eff)
 
         sg_rho = fvc.sn_grad(g, rho)
         phig = SurfaceField(
@@ -1493,7 +1574,7 @@ class FireFoamSolver:
         )
 
         # constrainPressure: fixedFluxPressure gradients so flux matches U_b
-        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, state["U"].b)
+        u_flux_b = rho.b * jnp.einsum("fd,fd->f", g.b_Sf, U_b_eff)
         grad_override = (phi_hbya.b - u_flux_b) / (rho_rAU_f.b * g.b_magSf)
         overrides = dict(srcs.get("_ov") or {}) if srcs is not None else {}
         for bc, pch in zip(self.p_rgh_bcs.bcs, g.patches):
@@ -1540,14 +1621,14 @@ class FireFoamSolver:
 
         dtot = m.diag_total()
         b = m.rhs_total()
-        if self.amg is not None:
-            from ..solvers.amg import amg_pcg
-
-            res = amg_pcg(
-                self.amg, dtot, m.lower, m.upper, b, p_rgh.i,
-                tol=tols[sel], rel_tol=rels[sel],
-            )
-        elif (
+        # solver priority: the OpenFOAM-exact DIC-PCG comes FIRST on the
+        # f64 fidelity path. The stopping rule (relTol 0.01) leaves a
+        # smooth-mode pressure error ~κ× the residual; that leftover acts
+        # as a body force seeding the reference's domain-wide early flow
+        # (golden log mean Co 0.0185 after one step). An AMG solve at the
+        # same stated tolerance kills exactly those modes and produces a
+        # quieter — different — flow field, so AMG is the perf path only.
+        if (
             self._ldu is not None
             and c0["solver"] == "PCG"
             and c0["preconditioner"] == "DIC"
@@ -1558,6 +1639,13 @@ class FireFoamSolver:
                 self._ldu, lambda x: m.matvec(x, dtot), dtot, m.upper, b,
                 p_rgh.i, tol=tols[sel], rel_tol=rels[sel],
                 max_iter=c0["maxIter"],
+            )
+        elif self.amg is not None:
+            from ..solvers.amg import amg_pcg
+
+            res = amg_pcg(
+                self.amg, dtot, m.lower, m.upper, b, p_rgh.i,
+                tol=tols[sel], rel_tol=rels[sel],
             )
         else:
             res = pcg(
@@ -1589,6 +1677,13 @@ class FireFoamSolver:
             ctxU = self._ctx(state, (srcs or {}).get("_ov"))
             ctxU["phi"] = phi_new
             U_new = bcmod.evaluate(self.U_bcs, g, U_new, ctxU)
+        # carry the re-metered inlet U_b so the stored boundary flux and
+        # next step's Courant/YEqn see exactly ṁ (see U_b_eff above)
+        if metered:
+            ub = U_new.b
+            for sl, u_met in metered:
+                ub = ub.at[sl].set(u_met)
+            U_new = VolField(U_new.i, ub)
 
         # p = p_rgh + rho·gh + pRef (boundary too; rho = thermo.rho() from
         # the corrector start, pEqn.H:52)

@@ -60,6 +60,16 @@ def parse_golden(path: str = GOLDEN):
                 cur["T_min"], cur["T_max"] = float(m.group(1)), float(m.group(2))
                 continue
             m = re.match(
+                r"\S+:  Solving for (\w+), Initial residual = (\S+), "
+                r"Final residual = \S+, No Iterations (\d+)", line
+            )
+            if m and m.group(1) != "p_rgh":
+                # first occurrence per step only (outer corrector 1)
+                cur.setdefault("res0", {}).setdefault(
+                    m.group(1), (float(m.group(2)), int(m.group(3)))
+                )
+                continue
+            m = re.match(
                 r"\S+:  Solving for p_rgh, Initial residual = (\S+), "
                 r"Final residual = \S+, No Iterations (\d+)", line
             )
@@ -116,6 +126,13 @@ def run_ours(case_dir: str, end_time: float):
                 )
         rec["t"] = float(log["t"]) if "t" in log else None
         rec["dt"] = float(log["dt"]) if "dt" in log else None
+        rec["res0"] = {}
+        for eq in ("Ux", "Uy", "Uz", "h", "k") + tuple(species):
+            kk = f"{eq}_res0"
+            if kk in log:
+                rec["res0"][eq] = (
+                    float(log[kk]), int(log.get(f"{eq}_iters", -1))
+                )
         steps.append(rec)
     return solver, state, steps
 
@@ -164,6 +181,26 @@ def main(argv=None):
     for r in rows:
         print(f"{r[0]:>3} {r[1]:>9.5f} {r[2]:>9.6f} {r[3]:>10.2e} "
               f"{r[4]:>9.3f} {r[5]:>9.3f} {r[6]:>+8.3f} {r[7]:>8.4f} {r[8]:>8.4f} {r[9]:>9.2e}")
+    eqs = ("Ux", "Uy", "Uz", "O2", "H2O", "C3H8", "CO2", "h", "k")
+    print("\nper-equation res0 ref | ours (ratio):")
+    for k in range(len(rows)):
+        g, o = gold[k], ours[k]
+        parts = []
+        for eq in eqs:
+            gr = g.get("res0", {}).get(eq, (float("nan"),))[0]
+            orr = o.get("res0", {}).get(eq, (float("nan"),))[0]
+            ratio = orr / gr if gr and gr == gr else float("nan")
+            parts.append(f"{eq}:{ratio:6.2f}")
+        print(f"  k={k:<2} " + " ".join(parts))
+    print("\nspecies ave ref | ours:")
+    for k in range(min(len(rows), 6)):
+        g, o = gold[k], ours[k]
+        parts = []
+        for sp in ("C3H8", "O2", "H2O"):
+            ga = g["species"].get(sp, (0, float("nan"), 0))[1]
+            oa = o["species"].get(sp, (0, float("nan"), 0))[1]
+            parts.append(f"{sp}: {ga:10.4e}|{oa:10.4e}")
+        print(f"  k={k:<2} " + "  ".join(parts))
     print("\nper-corrector p_rgh res0 and continuity (ref | ours):")
     for k in range(len(rows)):
         g, o = gold[k], ours[k]
