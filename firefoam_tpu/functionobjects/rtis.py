@@ -33,10 +33,36 @@ class RtiProbes:
     def __init__(self, solver, d: FoamDict):
         self.solver = solver
         locs = [np.asarray(p, float) for p in d.get_list("rtiLocations", [])]
-        C = np.asarray(solver.geom.C)
-        self.cells = np.asarray(
-            [int(np.argmin(np.sum((C - p) ** 2, axis=1))) for p in locs], np.int64
-        )
+        # patchRtis (lib/rtiProbes/patchRtis.H): probes snapped to the
+        # nearest face of patchName_, sampling the BOUNDARY field there
+        # instead of the interior cell
+        self.patch_name = str(d.lookup("patchName", "")) if (
+            str(d.lookup("type", "rtis")) == "patchRtis" or d.found("patchName")
+        ) else ""
+        if self.patch_name:
+            g = solver.geom
+            pch = next(
+                (p for p in g.patches if p.name == self.patch_name), None
+            )
+            if pch is None:
+                raise ValueError(f"patchRtis: patch '{self.patch_name}' not found")
+            Cf = np.asarray(g.b_Cf)[pch.slice]
+            self.b_faces = np.asarray(
+                [
+                    pch.slice.start
+                    + int(np.argmin(np.sum((Cf - p) ** 2, axis=1)))
+                    for p in locs
+                ],
+                np.int64,
+            )
+            self.cells = np.asarray(g.b_own)[self.b_faces]
+        else:
+            self.b_faces = None
+            C = np.asarray(solver.geom.C)
+            self.cells = np.asarray(
+                [int(np.argmin(np.sum((C - p) ** 2, axis=1))) for p in locs],
+                np.int64,
+            )
         self.n = len(self.cells)
         self.RTI = d.get_scalar("RTI", 200.0)
         self.C = d.get_scalar("C", 0.0)
@@ -63,8 +89,13 @@ class RtiProbes:
     def advance(self, rti_state: Dict, state) -> Dict:
         """One step of the link ODE (solver/rti.H:34-47)."""
         cells = jnp.asarray(self.cells)
-        Tg = state["T"].i[cells]
-        Ug = jnp.sqrt(jnp.sum(state["U"].i[cells] ** 2, axis=1))
+        if self.b_faces is not None:
+            bf = jnp.asarray(self.b_faces)
+            Tg = state["T"].b[bf]
+            Ug = jnp.sqrt(jnp.sum(state["U"].b[bf] ** 2, axis=1))
+        else:
+            Tg = state["T"].i[cells]
+            Ug = jnp.sqrt(jnp.sum(state["U"].i[cells] ** 2, axis=1))
         squ = jnp.sqrt(jnp.maximum(Ug, 1e-6))
         dTe_old = rti_state["Te"] - self.T0
         dTe = (

@@ -94,6 +94,10 @@ class CloudConfig:
     radiation: bool = False
     coupled_radiation: bool = True
     n_bands: int = 1
+    # integrationSchemes (reference solution.integrationSchemes: per-
+    # quantity Euler | analytical — IntegrationScheme/Euler.H, Analytical.H)
+    scheme_U: str = "Euler"
+    scheme_T: str = "analytical"
 
 
 class ReactingCloud:
@@ -142,16 +146,46 @@ class ReactingCloud:
             "ranzMarshallCoeffs", FoamDict()
         )
 
-        # composition: single liquid phase (singlePhaseMixture)
-        comp = sub.get_dict("singlePhaseMixtureCoeffs", FoamDict())
-        liq_name = "H2O"
+        # composition: singlePhaseMixture (one liquid) or the
+        # SingleMixtureFraction liquid phase (several liquids with fixed
+        # mass fractions — submodels/Reacting/CompositionModel)
+        comp = sub.get_dict("singlePhaseMixtureCoeffs", None)
+        if comp is None:
+            comp = sub.get_dict("singleMixtureFractionCoeffs", FoamDict())
+        liq_entries = []  # (name, fraction)
         phases = comp.get_list("phases") if comp.found("phases") else []
         for ph in phases:
             if isinstance(ph, FoamDict):
                 for k in ph:
-                    liq_name = k
-        self.liquid = liquid_by_name(liq_name)
-        self.vapour_index = gas.index(liq_name)
+                    try:
+                        frac = ph.get_scalar(k, 1.0)
+                    except Exception:
+                        frac = 1.0
+                    liq_entries.append((k, frac))
+        if not liq_entries:
+            liq_entries = [("H2O", 1.0)]
+        if len(liq_entries) == 1:
+            self.liquid = liquid_by_name(liq_entries[0][0])
+        else:
+            from .liquids import LiquidMixture
+
+            self.liquid = LiquidMixture(
+                [n for n, _ in liq_entries], [f for _, f in liq_entries]
+            )
+        # vapour destination species + fixed split of evaporated mass
+        # (Raoult-weighted at T0; per-species YEqn sources use this split)
+        self.vapour_names = [n for n, _ in liq_entries if n in gas.species]
+        self.vapour_indices = tuple(gas.index(n) for n in self.vapour_names)
+        if hasattr(self.liquid, "vapour_split") and len(self.vapour_indices) > 1:
+            import numpy as _np
+
+            split = _np.asarray(
+                self.liquid.vapour_split(jnp.asarray(float(cp.get_scalar("T0", 300.0))))
+            ).reshape(-1)
+            self.vapour_fracs = tuple(float(x) for x in split)
+        else:
+            self.vapour_fracs = (1.0,) * len(self.vapour_indices)
+        self.vapour_index = self.vapour_indices[0] if self.vapour_indices else gas.index("H2O")
 
         self.cfg = CloudConfig(
             active=sol.get_bool("active", True),
@@ -181,6 +215,12 @@ class ReactingCloud:
             radiation=sub.get_bool("radiation", False),
             coupled_radiation=sub.get_bool("coupledRadiation", True),
             n_bands=sub.get_int("nBands", 1),
+            scheme_U=sol.get_dict("integrationSchemes", FoamDict()).get_word(
+                "U", "Euler"
+            ),
+            scheme_T=sol.get_dict("integrationSchemes", FoamDict()).get_word(
+                "T", "analytical"
+            ),
         )
 
         # particle radiative properties (ThermoCloud.C:70-107): constRad =
@@ -231,9 +271,13 @@ class ReactingCloud:
         # additionalCloudFunctionObjects — SURVEY §2.10)
         from .collector import make_collectors
         from .cloudfunctions import make_cloud_functions
+        from .mppic import MPPIC
 
         self.collectors = make_collectors(props)
         self.cloud_functions = make_cloud_functions(props, geom)
+        # MPPIC dense-phase corrections (packing/damping/isotropy); None
+        # unless the cloud dict selects at least one model
+        self.mppic = MPPIC.from_dict(sub, self.cfg.rho0)
 
         # patch interaction (submodels/Kinematic/PatchInteractionModel):
         # the whole family compiles down to per-boundary-face interaction
@@ -539,7 +583,11 @@ class ReactingCloud:
                 - (dm1 / jnp.maximum(dt_sub, 1e-300)) * hl / jnp.maximum(htc * A, 1e-30)
                 + s_rad / jnp.maximum(htc, 1e-30)
             )
-            T_new = T_eff + (T_p - T_eff) * jnp.exp(-beta_T * dt_sub)
+            if cfg.scheme_T.lower().startswith("euler"):
+                # IntegrationScheme/Euler.H: implicit single step
+                T_new = (T_p + beta_T * dt_sub * T_eff) / (1.0 + beta_T * dt_sub)
+            else:  # analytical (Analytical.H — exact exponential relaxation)
+                T_new = T_eff + (T_p - T_eff) * jnp.exp(-beta_T * dt_sub)
             T_new = jnp.clip(T_new, cfg.T_min, cfg.Tbp)
             # convective-only heat from the gas (the radiative part comes
             # from the radiation field, not the carrier enthalpy — dhsTrans
@@ -581,10 +629,21 @@ class ReactingCloud:
             if (fr.pressure_gradient or fr.virtual_mass) and "DUDt" in gas:
                 su = su + fr.pgrad_su(gas["DUDt"][c], rho_c, rho_l, m1n)
             m_eff = m1n + fr.mass_add(m1n, rho_c, rho_l)
-            U_new = (
-                st["U"]
-                + dt_sub * (tau_inv[:, None] * U_c + su / jnp.maximum(m_eff, 1e-300)[:, None] + g_eff)
-            ) / (1.0 + dt_sub * tau_inv)[:, None]
+            if cfg.scheme_U.lower().startswith("anal"):
+                # Analytical.H: exact relaxation toward the effective bath
+                # U_eff = Uc + (Su/m + g)/τ⁻¹
+                ti = jnp.maximum(tau_inv, 1e-300)
+                U_eff = (
+                    U_c
+                    + (su / jnp.maximum(m_eff, 1e-300)[:, None] + g_eff)
+                    / ti[:, None]
+                )
+                U_new = U_eff + (st["U"] - U_eff) * jnp.exp(-dt_sub * ti)[:, None]
+            else:  # Euler (drag-implicit)
+                U_new = (
+                    st["U"]
+                    + dt_sub * (tau_inv[:, None] * U_c + su / jnp.maximum(m_eff, 1e-300)[:, None] + g_eff)
+                ) / (1.0 + dt_sub * tau_inv)[:, None]
         elif cfg.gravity_on:
             U_new = st["U"] + dt_sub * self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
 
@@ -830,12 +889,15 @@ class ReactingCloud:
             # particle collectors: segment-crossing accumulation
             if self.collectors:
                 cstates = []
-                for c, cst in zip(self.collectors, st["coll"]):
+                key, *ckeys = jax.random.split(st["rng"], len(self.collectors) + 1)
+                st["rng"] = key
+                for c, cst, ck in zip(self.collectors, st["coll"], ckeys):
                     cst, caught = c.collect(
                         cst, x_pre, st["x"], mass_before, st["d"], st["U"],
-                        st["alive"], dt_sub,
+                        st["alive"], dt_sub, key=ck,
                     )
-                    if c.remove_collected:
+                    if (c.remove_collected or c.fixed_mass_remove
+                            or c.cont_mass_remove):
                         st["alive"] = st["alive"] & ~caught
                     cstates.append(cst)
                 st["coll"] = cstates
@@ -873,6 +935,14 @@ class ReactingCloud:
                     cfos.append(fst)
                 st = dict(st)
                 st["cfo"] = cfos
+
+        # MPPIC dense-phase corrections at step end (MPPICCloud::motion:
+        # damping → packing → isotropy on the settled positions)
+        if self.mppic is not None:
+            st = dict(st)
+            key, sub_key = jax.random.split(st["rng"])
+            st["rng"] = key
+            st = self.mppic.apply(st, self.geom, dt, sub_key)
 
         if self.cfg.radiation:
             # time-averaged dispersed-phase radiation fields for the RTE

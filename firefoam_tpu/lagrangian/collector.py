@@ -53,6 +53,15 @@ class ParticleCollector:
     e2: np.ndarray
     remove_collected: bool
     negate_parcels: bool  # collect on negative-direction crossings too
+    # ParticleCollectorFmgMassThres (lib/additionalCloudFunctionObjects/
+    # ParticleCollectorFmgMassThres.C:753-756, 1008-1040): threshold-based
+    # parcel removal — fixed mode removes until accumMass reaches massThres,
+    # continuous mode thins stochastically by massThres/stMassFlowRate with
+    # an exponentially-smoothed flow-rate estimate (smoothingWindow).
+    fixed_mass_remove: bool = False
+    cont_mass_remove: bool = False
+    mass_thres: float = 0.2
+    smoothing_window: float = 1.0
 
     @property
     def n_bins(self) -> int:
@@ -66,6 +75,12 @@ class ParticleCollector:
         mode = d.get_word("mode", "polygon")
         remove = d.get_bool("removeCollected", False)
         negate = d.get_bool("negateParcelsOppositeNormal", False)
+        thres_kw = dict(
+            fixed_mass_remove=d.get_bool("fixedMassRemove", False),
+            cont_mass_remove=d.get_bool("contMassRemove", False),
+            mass_thres=d.get_scalar("massThres", 0.2),
+            smoothing_window=d.get_scalar("smoothingWindow", 1.0),
+        )
         if mode == "polygon":
             polys = d.get_list("polygons")
             plist = [np.asarray([np.asarray(v, float) for v in poly]) for poly in polys]
@@ -90,7 +105,7 @@ class ParticleCollector:
                 verts=verts, n_verts=n_verts,
                 radii=np.zeros(0), n_sector=0,
                 e1=np.zeros(3), e2=np.zeros(3),
-                remove_collected=remove, negate_parcels=negate,
+                remove_collected=remove, negate_parcels=negate, **thres_kw,
             )
         if mode == "concentricCircle":
             p0 = np.asarray(d.get_vector("origin"), float)
@@ -109,23 +124,27 @@ class ParticleCollector:
                 name=name, mode=mode, normal=n, p0=p0,
                 verts=np.zeros((0, 0, 3)), n_verts=np.zeros(0, int),
                 radii=radii, n_sector=n_sector, e1=e1, e2=e2,
-                remove_collected=remove, negate_parcels=negate,
+                remove_collected=remove, negate_parcels=negate, **thres_kw,
             )
         raise NotImplementedError(f"particleCollector mode '{mode}'")
 
     # ------------------------------------------------------------- state
     def init_state(self, dtype) -> Dict:
         nb = self.n_bins
-        return {
+        st = {
             "mass": jnp.zeros((nb,), dtype),
             "mom": jnp.zeros((nb,), dtype),  # Σ mass·|U| for mean velocity
             "hist": jnp.zeros((_N_DBIN,), dtype),  # mass-weighted d histogram
             "t_open": jnp.zeros((), dtype),  # collection time (for flux)
         }
+        if self.fixed_mass_remove or self.cont_mass_remove:
+            st["accumMass"] = jnp.zeros((nb,), dtype)
+            st["stMFR"] = jnp.zeros((nb,), dtype)  # smoothed flow rate
+        return st
 
     # ----------------------------------------------------------- collect
     def collect(
-        self, cst: Dict, x0, x1, mass, d, U, alive, dt
+        self, cst: Dict, x0, x1, mass, d, U, alive, dt, key=None
     ) -> Tuple[Dict, jnp.ndarray]:
         """Accumulate crossings of segment x0→x1; returns (state, collected
         mask) so the caller can remove collected parcels if configured."""
@@ -185,6 +204,34 @@ class ParticleCollector:
         )
         cst["hist"] = cst["hist"].at[jnp.where(hit, dbin, 0)].add(w)
         cst["t_open"] = cst["t_open"] + dt
+        # MassThres removal (ParticleCollectorFmgMassThres.C:1008-1040)
+        if self.fixed_mass_remove or self.cont_mass_remove:
+            bin_safe = jnp.where(hit, binof, 0)
+            remove = jnp.zeros_like(hit)
+            if self.fixed_mass_remove:
+                # remove until the bin's accumulated removed mass reaches
+                # the threshold, then pass parcels through
+                under = cst["accumMass"][bin_safe] < self.mass_thres
+                remove = remove | (hit & under)
+                cst["accumMass"] = cst["accumMass"].at[bin_safe].add(
+                    jnp.where(hit & under, mass, 0.0)
+                )
+            # smoothed flow-rate estimate: st ← α·st + β·massSum/Δt with
+            # α = (W−Δt)/W, β = Δt/W (W = smoothingWindow)
+            mass_sum = jnp.zeros_like(cst["stMFR"]).at[bin_safe].add(
+                jnp.where(hit, mass, 0.0)
+            )
+            W = self.smoothing_window
+            alpha1 = (W - dt) / (W + 1e-300)
+            beta1 = dt / (W + 1e-300)
+            cst["stMFR"] = alpha1 * cst["stMFR"] + beta1 * mass_sum / (dt + 1e-300)
+            if self.cont_mass_remove and key is not None:
+                import jax
+
+                ratio = self.mass_thres / (cst["stMFR"][bin_safe] + 1e-300)
+                u = jax.random.uniform(key, hit.shape, dtype=mass.dtype)
+                remove = remove | (hit & (u > ratio))
+            return cst, remove
         return cst, hit
 
     # ------------------------------------------------------------- write

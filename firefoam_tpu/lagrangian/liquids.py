@@ -17,7 +17,9 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-__all__ = ["Liquid", "H2O", "liquid_by_name"]
+__all__ = [
+    "Liquid", "H2O", "C7H16", "C2H5OH", "LiquidMixture", "liquid_by_name",
+]
 
 
 @dataclass(frozen=True)
@@ -141,7 +143,43 @@ H2O = Liquid(
 )
 
 
-_LIQUIDS = {"H2O": H2O}
+# n-heptane and ethanol: standard DIPPR-form correlation fits (published
+# property data; the reference's liquidProperties C7H16/C2H5OH analogues)
+C7H16 = Liquid(
+    name="C7H16",
+    W=100.204,
+    Tc=540.2,
+    Pc=2.74e6,
+    Tlow=182.57,
+    Thigh=535.0,
+    rho_c=(61.38045, 0.26211, 540.2, 0.28141),
+    pv_c=(87.829, -6996.4, -9.8802, 7.2099e-6, 2.0),
+    hl_c=(500140.0, 0.38795, 0.0, 0.0, 0.0),
+    cp_c=(612.0, 5.47, 0.0, 0.0, 0.0),
+    mu_c=(-24.451, 1533.1, 2.0087, 0.0, 1.0),
+    kappa_c=(0.215, -3.07e-4, 0.0, 0.0),
+    sigma_c=(0.054143, 1.2512, 0.0, 0.0, 0.0),
+    diff_Vm=153.5,
+)
+
+C2H5OH = Liquid(
+    name="C2H5OH",
+    W=46.069,
+    Tc=513.92,
+    Pc=6.137e6,
+    Tlow=159.05,
+    Thigh=508.0,
+    rho_c=(68.4, 0.26, 513.92, 0.2367),
+    pv_c=(74.475, -7164.3, -7.327, 3.1340e-6, 2.0),
+    hl_c=(1334000.0, 0.4, 0.0, 0.0, 0.0),
+    cp_c=(1280.0, 3.9, 0.0, 0.0, 0.0),
+    mu_c=(7.875, 781.98, -3.0418, 0.0, 1.0),
+    kappa_c=(0.253, -2.8e-4, 0.0, 0.0),
+    sigma_c=(0.0626, 1.2, 0.0, 0.0, 0.0),
+    diff_Vm=50.36,
+)
+
+_LIQUIDS = {"H2O": H2O, "C7H16": C7H16, "C2H5OH": C2H5OH}
 
 
 def liquid_by_name(name: str) -> Liquid:
@@ -151,3 +189,86 @@ def liquid_by_name(name: str) -> Liquid:
         raise NotImplementedError(
             f"liquid '{name}' not implemented (available: {sorted(_LIQUIDS)})"
         )
+
+
+class LiquidMixture:
+    """SingleMixtureFraction liquid phase, frozen-composition subset.
+
+    Reference: submodels/Reacting/CompositionModel/SingleMixtureFraction —
+    parcels carry one mixture fraction over (gas, liquid, solid) phases with
+    fixed RELATIVE composition inside each phase. Here the liquid-phase
+    composition is that fixed vector: bulk properties are mass-fraction
+    weighted and the evaporated vapour is split across components by
+    Raoult-weighted volatility Y_i·pv_i(T). (Per-parcel preferential-
+    evaporation drift of the composition vector is not tracked — the
+    reference's single-mixture-fraction parcels don't track it either;
+    only multi-fraction clouds do.)
+    """
+
+    def __init__(self, names, fracs):
+        import numpy as _np
+
+        self.components = [liquid_by_name(n) for n in names]
+        Y = _np.asarray(fracs, float)
+        self.Y = Y / Y.sum()
+        self.name = "+".join(names)
+        self.W = float(1.0 / (self.Y / _np.asarray([l.W for l in self.components])).sum())
+
+    def _wsum(self, fn, *args):
+        return sum(
+            y * getattr(l, fn)(*args) for y, l in zip(self.Y, self.components)
+        )
+
+    def rho(self, p, T):
+        # volume-additive mixture: 1/ρ = Σ Y_i/ρ_i
+        inv = sum(
+            y / l.rho(p, T) for y, l in zip(self.Y, self.components)
+        )
+        return 1.0 / inv
+
+    def cp(self, p, T):
+        return self._wsum("cp", p, T)
+
+    def hl(self, p, T):
+        return self._wsum("hl", p, T)
+
+    def mu(self, p, T):
+        return self._wsum("mu", p, T)
+
+    def kappa(self, p, T):
+        return self._wsum("kappa", p, T)
+
+    def sigma(self, p, T):
+        return self._wsum("sigma", p, T)
+
+    def h(self, p, T, Tref: float = 298.15):
+        return self._wsum("h", p, T, Tref)
+
+    def pv(self, p, T):
+        # Raoult: p_mix = Σ x_i·pv_i (mole-fraction weighted)
+        xs = self.mole_fractions()
+        return sum(
+            x * l.pv(p, T) for x, l in zip(xs, self.components)
+        )
+
+    def D(self, p, T, Wb: float = 28.96):
+        return self._wsum("D", p, T, Wb)
+
+    def mole_fractions(self):
+        import numpy as _np
+
+        n = self.Y / _np.asarray([l.W for l in self.components])
+        return n / n.sum()
+
+    def vapour_split(self, T):
+        """Mass split of evaporated vapour over components ∝ x_i·pv_i·W_i."""
+        import numpy as _np
+
+        xs = self.mole_fractions()
+        w = jnp.stack(
+            [
+                x * l.pv(101325.0, T) * l.W
+                for x, l in zip(xs, self.components)
+            ]
+        )
+        return w / jnp.maximum(w.sum(0), 1e-300)

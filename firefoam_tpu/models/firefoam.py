@@ -1361,8 +1361,15 @@ class FireFoamSolver:
             rgs.append(rg)
             fs.append(f)
             src_s = self.combustion.R(rates, s)
-            if self.cloud is not None and s == self.cloud.vapour_index:
-                src_s = src_s + srcs["SYv"]  # parcels.SYi (YEEqn.H:52)
+            if self.cloud is not None:
+                # parcels.SYi (YEEqn.H:52): evaporated mass split over the
+                # liquid components' vapour species (SingleMixtureFraction
+                # multi-liquid → Raoult-weighted fractions; single → 1.0)
+                for vi, vf in zip(
+                    self.cloud.vapour_indices, self.cloud.vapour_fracs
+                ):
+                    if s == vi:
+                        src_s = src_s + vf * srcs["SYv"]
             extra = srcs.get("SY", {}).get(s)  # per-species sources (e.g.
             if extra is not None:  # char-oxidation O2 sink / CO2 return)
                 src_s = src_s + extra

@@ -17,4 +17,12 @@ def make_radiation(rp, geom, case):
         return FvDOM.from_case_dict(rp, geom, case)
     if name == "P1":
         return P1.from_case_dict(rp, geom, case)
+    if name == "viewFactor":
+        from .viewfactor import ViewFactorRadiation
+
+        return ViewFactorRadiation.from_case_dict(rp, geom, case)
+    if name == "opaqueSolid":
+        from .viewfactor import OpaqueSolid
+
+        return OpaqueSolid.from_case_dict(rp, geom, case)
     return None

@@ -145,6 +145,23 @@ class ReactingOneDim:
             self.rho_char = float(self.thermo.rho_s[self.char_idx])
         self.hoc_char = 32.8e6
 
+        # ---- roll-paper delamination (reactingOneDimRPvol/RPvol2/
+        # RollPaper — lib/regionModels/pyrolysisModels/reactingOneDimRPvol/
+        # reactingOneDimRPvol.C:1215-1330): when the exposed surface
+        # exceeds Tcrt the top paper layer peels (page++), its virgin fuel
+        # enters a buffer released to the gas through the reference's
+        # double-exponential smoothing, and a blockFactor models the heat
+        # blockage of the curled page (relaxing toward fa0(page) with the
+        # Qnet-dependent shrink timescale).
+        self.roll_paper = self.model in (
+            "reactingOneDimRPvol",
+            "reactingOneDimRPvol2",
+            "reactingOneDimRollPaper",
+        )
+        if self.roll_paper:
+            self.Tcrt = coeffs.get_scalar("Tcrt", 600.0)
+            self.paper_to_fuel = coeffs.get_scalar("paperToFuelRatio", 1.0)
+
         # ---- end BCs from 0/<region>/T ----
         tfield = self._region_field(case_dir, "T")
         bf = tfield.get_dict("boundaryField") if tfield is not None else FoamDict()
@@ -191,6 +208,18 @@ class ReactingOneDim:
             "addedGasMass": jnp.zeros((), dtp),
             **(
                 {"mCharBurnt": jnp.zeros((nF,), dtp)} if self.char_oxi else {}
+            ),
+            **(
+                {
+                    "page": jnp.zeros((nF,), dtp),
+                    "QnetSmooth": jnp.zeros((nF,), dtp),
+                    "blockFactor": jnp.zeros((nF,), dtp),
+                    "vD0": jnp.zeros((nF,), dtp),  # accumulated fuel [kg]
+                    "vD1": jnp.zeros((nF,), dtp),  # first smoothing stage
+                    "vD2": jnp.zeros((nF,), dtp),  # second smoothing stage
+                }
+                if self.roll_paper
+                else {}
             ),
         }
 
@@ -289,6 +318,11 @@ class ReactingOneDim:
 
         # end fluxes (exposed = layer 0, back = layer nL−1)
         A0, B0 = self._end_flux_lin(self.bc_exposed, T[:, 0], Y_new[:, 0], q_conv, qr)
+        if self.roll_paper:
+            # curled delaminated pages shadow the incident flux
+            shade = 1.0 - jnp.clip(st["blockFactor"], 0.0, 1.0)
+            A0 = A0 * shade
+            B0 = B0 * shade
         An, Bn = self._end_flux_lin(self.bc_back, T[:, -1], Y_new[:, -1], None, None)
         diag = diag.at[:, 0].add(B0)
         rhs = rhs.at[:, 0].add(A0 + B0 * h[:, 0])
@@ -333,6 +367,49 @@ class ReactingOneDim:
         phi_gas = jnp.sum(RRg * dx[None, :], axis=1) * area  # [nF] kg/s
         mlr = jnp.sum(RRg * dx[None, :], axis=1)  # kg/m²/s
 
+        # ---- roll-paper delamination + buffered fuel release ----
+        rp_state = {}
+        if self.roll_paper:
+            paper_thick = dx[0]
+            Ts = T_new[:, 0]
+            qnet_s = (st["QnetSmooth"] + A0 * dt) / (1.0 + dt)
+            # delaminate where the surface exceeds Tcrt: peel one page —
+            # the surface layer's virgin (species 0) mass × paperToFuelRatio
+            # enters the release buffer and leaves the solid
+            dela = Ts > self.Tcrt
+            lv = paper_thick * area  # surface-layer volume per column
+            # per-species surface-layer mass; the peeled page carries
+            # paperToFuelRatio of the VIRGIN (species 0) mass into the buffer
+            m_sp = rho_new[:, 0, None] * Y_new[:, 0, :] * lv[:, None]
+            pM = jnp.where(dela, m_sp[:, 0] * self.paper_to_fuel, 0.0)
+            v0 = st["vD0"] + pM
+            m_sp = m_sp.at[:, 0].add(-pM)
+            m_tot = jnp.maximum(m_sp.sum(-1), 1e-300)
+            rho_new = rho_new.at[:, 0].set(jnp.maximum(m_tot / lv, 1e-3))
+            Y_new = Y_new.at[:, 0, :].set(m_sp / m_tot[:, None])
+            page = st["page"] + dela.astype(dtp)
+            # double-exponential release (reactingOneDimRPvol.C:203-209)
+            v1 = (st["vD1"] + v0 * dt) / (1.0 + dt)
+            release = (v1 - st["vD2"]) / (1.0 + dt)  # [kg/s]-scaled
+            v2 = (st["vD2"] + v1 * dt) / (1.0 + dt)
+            phi_gas = phi_gas + jnp.maximum(release, 0.0)
+            # blockFactor relaxation toward fa0(page) (Ning correlation)
+            fa0 = 0.5 - 10.0 / (20.0 + page)
+            tshrink = jnp.clip(
+                paper_thick * 1.5e8 / (1.0e4 + jnp.abs(qnet_s)), 0.05, 5.0
+            )
+            bf = st["blockFactor"] - (st["blockFactor"] - fa0) * dt / tshrink
+            bf = jnp.where(dela, 1.0, bf)
+            bf = jnp.where(page > 0, bf, 0.0)
+            rp_state = {
+                "page": page,
+                "QnetSmooth": qnet_s,
+                "blockFactor": bf,
+                "vD0": v0,
+                "vD1": v1,
+                "vD2": v2,
+            }
+
         vol = dx[None, :] * area[:, None]
         st_new = {
             "rho": rho_new,
@@ -343,6 +420,7 @@ class ReactingOneDim:
             "lostSolidMass": st["lostSolidMass"] - jnp.sum(RRs.sum(-1) * vol) * dt,
             "addedGasMass": st["addedGasMass"] + jnp.sum(RRg * vol) * dt,
             **({"mCharBurnt": m_char_burnt} if self.char_oxi else {}),
+            **rp_state,
         }
         out = {
             "phiGas": phi_gas,
@@ -386,6 +464,12 @@ class PyrolysisCollection:
                     "reactingOneDim",
                     "reactingOneDim21",
                     "reactingOneDim21CharOxi",
+                    "reactingOneDimRPvol",
+                    "reactingOneDimRPvol2",
+                    "reactingOneDimRollPaper",
+                    # pyroCUPOneDimV1 shares reactingOneDim's used transport
+                    # (lib/regionModels/pyrolysisModels/pyroCUPOneDimV1)
+                    "pyroCUPOneDimV1",
                     "none",
                     "noPyrolysis",
                 ):

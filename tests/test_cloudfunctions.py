@@ -160,3 +160,79 @@ def test_face_post_processing_zone_mass(geom):
                         jnp.asarray([0.5, 0.25]), st["U"], bn)
     # only the in-zone hit accumulates
     assert float(cst["zone_mass"][0]) == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+def test_mass_thres_collector_fixed_removal(geom):
+    """ParticleCollectorFmgMassThres fixedMassRemove: parcels are removed
+    until accumMass reaches massThres, then pass through."""
+    import jax
+    from firefoam_tpu.lagrangian.collector import ParticleCollector
+    from firefoam_tpu.io import parse_string as ps
+
+    d = ps(
+        """
+        type particleCollectorFmgMassThres;
+        mode polygon;
+        polygons ( ( (0 0.5 0) (1 0.5 0) (1 0.5 1) (0 0.5 1) ) );
+        normal (0 1 0);
+        fixedMassRemove true;
+        massThres 0.3;
+        """
+    )
+    c = ParticleCollector.from_dict("mt", d)
+    assert c.fixed_mass_remove and c.mass_thres == 0.3
+    cst = c.init_state(jnp.float64)
+    x0 = jnp.asarray([[0.5, 0.4, 0.5]])
+    x1 = jnp.asarray([[0.5, 0.6, 0.5]])
+    args = (jnp.asarray([0.2]), jnp.asarray([1e-3]),
+            jnp.zeros((1, 3)), jnp.asarray([True]), 0.01)
+    # first two crossings (0.2 + 0.2 >= 0.3): both removed (threshold checked
+    # before accumulation)
+    cst, rm1 = c.collect(cst, x0, x1, *args, key=jax.random.PRNGKey(0))
+    assert bool(rm1[0])
+    cst, rm2 = c.collect(cst, x0, x1, *args, key=jax.random.PRNGKey(1))
+    assert bool(rm2[0])
+    # accumMass now 0.4 >= 0.3: next crossing passes through
+    cst, rm3 = c.collect(cst, x0, x1, *args, key=jax.random.PRNGKey(2))
+    assert not bool(rm3[0])
+    assert float(cst["accumMass"][0]) == pytest.approx(0.4)
+
+
+def test_patch_rtis_samples_boundary(geom):
+    """patchRtis (lib/rtiProbes/patchRtis.H): probes snap to the named
+    patch and sample boundary values."""
+    from firefoam_tpu.functionobjects.rtis import RtiProbes
+    from firefoam_tpu.io import parse_string as ps
+    from firefoam_tpu.ops.fields import VolField
+
+    class FakeSolver:
+        pass
+
+    s = FakeSolver()
+    s.geom = geom
+    s.dtype = jnp.float64
+    d = ps(
+        """
+        type patchRtis;
+        patchName base;
+        rtiLocations ( (0.5 0.0 0.5) );
+        RTI 100; C 0; initialTemperature 300; activationTemperature 340;
+        """
+    )
+    probes = RtiProbes(s, d)
+    assert probes.b_faces is not None
+    base = next(p for p in geom.patches if p.name == "base")
+    assert base.slice.start <= int(probes.b_faces[0]) < base.slice.stop
+    st = probes.initial_state()
+    # hot boundary, still interior: the patch probe must see the boundary T
+    state = {
+        "T": VolField(jnp.full(geom.n_cells, 300.0),
+                      jnp.full(geom.n_boundary, 500.0)),
+        "U": VolField(jnp.zeros((geom.n_cells, 3)),
+                      jnp.full((geom.n_boundary, 3), 2.0)),
+        "dt": jnp.asarray(1.0),
+        "t": jnp.asarray(1.0),
+    }
+    st = probes.advance(st, state)
+    assert float(st["Te"][0]) > 300.0

@@ -187,3 +187,50 @@ def test_char_oxidation(charoxi):
     st3 = dict(st, Y=jnp.asarray(Y2))
     st4, out3 = z.evolve(st3, dt, q, None)
     assert -float(out3["phiO2"][0]) <= -phi_o2 * 1e-3
+
+
+# ---------------------------------------------------------------------------
+def test_roll_paper_delamination(tmp_path):
+    """reactingOneDimRPvol (lib/regionModels/pyrolysisModels/
+    reactingOneDimRPvol.C:1215-1330): page peel above Tcrt feeds the
+    double-smoothed fuel-release buffer and raises the blockFactor."""
+    import shutil
+    from conftest import reference_case
+
+    src = reference_case("pyrolysis1D")
+    case = tmp_path / "rp"
+    shutil.copytree(src, case, symlinks=True,
+                    ignore=shutil.ignore_patterns("original"))
+    pz = case / "constant" / "pyrolysisZones"
+    txt = pz.read_text().replace(
+        "reactingOneDim21;", "reactingOneDimRPvol;"
+    ).replace("reactingOneDim;", "reactingOneDimRPvol;")
+    assert "reactingOneDimRPvol" in txt
+    txt = txt.replace(
+        "Coeffs\n", "Coeffs\n"
+    )
+    pz.write_text(txt)
+    cm = build_case_mesh(str(case))
+    coll = PyrolysisCollection(str(case), cm)
+    z = coll.zones[0]
+    assert z.roll_paper
+    z.Tcrt = 310.0  # force early delamination for the test
+    st = z.initial_state()
+    assert "page" in st and float(st["blockFactor"][0]) == 0.0
+    # heat until the surface passes Tcrt (60 kW/m² incident)
+    dela_step = None
+    for k in range(400):
+        st, out = z.evolve(st, 0.05)
+        if float(st["page"][0]) > 0:
+            dela_step = k
+            break
+    assert dela_step is not None, "surface never reached Tcrt"
+    # the peeled page charged the release buffer and set blockFactor = 1
+    assert float(st["vD0"][0]) > 0.0
+    assert float(st["blockFactor"][0]) == pytest.approx(1.0)
+    # subsequent steps: buffered release adds to phiGas and the block
+    # factor relaxes downward from 1
+    st2, out2 = z.evolve(st, 0.05)
+    assert float(out2["phiGas"][0]) >= 0.0
+    assert float(st2["vD1"][0]) > 0.0
+    assert float(st2["blockFactor"][0]) < 1.0
