@@ -122,6 +122,15 @@ class FireFoamSolver:
         rx = parse_file(rx_path, case_dir=case_dir)
         self.species: List[str] = [str(s) for s in rx.get_list("species")]
         self.gas = GasThermo.from_dict(parse_file(th_path, case_dir=case_dir), self.species)
+        # additional thermo flags (solver/readAdditionalThermo.H:32-59):
+        # lewisNo scales the molecular part of the species diffusivity,
+        # constD+DM replaces it outright, XEff is the combustion efficiency
+        # (read by the reference solver; no consumer in its fire loop)
+        self.lewis_no = tp.get_scalar("lewisNo", 1.0)
+        self.const_D = tp.get_bool("constD", False)
+        _dm = tp.lookup("DM", 0.0)
+        self.DM = float(_dm[-1]) if isinstance(_dm, list) else float(_dm or 0.0)
+        self.x_eff = tp.get_scalar("XEff", 1.0)
         self.reaction = SingleStepReaction.from_case(rx, self.gas, self.fuel, self.inert)
         self.combustion = EddyDissipationModel.from_case(
             self.case.constant("combustionProperties"), self.reaction
@@ -318,6 +327,16 @@ class FireFoamSolver:
         # lib/rtiProbes) ----
         from ..functionobjects.fieldvalue import make_function_objects
         from ..functionobjects.rtis import RtiProbes
+
+        # fvOptions (system/fvOptions — "No finite volume options present"
+        # in every shipped case; parsed when the file exists)
+        from .fvoptions import FvOptions
+
+        self.fv_options = FvOptions(
+            case_dir, g, getattr(self.cm.sets, "cell_zones", None)
+        )
+        if not self.fv_options.active:
+            self.fv_options = None
 
         self.function_objects = make_function_objects(self, cd)
         self.rtis = RtiProbes.try_from_case(self, case_dir)
@@ -1219,6 +1238,14 @@ class FireFoamSolver:
         # explicit part of divDevRhoReff: −div(muEff·dev2(∇Uᵀ))
         div_tau = self.turb.div_dev_rho_reff(U, mu_eff, gradU)
         m = m.add_source(div_tau + srcs["SU"])  # + parcels.SU(U) (UEqn.H:9)
+        if self.fv_options is not None and self.fv_options.active:
+            # fvOptions(rho, U) (UEqn.H:31)
+            su_o, sp_o = self.fv_options.source("U", U.i, self.dtype)
+            m = fvm.FvMatrix(
+                g, m.diag - sp_o * g.V, m.lower, m.upper,
+                m.source + su_o * g.V[:, None], m.internal_coeffs,
+                m.boundary_coeffs, m.psi,
+            )
 
         # UEqn.relax() happens BEFORE the buoyancy source enters (UEqn.H:13
         # relaxes tUEqn; buoyancy joins at the solve(UEqn == ...) )
@@ -1341,9 +1368,27 @@ class FireFoamSolver:
             # consumed by localFuelRadFractionEmission (ECont = lrf·Qdot)
             state["localRadFrac"] = rates["localRadFrac"]
 
-        alpha_eff = VolField(
-            state["alphat"].i + state["alpha"].i, state["alphat"].b + state["alpha"].b
-        )
+        # species effective diffusivity dEff (solver/YEEqn.H:12-25 +
+        # readAdditionalThermo.H:32-48): alphaEff by default; non-unity
+        # Lewis number gives alphat + alpha/Le; constD replaces the
+        # molecular part with DM·rho (energy keeps alphaEff — the
+        # reference's own "FIXME: species uses dEff and energy uses
+        # alphaEff" asymmetry)
+        if self.const_D:
+            alpha_eff = VolField(
+                state["alphat"].i + self.DM * state["rho"].i,
+                state["alphat"].b + self.DM * state["rho"].b,
+            )
+        elif self.lewis_no != 1.0:
+            alpha_eff = VolField(
+                state["alphat"].i + state["alpha"].i / self.lewis_no,
+                state["alphat"].b + state["alpha"].b / self.lewis_no,
+            )
+        else:
+            alpha_eff = VolField(
+                state["alphat"].i + state["alpha"].i,
+                state["alphat"].b + state["alpha"].b,
+            )
         alpha_eff_f = SurfaceField(fvc.interpolate(g, alpha_eff).i, alpha_eff.b)
         ctx = self._ctx(state, srcs.get("_ov"))
         ctl = _solver_controls(self.fv_solution, "Yi")
@@ -1478,6 +1523,14 @@ class FireFoamSolver:
         m = m.add_source(
             qdot + sh_rad + srcs["Sh"] + state["dpdt"] - ddtK - divK
         )  # + parcels.Sh (YEEqn.H:99)
+        if self.fv_options is not None and self.fv_options.active:
+            # fvOptions(rho, h) (YEEqn.H:101): Su + Sp·h semi-implicit
+            su_o, sp_o = self.fv_options.source("h", hs.i, self.dtype)
+            m = fvm.FvMatrix(
+                g, m.diag - sp_o * g.V, m.lower, m.upper,
+                m.source + su_o * g.V, m.internal_coeffs, m.boundary_coeffs,
+                m.psi,
+            )
         rf = self._eqn_relax_factor("h")
         if rf is not None:
             m = m.relax(rf)  # EEqn.relax() (YEEqn.H:107)

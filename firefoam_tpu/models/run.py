@@ -51,6 +51,11 @@ def run_case(
         except RuntimeError:
             pass
     with stage:
+        if verbose:
+            from .. import __version__, git_version
+
+            # version banner (solver/gitVersion.H role)
+            print(f"firefoam_tpu {__version__} (build {git_version()})")
         if solver is None:
             solver = FireFoamSolver(case_dir, radiation=None if radiation else False)
         state = solver.initial_state()

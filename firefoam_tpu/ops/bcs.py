@@ -95,6 +95,20 @@ def _zero_gradient(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     return _zeros(p, nc, dt), _zeros(p, nc, dt), _fcol(jnp.zeros((p.n,), dt), nc)
 
 
+def _symmetry(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
+    """symmetry/symmetryPlane/slip (basicSymmetryFvPatchField::evaluate /
+    slipFvPatchField): scalars mirror as zero-gradient; vectors keep only
+    the tangential component, U_b = (I − n̂n̂ᵀ)·U_c. The normal-killing
+    projection enters through the diagonal valueFraction f = n̂_k² with
+    refValue 0 — exact for axis-aligned planes (every shipped case), the
+    diagonal approximation of the direction-mixed fraction otherwise."""
+    if nc == 1:
+        return _zeros(p, nc, dt), _zeros(p, nc, dt), _fcol(jnp.zeros((p.n,), dt), nc)
+    n = geom.b_Sf[p.slice] / geom.b_magSf[p.slice, None]
+    f = (n * n).astype(dt)  # diag(n̂ n̂ᵀ) per component
+    return _zeros(p, nc, dt), _zeros(p, nc, dt), f
+
+
 def _fixed_gradient(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     g = ctx.get("overrides", {}).get((ctx.get("_field"), p.name, "gradient"))
     if g is None:
@@ -285,8 +299,9 @@ _REGISTRY: Dict[str, Callable] = {
     "totalFlowRateAdvectiveDiffusive": _total_flow_rate_adv_diff,
     "prghTotalHydrostaticPressure": _prgh_total_hydrostatic,
     "empty": _zero_gradient,
-    "symmetry": _zero_gradient,  # TODO: proper symmetry transform
-    "slip": _zero_gradient,  # TODO: proper slip for vectors
+    "symmetry": _symmetry,
+    "symmetryPlane": _symmetry,
+    "slip": _symmetry,  # slipFvPatchField == symmetry transform for vectors
     # wall functions: values computed by the turbulence model each step and
     # kept in the stored boundary array (calculated semantics here)
     "compressible::alphatWallFunction": _calculated,

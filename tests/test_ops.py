@@ -193,3 +193,31 @@ def test_solvers_agree():
     r3 = solve_scalar(m, psi.i, solver="smoothSolver", tol=1e-12, max_iter=5000)
     assert np.allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-9)
     assert np.allclose(np.asarray(r1.x), np.asarray(r3.x), atol=1e-8)
+
+
+def test_symmetry_bc_vector_projection():
+    """symmetry/slip: vectors lose the normal component at the plane
+    (basicSymmetryFvPatchField::evaluate), scalars are zero-gradient."""
+    import jax.numpy as jnp
+    from firefoam_tpu.ops import bcs as bcmod
+    from firefoam_tpu.ops.fields import VolField
+    from firefoam_tpu.ops import MeshGeometry
+    from test_lagrangian import small_mesh
+
+    geom = MeshGeometry.from_polymesh(small_mesh())
+    from firefoam_tpu.ops.bcs import BC, FieldBCs
+
+    kinds = []
+    for p in geom.patches:
+        kinds.append(BC(kind="slip" if p.name == "base" else "zeroGradient",
+                        patch=p.name, params={}))
+    fb = FieldBCs(field="U", bcs=tuple(kinds), n_components=3)
+    U = VolField(jnp.tile(jnp.asarray([[1.0, -2.0, 3.0]]), (geom.n_cells, 1)),
+                 jnp.zeros((geom.n_boundary, 3)))
+    out = bcmod.evaluate(fb, geom, U, {})
+    base = next(p for p in geom.patches if p.name == "base")
+    ub = out.b[base.slice]
+    # base normal is -y: normal component removed, tangentials kept
+    assert float(jnp.abs(ub[:, 1]).max()) == 0.0
+    assert float(jnp.abs(ub[:, 0] - 1.0).max()) < 1e-12
+    assert float(jnp.abs(ub[:, 2] - 3.0).max()) < 1e-12
