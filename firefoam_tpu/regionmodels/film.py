@@ -71,7 +71,40 @@ class ThermoSingleLayerFilm:
         self.dtype = dtype or real_dtype()
         self.fm = fm
         self.n_sub = n_sub
-        coeffs = props.get_dict("thermoSingleLayerCoeffs", FoamDict())
+        # model-family selection (surfaceFilmModel.C::New): the FM variants
+        # extend thermoSingleLayer — Pw adds hysteretic partial wetting +
+        # surface absorption (thermoSingleLayerPw/partialWetting.H:66-199),
+        # FmPanel/FmBox add the augmented-radiation window of the panel/box
+        # experiments (thermoSingleLayerFmPanel.C:73-79, 358), RP/RollPaper
+        # pair with the roll-paper pyrolysis
+        self.model = props.get_word("surfaceFilmModel", "thermoSingleLayer")
+        coeffs = props.get_dict(
+            self.model + "Coeffs",
+            props.get_dict("thermoSingleLayerCoeffs", FoamDict()),
+        )
+        self.partial_wetting = False
+        self.absorption = False
+        self.qrad_window = None
+        if self.model == "thermoSingleLayerPw":
+            self.partial_wetting = coeffs.get_bool("partialWetting", False)
+            pw = coeffs.get_dict("partialWettingCoeffs", FoamDict())
+            self.pw_delta_crit = pw.get_scalar("criticalFilmThickness", 2e-4)
+            self.pw_wet_toggle = pw.get_scalar("wetToggle", 0.5)
+            self.pw_dry_toggle = pw.get_scalar("dryToggle", 0.01)
+            self.pw_hydrophilic = pw.get_bool("hydrophilic", False)
+            self.absorption = coeffs.get_bool("absorption", False)
+        elif self.model in ("thermoSingleLayerFmPanel", "thermoSingleLayerFmBox"):
+            if coeffs.get_bool("augmentedRadiation", False):
+                ar = coeffs.get_dict("augmentedRadiationCoeffs", coeffs)
+                self.qrad_window = dict(
+                    q=ar.get_scalar("qRadConstant", 0.0),
+                    xmin=ar.get_scalar("qRadXMin", -1e30),
+                    xmax=ar.get_scalar("qRadXMax", 1e30),
+                    ymin=ar.get_scalar("qRadYMin", -1e30),
+                    ymax=ar.get_scalar("qRadYMax", 1e30),
+                    t0=ar.get_scalar("qRadBegin", 0.0),
+                    t1=ar.get_scalar("qRadEnd", 1e30),
+                )
         self.liquid = liquid_by_name(coeffs.get_word("liquid", "H2O"))
         lam = coeffs.get_dict("laminarCoeffs", FoamDict())
         self.Cf = lam.get_scalar("Cf", coeffs.get_scalar("Cf", 0.005))
@@ -185,13 +218,19 @@ class ThermoSingleLayerFilm:
     def initial_state(self, delta0: float = 0.0, T0: float = 298.15) -> Dict:
         nF = self.fm.n_faces
         dtp = self.dtype
-        return {
+        st = {
             "delta": jnp.full((nF,), delta0, dtp),
             "U": jnp.zeros((nF, 3), dtp),
             "T": jnp.full((nF,), T0, dtp),
             "drippedMass": jnp.zeros((), dtp),
             "evaporatedMass": jnp.zeros((), dtp),
         }
+        if self.partial_wetting:
+            st["omega"] = (st["delta"] > self.pw_wet_toggle * self.pw_delta_crit).astype(dtp)
+        if self.absorption:
+            st["cumAbsorption"] = jnp.zeros((nF,), dtp)  # kg/m² absorbed
+            st["absorbedMass"] = jnp.zeros((), dtp)
+        return st
 
     # ------------------------------------------------------------------
     def _viscosity(self, p, T):
@@ -240,6 +279,19 @@ class ThermoSingleLayerFilm:
         mu = self._viscosity(p, T)
         cp = self.liquid.cp(p, T)
         alpha = self.alpha(delta)
+        if self.partial_wetting:
+            # hysteretic wet/dry indicator (partialWetting.H:73-91): wet
+            # above wetToggle·δcrit, back to dry below dryToggle·δcrit
+            om = st["omega"]
+            om = jnp.where(
+                delta > self.pw_wet_toggle * self.pw_delta_crit, 1.0, om
+            )
+            om = jnp.where(
+                delta < self.pw_dry_toggle * self.pw_delta_crit, 0.0, om
+            )
+            st = dict(st)
+            st["omega"] = om
+            alpha = om  # wet coverage gates every exchange
         d_eff = jnp.maximum(delta, 1e-8)
 
         # ---- sources ----
@@ -269,6 +321,18 @@ class ThermoSingleLayerFilm:
         qr = inp.get("qr")  # absorbed radiation [W/m²]
         if qr is None:
             qr = jnp.zeros_like(T)
+        if self.qrad_window is not None:
+            # FmPanel/FmBox augmentedRadiation: a constant panel heat flux
+            # inside the (x, y) window during [qRadBegin, qRadEnd]
+            w = self.qrad_window
+            C = self.fm.C
+            in_win = (
+                (C[:, 0] >= w["xmin"]) & (C[:, 0] <= w["xmax"])
+                & (C[:, 1] >= w["ymin"]) & (C[:, 1] <= w["ymax"])
+            )
+            t_now = inp.get("t", jnp.asarray(0.0, T.dtype))
+            on = (t_now >= w["t0"]) & (t_now <= w["t1"])
+            qr = qr + jnp.where(in_win & on, w["q"], 0.0)
         Yv_gas = inp.get("Yv_gas")
         if Yv_gas is None:
             Yv_gas = jnp.zeros_like(T)
@@ -293,6 +357,29 @@ class ThermoSingleLayerFilm:
         m_evap = jnp.where(boiling, jnp.maximum(m_evap, m_boil), m_evap)
         m_evap = m_evap * alpha  # only where wet
         m_evap = jnp.minimum(m_evap, rho * delta / jnp.maximum(dt_sub, 1e-300))
+
+        # ---- Pw surface absorption (partialWetting.H:169-199): wet faces
+        # soak liquid into the substrate by the T-interpolated power law
+        # m(t) = A·(t/60)^n, advanced through the cumulative uptake ----
+        m_abs = jnp.zeros_like(delta)
+        if self.absorption:
+            T1, A1, n1 = 293.15, 0.0207, 0.456
+            T2, A2, n2 = 316.15, 0.0317, 0.465
+            w_T = (jnp.clip(T, T1, T2) - T1) / (T2 - T1)
+            A_c = A1 + w_T * (A2 - A1)
+            n_c = n1 + w_T * (n2 - n1)
+            cum = st["cumAbsorption"]
+            t_eq = jnp.maximum(
+                (jnp.maximum(cum, 0.0) / A_c) ** (1.0 / n_c) * 60.0, dt_sub
+            )
+            t_o = jnp.maximum(t_eq - dt_sub, 1e-15)
+            dm = A_c * ((t_eq / 60.0) ** n_c - (t_o / 60.0) ** n_c)  # kg/m²
+            dm = jnp.where(alpha > 0.5, dm, 0.0)
+            dm = jnp.minimum(dm, rho * delta)
+            m_abs = dm / jnp.maximum(dt_sub, 1e-300)
+            st = dict(st)
+            st["cumAbsorption"] = cum + dm
+            st["absorbedMass"] = st["absorbedMass"] + jnp.sum(dm * fm.area)
 
         # ---- transport fluxes over edges (upwind) ----
         if fm.e_own.shape[0] > 0:
@@ -356,7 +443,7 @@ class ThermoSingleLayerFilm:
 
         # ---- donor-limited continuity: scale every outgoing flux by the
         # donor face's available film so δ ≥ 0 exactly and mass is conserved
-        out_rate = drip + m_evap / rho
+        out_rate = drip + (m_evap + m_abs) / rho
         if fm.e_own.shape[0] > 0:
             out_rate = out_rate.at[fm.e_own].add(
                 jnp.maximum(flux_m, 0.0) / fm.area[fm.e_own]
@@ -381,7 +468,7 @@ class ThermoSingleLayerFilm:
             )
             div_e = fm.div_edges(flux_m * T_up)
 
-        ddelta = -div_m - drip + (m_imp - m_evap) / rho
+        ddelta = -div_m - drip + (m_imp - m_evap - m_abs) / rho
         delta_new = jnp.maximum(delta + dt_sub * ddelta, 0.0)
 
         # ---- momentum ----
@@ -472,6 +559,10 @@ class ThermoSingleLayerFilm:
             "evaporatedMass": st["evaporatedMass"]
             + jnp.sum(m_evap * fm.area) * dt_sub,
         }
+        # variant state carried through (Pw omega / absorption tallies)
+        for k in ("omega", "cumAbsorption", "absorbedMass"):
+            if k in st:
+                st2[k] = st[k]
         return st2, out
 
     # ------------------------------------------------------------------

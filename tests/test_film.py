@@ -134,3 +134,118 @@ def test_checkpoint_roundtrip(tmp_path):
     b = evolve(st2)
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+def test_pw_partial_wetting_hysteresis():
+    """thermoSingleLayerPw (partialWetting.H:73-91): omega switches wet
+    above wetToggle·δcrit and back to dry only below dryToggle·δcrit."""
+    mesh, faces = wall_mesh()
+    fm = FilmMesh.from_faces(mesh, faces)
+    props = parse_string(
+        """
+        active true;
+        surfaceFilmModel thermoSingleLayerPw;
+        thermoSingleLayerPwCoeffs
+        {
+            liquid H2O;
+            partialWetting true;
+            partialWettingCoeffs
+            {
+                criticalFilmThickness 2e-4;
+                wetToggle 0.5;
+                dryToggle 0.01;
+                hydrophilic true;
+                contactAngleMean 75; contactAngleStdDev 10;
+                contactAngleMax 120; contactAngleMin 30;
+                contactAngleCoefficient 1.0;
+            }
+            absorption true;
+        }
+        """
+    )
+    film = ThermoSingleLayerFilm(fm, props, G)
+    assert film.model == "thermoSingleLayerPw"
+    assert film.partial_wetting and film.absorption
+    st = film.initial_state(delta0=0.0)
+    assert "omega" in st and float(st["omega"].max()) == 0.0
+    # wet the film above the toggle: omega flips to 1
+    st["delta"] = jnp.full_like(st["delta"], 1.5e-4)  # > 0.5·2e-4
+    st, out = film.evolve(st, 1e-3)
+    assert float(st["omega"].min()) == 1.0
+    # drain to between the toggles: hysteresis keeps it wet
+    st["delta"] = jnp.full_like(st["delta"], 5e-6)  # between 2e-6 and 1e-4
+    st, out = film.evolve(st, 1e-3)
+    assert float(st["omega"].min()) == 1.0
+    # below dryToggle·δcrit: dry again
+    st["delta"] = jnp.full_like(st["delta"], 1e-6)
+    st, out = film.evolve(st, 1e-3)
+    assert float(st["omega"].max()) == 0.0
+
+
+def test_pw_absorption_power_law():
+    """Pw absorption (partialWetting.H:169-199): wet faces soak mass at
+    the A·(t/60)^n rate and the cumulative uptake grows sublinearly."""
+    mesh, faces = wall_mesh()
+    fm = FilmMesh.from_faces(mesh, faces)
+    props = parse_string(
+        """
+        surfaceFilmModel thermoSingleLayerPw;
+        thermoSingleLayerPwCoeffs
+        {
+            partialWetting true;
+            partialWettingCoeffs { criticalFilmThickness 2e-4; wetToggle 0.5; dryToggle 0.01; hydrophilic true; }
+            absorption true;
+        }
+        """
+    )
+    film = ThermoSingleLayerFilm(fm, props, G)
+    st = film.initial_state(delta0=1e-3)  # thick wet film
+    m0 = float(st["delta"].sum())
+    cum1 = None
+    for k in range(5):
+        st, out = film.evolve(st, 0.01)
+        if k == 0:
+            cum1 = float(st["cumAbsorption"].mean())
+    assert float(st["cumAbsorption"].mean()) > cum1 > 0.0
+    assert float(st["absorbedMass"]) > 0.0
+    # absorbed mass leaves the film
+    assert float(st["delta"].sum()) < m0
+
+
+def test_fmpanel_qrad_window():
+    """thermoSingleLayerFmPanel augmentedRadiation: the constant panel
+    flux heats only faces inside the window during [qRadBegin, qRadEnd]."""
+    mesh, faces = wall_mesh()
+    fm = FilmMesh.from_faces(mesh, faces)
+    props = parse_string(
+        """
+        surfaceFilmModel thermoSingleLayerFmPanel;
+        thermoSingleLayerFmPanelCoeffs
+        {
+            augmentedRadiation true;
+            augmentedRadiationCoeffs
+            {
+                qRadConstant 10000;
+                qRadXMin -1; qRadXMax 2;
+                qRadYMin 0.5; qRadYMax 2;
+                qRadBegin 0; qRadEnd 100;
+            }
+        }
+        """
+    )
+    film = ThermoSingleLayerFilm(fm, props, G)
+    assert film.qrad_window is not None and film.qrad_window["q"] == 10000.0
+    st = film.initial_state(delta0=5e-4)
+    T0 = np.asarray(st["T"]).copy()
+    st, out = film.evolve(st, 0.05, {"t": jnp.asarray(1.0)})
+    T1 = np.asarray(st["T"])
+    C = np.asarray(fm.C)
+    heated = C[:, 1] > 0.5
+    assert (T1[heated] > T0[heated] + 1e-6).all()
+    assert (T1[~heated] <= T1[heated].max()).all()
+    # outside the time window: no panel heating
+    st2 = film.initial_state(delta0=5e-4)
+    st2, _ = film.evolve(st2, 0.05, {"t": jnp.asarray(1000.0)})
+    assert float(np.abs(np.asarray(st2["T"])[heated] - T0[heated]).max()) < \
+        float(np.abs(T1[heated] - T0[heated]).max())
