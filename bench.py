@@ -100,6 +100,46 @@ def main():
         result["value"] = 0.0
         result["vs_baseline"] = 0.0
         result["error"] = "non-finite state after bench steps"
+
+    # f32-solution validation (VERDICT item 10): re-run a short window from
+    # the initial state in BOTH the accelerator's f32 and CPU f64 and bound
+    # the relative T drift, so the headline throughput is tied to a solution
+    # that tracks the validated double-precision one. Disable with
+    # FIREFOAM_TPU_BENCH_VALIDATE=0 when compile budget is tight.
+    if ok and os.environ.get("FIREFOAM_TPU_BENCH_VALIDATE", "1") == "1":
+        try:
+            import numpy as np
+
+            n_val = int(os.environ.get("FIREFOAM_BENCH_VALIDATE_STEPS", "10"))
+            with _cpu_staging():
+                s32 = FireFoamSolver(case)
+                st32 = s32.initial_state()
+            step32 = s32.make_step()
+            for _ in range(n_val):
+                st32, _ = step32(st32)
+            T32 = np.asarray(jax.device_get(st32["T"].i), dtype=np.float64)
+
+            os.environ["FIREFOAM_TPU_DTYPE"] = "float64"
+            # the flat-Krylov f64 reference (exact wavefront solvers are a
+            # fidelity tool, not needed to measure f32 drift; ~3x faster
+            # compile)
+            os.environ.setdefault("FIREFOAM_TPU_EXACT_SOLVERS", "0")
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                s64 = FireFoamSolver(case)
+                st64 = s64.initial_state()
+                step64 = jax.jit(s64.step)
+                for _ in range(n_val):
+                    st64, _ = step64(st64)
+                T64 = np.asarray(st64["T"].i)
+            os.environ.pop("FIREFOAM_TPU_DTYPE", None)
+            drift = float(np.max(np.abs(T32 - T64) / np.maximum(T64, 1.0)))
+            result["f32_T_drift_vs_f64"] = round(drift, 6)
+            result["f32_validated_steps"] = n_val
+            if drift > 0.05:
+                result["warning"] = "f32 drift exceeds 5% after validation window"
+        except Exception as e:  # validation must never sink the bench number
+            result["f32_validation_error"] = str(e)[:200]
     print(json.dumps(result))
     return 0
 

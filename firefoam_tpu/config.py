@@ -43,3 +43,16 @@ def real_dtype():
 
 
 INT_DTYPE = jnp.int32
+
+
+def small() -> float:
+    """Dtype-safe tiny guard for x/max(x, small()) denominators.
+
+    A 1e-300 literal is representable only in float64 — under
+    FIREFOAM_TPU_DTYPE=float32 (the TPU production path) it underflows to
+    0.0 and every max(x, 1e-300) guard silently degenerates to max(x, 0),
+    turning 0/0 divisions into NaN (this took out the whole f32 step at
+    t=0, where phi/Courant are exactly zero). Called at trace time, so
+    each jit specialisation bakes in the value matching the working dtype.
+    """
+    return 1e-300 if real_dtype() == jnp.float64 else 1e-32

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Dict
 
 import jax.numpy as jnp
+
+from ..config import small
 import numpy as np
 
 from ..ops import fvc
@@ -51,7 +53,7 @@ def flame_heights(solver, state) -> Dict[str, jnp.ndarray]:
     cells with ft ≥ ftSt (flameHeight) and ft ≥ 0.2·ftSt (flameHeight2)."""
     g = solver.geom
     ft = mixture_fraction(solver, state["Y"].i)
-    ghat = solver.g_vec / (np.linalg.norm(solver.g_vec) + 1e-300)
+    ghat = solver.g_vec / (np.linalg.norm(solver.g_vec) + small())
     h = jnp.abs(g.C @ jnp.asarray(ghat, g.C.dtype))
     ftSt = ft_stoich(solver)
     return {

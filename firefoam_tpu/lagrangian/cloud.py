@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import INT_DTYPE, real_dtype
+from ..config import INT_DTYPE, real_dtype, small
 from ..io.foamdict import FoamDict
 from .injection import make_injector
 from .liquids import liquid_by_name
@@ -472,7 +472,7 @@ class ReactingCloud:
         tgt = free
 
         rho_l = self.liquid.rho(101325.0, jnp.full((m,), self.cfg.T0, self.dtype))
-        nP = cand["mass"] / jnp.maximum(_sphere_mass(rho_l, cand["d"]), 1e-300)
+        nP = cand["mass"] / jnp.maximum(_sphere_mass(rho_l, cand["d"]), small())
 
         def put(a, v):
             return a.at[tgt].set(jnp.where(_bmask(ok, v), v, a[tgt]))
@@ -588,7 +588,7 @@ class ReactingCloud:
             if cfg.bird_correction and cfg.phase_change:
                 # Bird et al. evaporative shielding: beta/(e^beta - 1)
                 beta = jnp.clip(
-                    (dm1 / jnp.maximum(dt_sub, 1e-300))
+                    (dm1 / jnp.maximum(dt_sub, small()))
                     * cp_l
                     / jnp.maximum(htc * _PI * d**2, 1e-30),
                     0.0,
@@ -604,7 +604,7 @@ class ReactingCloud:
             # radiative surface flux s_rad (ThermoParcel.C:295-319 ap += s/htc)
             T_eff = (
                 T_c
-                - (dm1 / jnp.maximum(dt_sub, 1e-300)) * hl / jnp.maximum(htc * A, 1e-30)
+                - (dm1 / jnp.maximum(dt_sub, small())) * hl / jnp.maximum(htc * A, 1e-30)
                 + s_rad / jnp.maximum(htc, 1e-30)
             )
             if cfg.scheme_T.lower().startswith("euler"):
@@ -642,7 +642,7 @@ class ReactingCloud:
                     alpha_c=gas.get("alphac"),
                     y=st.get("distort_y"),
                 )
-                tau_inv = sp / jnp.maximum(m1n, 1e-300)
+                tau_inv = sp / jnp.maximum(m1n, small())
             g_eff = self.g[None, :] * (1.0 - rho_c / rho_l)[:, None] if cfg.gravity_on else 0.0
             su = jnp.zeros_like(U_new)
             if fr.lift_model is not None and "curlU" in gas:
@@ -656,17 +656,17 @@ class ReactingCloud:
             if cfg.scheme_U.lower().startswith("anal"):
                 # Analytical.H: exact relaxation toward the effective bath
                 # U_eff = Uc + (Su/m + g)/τ⁻¹
-                ti = jnp.maximum(tau_inv, 1e-300)
+                ti = jnp.maximum(tau_inv, small())
                 U_eff = (
                     U_c
-                    + (su / jnp.maximum(m_eff, 1e-300)[:, None] + g_eff)
+                    + (su / jnp.maximum(m_eff, small())[:, None] + g_eff)
                     / ti[:, None]
                 )
                 U_new = U_eff + (st["U"] - U_eff) * jnp.exp(-dt_sub * ti)[:, None]
             else:  # Euler (drag-implicit)
                 U_new = (
                     st["U"]
-                    + dt_sub * (tau_inv[:, None] * U_c + su / jnp.maximum(m_eff, 1e-300)[:, None] + g_eff)
+                    + dt_sub * (tau_inv[:, None] * U_c + su / jnp.maximum(m_eff, small())[:, None] + g_eff)
                 ) / (1.0 + dt_sub * tau_inv)[:, None]
         elif cfg.gravity_on:
             U_new = st["U"] + dt_sub * self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
@@ -832,7 +832,7 @@ class ReactingCloud:
         np_old = st["nP"]
         ek_in = 0.5 * m * magU**2
         e_sig_in = np_old * sigma * _PI * d**2
-        np_new = m_splash / jnp.maximum(_sphere_mass(rho_l, d_new), 1e-300)
+        np_new = m_splash / jnp.maximum(_sphere_mass(rho_l, d_new), small())
         e_sig_sec = np_new * sigma * _PI * d_new**2
         e_d = jnp.maximum(0.8 * ek_in, 0.75 * Wec / 12.0 * _PI * sigma * d**2 * np_old)
         eks = ek_in + e_sig_in - e_sig_sec - e_d
@@ -840,7 +840,7 @@ class ReactingCloud:
         no_energy = splash & (eks <= 0.0)
         splash = splash & (eks > 0.0)
         absorb = absorb | no_energy
-        u_mag_new = jnp.sqrt(jnp.maximum(eks, 0.0) / jnp.maximum(m_splash, 1e-300))
+        u_mag_new = jnp.sqrt(jnp.maximum(eks, 0.0) / jnp.maximum(m_splash, small()))
         u_dir = st["U"] / jnp.maximum(magU, 1e-12)[:, None]
 
         st = dict(st)
@@ -972,7 +972,7 @@ class ReactingCloud:
             # time-averaged dispersed-phase radiation fields for the RTE
             # (ThermoCloud::ap/sigmap/Ep — ThermoCloudI.H:377-492: the dt
             # accumulation divides by the flow Δt; V division here)
-            Vdt = self.geom.V[None, :] * jnp.maximum(dt, 1e-300)
+            Vdt = self.geom.V[None, :] * jnp.maximum(dt, small())
             src["cloud_rad"] = {
                 "ap": src.pop("radAp") / Vdt,
                 "sigmap": src.pop("radSigp") / Vdt,
@@ -1006,7 +1006,7 @@ class ReactingCloud:
             "massInSystem": jnp.sum(m),
             "Dmax": jnp.max(jnp.where(st["alive"], st["d"], 0.0)),
             "D32": jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 3, 0.0))
-            / jnp.maximum(jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 2, 0.0)), 1e-300),
+            / jnp.maximum(jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 2, 0.0)), small()),
         }
 
 

@@ -27,6 +27,8 @@ from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
+
+from ..config import small
 import numpy as np
 
 from ..io.foamdict import FoamDict
@@ -158,7 +160,7 @@ class ParticleCollector:
         against = (s0 > 0.0) & (s1 <= 0.0)
         crossed = alive & ((with_n | against) if self.negate_parcels else with_n)
         sign = jnp.where(with_n, 1.0, -1.0).astype(dtype)
-        t = s0 / jnp.where(jnp.abs(s0 - s1) < 1e-300, 1e-300, s0 - s1)
+        t = s0 / jnp.where(jnp.abs(s0 - s1) < small(), small(), s0 - s1)
         p = x0 + t[:, None] * (x1 - x0)
 
         if self.mode == "polygon":
@@ -222,13 +224,13 @@ class ParticleCollector:
                 jnp.where(hit, mass, 0.0)
             )
             W = self.smoothing_window
-            alpha1 = (W - dt) / (W + 1e-300)
-            beta1 = dt / (W + 1e-300)
-            cst["stMFR"] = alpha1 * cst["stMFR"] + beta1 * mass_sum / (dt + 1e-300)
+            alpha1 = (W - dt) / (W + small())
+            beta1 = dt / (W + small())
+            cst["stMFR"] = alpha1 * cst["stMFR"] + beta1 * mass_sum / (dt + small())
             if self.cont_mass_remove and key is not None:
                 import jax
 
-                ratio = self.mass_thres / (cst["stMFR"][bin_safe] + 1e-300)
+                ratio = self.mass_thres / (cst["stMFR"][bin_safe] + small())
                 u = jax.random.uniform(key, hit.shape, dtype=mass.dtype)
                 remove = remove | (hit & (u > ratio))
             return cst, remove
@@ -245,9 +247,9 @@ class ParticleCollector:
             cum = np.cumsum(hist) / tot
             i = int(np.searchsorted(cum, 0.5))
             lo = cum[i - 1] if i > 0 else 0.0
-            f = (0.5 - lo) / max(cum[i] - lo, 1e-300)
+            f = (0.5 - lo) / max(cum[i] - lo, small())
             dv50 = _D_EDGES[i] * (_D_EDGES[i + 1] / _D_EDGES[i]) ** f
-        vel = np.where(mass > 0, mom / np.maximum(mass, 1e-300), 0.0)
+        vel = np.where(mass > 0, mom / np.maximum(mass, small()), 0.0)
         return {"mass": mass, "velocity": vel, "dv50": dv50,
                 "time": float(cst["t_open"])}
 

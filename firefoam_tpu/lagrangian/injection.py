@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import INT_DTYPE, real_dtype
+from ..config import INT_DTYPE, real_dtype, small
 from ..io.foamdict import FoamDict
 
 __all__ = [
@@ -101,7 +101,7 @@ def rosin_rammler_dv50(key, dv50, n_exp: float = 2.6):
     d_ = dv50 / 0.693 ** (1.0 / n_exp)
     max_v = d_ * 6.9077 ** (1.0 / n_exp)
     min_v = jnp.maximum(2e-6, 0.001 * d_ * 0.1054 ** (1.0 / n_exp))
-    K = 1.0 - jnp.exp(-(((max_v - min_v) / (d_ + 1e-300)) ** n_exp))
+    K = 1.0 - jnp.exp(-(((max_v - min_v) / (d_ + small())) ** n_exp))
     y = jax.random.uniform(key, jnp.shape(dv50))
     return min_v + d_ * (-jnp.log(1.0 - y * K)) ** (1.0 / n_exp)
 
@@ -152,7 +152,7 @@ class ConeInjection(InjectorBase):
         self.theta_o = math.radians(_constant_profile(d, "thetaOuter"))
         self.size_sampler = _make_size_sampler(d.get_dict("sizeDistribution"))
         # flowRateProfile: only 'constant' supported → uniform mass rate
-        self.mass_rate = self.mass_total / max(dur, 1e-300)
+        self.mass_rate = self.mass_total / max(dur, small())
         self.cells = np.array([walk.find_cell_host(p) for p in self.positions])
         if (self.cells < 0).any():
             raise ValueError(f"{name}: injector position outside mesh")
@@ -274,7 +274,7 @@ class DetailedSprinklerInjection(InjectorBase):
         po = np.clip(self.p_op, ps[0], ps[-1])
         hi = int(np.searchsorted(ps, po, side="left").clip(1, len(ps) - 1))
         lo = hi - 1
-        f = (po - ps[lo]) / max(ps[hi] - ps[lo], 1e-300)
+        f = (po - ps[lo]) / max(ps[hi] - ps[lo], small())
         blend = lambda i: (1 - f) * entries[lo][i] + f * entries[hi][i]
         self.phi_tab = blend(1)  # deg [nAzi, nEle]
         self.theta_tab = blend(2)
@@ -407,7 +407,7 @@ class PatchInjection(InjectorBase):
         self.U0 = np.asarray(d.get_vector("U0"), float)
         self.pps = d.get_scalar("parcelsPerSecond")
         self.mass_total = d.get_scalar("massTotal", 0.0)
-        self.mass_rate = self.mass_total / max(dur, 1e-300)
+        self.mass_rate = self.mass_total / max(dur, small())
         self.size_sampler = _make_size_sampler(d.get_dict("sizeDistribution"))
 
     def capacity_for_dt(self, dt_max: float) -> int:

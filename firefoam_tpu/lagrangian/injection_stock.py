@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import INT_DTYPE
+from ..config import INT_DTYPE, small
 from ..io.foamdict import FoamDict
 from .injection import (
     ConeInjection,
@@ -268,7 +268,7 @@ class KinematicLookupTableInjection(InjectorBase):
         # per-row mass rate share over the firing window
         mdot = jnp.asarray(self.mdot_rows, dtp)[row]
         owed = st["m_owed"] + jnp.sum(jnp.asarray(self.mdot_rows, dtp)) * (el1 - el0)
-        w = mdot / jnp.maximum(jnp.sum(jnp.where(valid, mdot, 0.0)), 1e-300)
+        w = mdot / jnp.maximum(jnp.sum(jnp.where(valid, mdot, 0.0)), small())
         st = {
             "n_inj": st["n_inj"] + n_new,
             "m_owed": jnp.where(n_new > 0, 0.0, owed),
@@ -303,7 +303,7 @@ class ConeNozzleInjection(ConeInjection):
             Cd = _constant_profile(d, "Cd") if d.found("Cd") else 0.9
             rho_l = d.get_scalar("rhoInjection", 1000.0)
             mdot = d.get_scalar("massTotal", 0.0) / max(
-                d.get_scalar("duration"), 1e-300
+                d.get_scalar("duration"), small()
             )
             dd["Umag"] = mdot / (rho_l * Cd * A)
         super().__init__(name, dd, walk, dtype)

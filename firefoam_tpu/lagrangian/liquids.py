@@ -17,6 +17,8 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
+from ..config import small
+
 __all__ = [
     "Liquid", "H2O", "C7H16", "C2H5OH", "LiquidMixture", "liquid_by_name",
 ]
@@ -271,4 +273,4 @@ class LiquidMixture:
                 for x, l in zip(xs, self.components)
             ]
         )
-        return w / jnp.maximum(w.sum(0), 1e-300)
+        return w / jnp.maximum(w.sum(0), small())

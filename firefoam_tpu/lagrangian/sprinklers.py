@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import INT_DTYPE
+from ..config import INT_DTYPE, small
 from ..io.foamdict import FoamDict
 from .injection import InjectorBase, rosin_rammler_dv50
 
@@ -252,15 +252,15 @@ class AnalyticSprinklerInjection(InjectorBase, _RtiMixin):
             flow[ic] = max(area[ic] * vf / 60.0 / 1000.0, 0.0)  # lpm/m² → m³/s
         fr = d.lookup("flowRateProfile")
         target = float(fr[-1] if isinstance(fr, list) else fr)  # m³/s (constant)
-        flow *= target / max(flow.sum(), 1e-300)
-        flow *= target / max(flow.sum(), 1e-300)
+        flow *= target / max(flow.sum(), small())
+        flow *= target / max(flow.sum(), small())
         self.flow_cell = flow
         self.Q = flow.sum()  # m³/s per head
-        self.vol_frac = flow / max(flow.sum(), 1e-300)
+        self.vol_frac = flow / max(flow.sum(), small())
 
         # parcels per cell (1..12, ∝ flow/ratioAvgToMin — :330-352)
         avg = flow.sum() / max(n_cells - 1, 1)
-        ratio = max((avg - flow.min()) / 6.0, 1e-300)
+        ratio = max((avg - flow.min()) / 6.0, small())
         npc = np.clip((flow / ratio).astype(int), 1, 12)
         if not self.multiple:
             npc[:] = 1
@@ -583,7 +583,7 @@ class LookupTableSprinklerInjection(InjectorBase, _RtiMixin):
             active & in_window, self.ideal_flow * 1e-3 * _RHO_WATER * dt, 0.0
         )
         owed = st["m_owed"] + accrue.astype(dtp)
-        mass = jnp.where(valid, owed[spr] * w / jnp.maximum(wsum[spr], 1e-300), 0.0)
+        mass = jnp.where(valid, owed[spr] * w / jnp.maximum(wsum[spr], small()), 0.0)
         st["m_owed"] = jnp.where(fires & active & in_window, 0.0, owed)
         st["n_inj"] = st["n_inj"] + jnp.sum(valid).astype(INT_DTYPE)
         cand = {

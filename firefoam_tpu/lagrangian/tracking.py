@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import INT_DTYPE, real_dtype
+from ..config import INT_DTYPE, real_dtype, small
 from ..mesh.polymesh import PolyMesh
 
 __all__ = ["WalkMesh", "INTERACT_NONE", "INTERACT_ESCAPE", "INTERACT_STICK",
@@ -91,7 +91,7 @@ class WalkMesh:
 
         Cf = mesh.Cf
         Sf = mesh.Sf
-        magSf = np.maximum(mesh.magSf, 1e-300)
+        magSf = np.maximum(mesh.magSf, small())
         nrm = Sf / magSf[:, None]
 
         cf_Cf = np.repeat(mesh.C[:, None, :], max_faces, axis=1).astype(np.float64)

@@ -15,6 +15,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..config import small
+
 from ..io.foamdict import FoamDict
 from .polymesh import PolyMesh
 
@@ -84,9 +86,9 @@ class TopoSets:
             # faces whose unit normal matches: |1 − n̂·normal| < tol
             # (OpenFOAM normalToFace.C; cases/singleBox/system/topoSetDict)
             normal = np.asarray(info.get_vector("normal"), float)
-            normal = normal / (np.linalg.norm(normal) + 1e-300)
+            normal = normal / (np.linalg.norm(normal) + small())
             tol = info.get_scalar("cos", 0.01)
-            nf = mesh.Sf / np.maximum(mesh.magSf, 1e-300)[:, None]
+            nf = mesh.Sf / np.maximum(mesh.magSf, small())[:, None]
             return np.where(np.abs(1.0 - nf @ normal) < tol)[0]
         raise NotImplementedError(f"face source {source}")
 

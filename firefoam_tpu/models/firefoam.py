@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..combustion.edm import EddyDissipationModel
-from ..config import real_dtype
+from ..config import real_dtype, small
 from ..io import Case, read_field_file
 from ..io.foamdict import FoamDict, expand_env
 from ..mesh import build_case_mesh
@@ -257,6 +257,11 @@ class FireFoamSolver:
                 _pc["solver"] == "GAMG"
                 or amg_env == "1"
                 or (amg_env != "0" and g.n_cells >= 50000)
+                # f32 perf path: diag-PCG needs 60-80 iterations for p_rgh
+                # at 9k cells and grows ~O(sqrt n); the near-mesh-independent
+                # V-cycle wins whenever the exact-DIC fidelity solvers are
+                # off (the f64 path keeps the dict's PCG+DIC verbatim)
+                or (amg_env != "0" and self._ldu is None)
             )
         except KeyError:
             want_amg = False
@@ -497,7 +502,7 @@ class FireFoamSolver:
             state["dt"] = jnp.where(
                 co > 1e-15,
                 jnp.minimum(
-                    self.ctl.max_co * state["dt"] / jnp.maximum(co, 1e-300),
+                    self.ctl.max_co * state["dt"] / jnp.maximum(co, small()),
                     self.ctl.max_dt,
                 ),
                 state["dt"],
@@ -699,7 +704,7 @@ class FireFoamSolver:
                     rho_c = float(z.thermo.rho_s[rx.rhs_solid]) if rx.rhs_solid >= 0 else 0.0
                     hoc_char = 32.8e6
                     hoc_pyr = (float(hoc_solid) * rho_v - hoc_char * rho_c) / max(
-                        rho_v - rho_c, 1e-300
+                        rho_v - rho_c, small()
                     )
                     scale = hoc_pyr / self.reaction.q_fuel()
                 entries.append((patch, rows, loc, scale))
@@ -1162,7 +1167,7 @@ class FireFoamSolver:
             conv = jnp.einsum("cd,cde->ce", state["U"].i, gu)
             if "rhoU_old_i" in state:
                 u_old = state["rhoU_old_i"] / jnp.maximum(
-                    state["rho_old_i"], 1e-300
+                    state["rho_old_i"], small()
                 )[:, None]
                 gas_ctx["DUDt"] = (state["U"].i - u_old) / state["dt"] + conv
             else:
@@ -1626,7 +1631,7 @@ class FireFoamSolver:
             ).i
             diff = phi_old - flux_old
             coeff = 1.0 - jnp.minimum(
-                jnp.abs(diff) / (jnp.abs(phi_old) + 1e-300), 1.0
+                jnp.abs(diff) / (jnp.abs(phi_old) + small()), 1.0
             )
             ddt_corr_i = rho_rAU_f.i * coeff * diff / dt
         phi_hbya = SurfaceField(

@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
+
+from ..config import small
 import numpy as np
 
 from ..io.foamdict import FoamDict, parse_file
@@ -124,7 +126,7 @@ class FvOptions:
             if fname not in s.sources:
                 continue
             su_raw, sp_raw = s.sources[fname]
-            scale = 1.0 / max(s.zone_volume, 1e-300) if (
+            scale = 1.0 / max(s.zone_volume, small()) if (
                 s.volume_mode == "absolute"
             ) else 1.0
             m = jnp.asarray(s.mask, dtype)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import small
+
 from .fields import SurfaceField, VolField, mag
 from .geometry import MeshGeometry
 
@@ -153,7 +155,7 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     accumulate positively — a signed sum would cancel to a singular tensor.
     """
     # padded DIA slots have magSf=0; guard with a dtype-representable tiny
-    # (1e-300 underflows to 0 in float32 → 0/0 NaN at pad slots)
+    # (small() underflows to 0 in float32 → 0/0 NaN at pad slots)
     msf = jnp.maximum(geom.magSf, jnp.finfo(geom.magSf.dtype).tiny * 1e6)
     ii = geom.Sf[:, :, None] * geom.Sf[:, None, :] / msf[:, None, None]
     bb = geom.b_Sf[:, :, None] * geom.b_Sf[:, None, :] / geom.b_magSf[:, None, None]

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import real_dtype
+from ..config import real_dtype, small
 from ..io import Case
 from ..io.foamdict import FoamDict
 from ..ops import fvm
@@ -434,7 +434,7 @@ class FvDOM:
             "ap": ap,
             "sigmap": sigmap,
             "Ep": Ep,
-            "g": asy / jnp.maximum(sigmap, 1e-300),
+            "g": asy / jnp.maximum(sigmap, small()),
         }
 
     def _solve_rays(self, rad, state, gas):
@@ -509,7 +509,7 @@ class FvDOM:
                 cscat = 1.0 / (
                     B
                     * (1.0 + A * c_geo[0] + A**2 * c_geo[1] + A**3 * c_geo[2] + A**4 * c_geo[3])
-                    + 1e-300
+                    + small()
                 )
                 # M_k[s,l,c] = Σ_{r≠s} (ŝ_r·ŝ_s)^k ω_r I[r,l,c]
                 Iw = I * self.omega[:, None, None]
@@ -640,7 +640,7 @@ class FvDOM:
             return float(
                 sum(e * (hi - lo) for e, (lo, hi) in zip(spc.ehrr, spc.bands))
                 / total
-                / max(self.ehrr, 1e-300)
+                / max(self.ehrr, small())
             )
         return 0.0  # WSGG band models have no prescribed emission
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import real_dtype
+from ..config import real_dtype, small
 from ..io.foamdict import FoamDict
 from ..lagrangian.liquids import liquid_by_name
 from .surfmesh import FilmMesh
@@ -356,7 +356,7 @@ class ThermoSingleLayerFilm:
         boiling = T >= 373.0
         m_evap = jnp.where(boiling, jnp.maximum(m_evap, m_boil), m_evap)
         m_evap = m_evap * alpha  # only where wet
-        m_evap = jnp.minimum(m_evap, rho * delta / jnp.maximum(dt_sub, 1e-300))
+        m_evap = jnp.minimum(m_evap, rho * delta / jnp.maximum(dt_sub, small()))
 
         # ---- Pw surface absorption (partialWetting.H:169-199): wet faces
         # soak liquid into the substrate by the T-interpolated power law
@@ -376,7 +376,7 @@ class ThermoSingleLayerFilm:
             dm = A_c * ((t_eq / 60.0) ** n_c - (t_o / 60.0) ** n_c)  # kg/m²
             dm = jnp.where(alpha > 0.5, dm, 0.0)
             dm = jnp.minimum(dm, rho * delta)
-            m_abs = dm / jnp.maximum(dt_sub, 1e-300)
+            m_abs = dm / jnp.maximum(dt_sub, small())
             st = dict(st)
             st["cumAbsorption"] = cum + dm
             st["absorbedMass"] = st["absorbedMass"] + jnp.sum(dm * fm.area)
@@ -417,7 +417,7 @@ class ThermoSingleLayerFilm:
         if self.drip_enabled:
             excess = jnp.maximum(delta - self.delta_stable, 0.0)
             drip = drip + jnp.where(
-                self._detach_face, excess / jnp.maximum(dt_sub, 1e-300), 0.0
+                self._detach_face, excess / jnp.maximum(dt_sub, small()), 0.0
             )
 
         # ---- curvatureSeparation: inertial detachment at convex corners
@@ -438,7 +438,7 @@ class ThermoSingleLayerFilm:
                 & (Fi + Fb + Fs + 1e-10 < 0.0)
             )
             drip = drip + jnp.where(
-                separate, delta / jnp.maximum(dt_sub, 1e-300), 0.0
+                separate, delta / jnp.maximum(dt_sub, small()), 0.0
             )
 
         # ---- donor-limited continuity: scale every outgoing flux by the
@@ -452,8 +452,8 @@ class ThermoSingleLayerFilm:
                 jnp.maximum(-flux_m, 0.0) / fm.area[fm.e_nei]
             )
         lim = jnp.minimum(
-            (delta / jnp.maximum(dt_sub, 1e-300) + m_imp / rho)
-            / jnp.maximum(out_rate, 1e-300),
+            (delta / jnp.maximum(dt_sub, small()) + m_imp / rho)
+            / jnp.maximum(out_rate, small()),
             1.0,
         )
         drip = drip * lim

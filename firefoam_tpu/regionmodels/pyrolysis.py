@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import real_dtype
+from ..config import real_dtype, small
 from ..io.foamdict import FoamDict, expand_env, parse_file
 from ..io.fields import read_field_file
 from .oned import Region1D, tridiag_solve
@@ -130,7 +130,7 @@ class ReactingOneDim:
         Y0 = np.zeros((len(species),))
         for i, s in enumerate(species):
             Y0[i] = self._region_field_value(case_dir, s, 1.0 if i == 0 else 0.0)
-        Y0 = Y0 / max(Y0.sum(), 1e-300)
+        Y0 = Y0 / max(Y0.sum(), small())
         rho0 = float(Y0 @ self.thermo.rho_s)
 
         self._Y0 = Y0
@@ -271,7 +271,7 @@ class ReactingOneDim:
         # limit so no solid mass fraction goes negative over dt
         for rx in self.chem.reactions:
             avail = jnp.maximum(rho * Y[..., rx.lhs], 0.0)
-            cons = jnp.maximum(-RRs[..., rx.lhs], 1e-300) * dt
+            cons = jnp.maximum(-RRs[..., rx.lhs], small()) * dt
             scale = jnp.minimum(avail / cons, 1.0)
             RRs = RRs * scale[..., None]
             RRg = RRg * scale
@@ -281,7 +281,7 @@ class ReactingOneDim:
         rho_new = jnp.maximum(rho - dt * RRg, 1e-3)
         rhoY = rho[..., None] * Y + dt * RRs
         Y_new = jnp.clip(rhoY / rho_new[..., None], 0.0, None)
-        Y_new = Y_new / jnp.maximum(Y_new.sum(-1, keepdims=True), 1e-300)
+        Y_new = Y_new / jnp.maximum(Y_new.sum(-1, keepdims=True), small())
         # update product c₀ (updateC0 in pyrolysisChemistryModel::omega)
         Ys0_new = Ys0
         for rx in self.chem.reactions:
@@ -352,11 +352,11 @@ class ReactingOneDim:
             )
             char_avail = jnp.maximum(m_char - m_char_burnt, 0.0)
             dm_burn = jnp.minimum(char_avail, dm_o2 / mW_O2 * mW_char)
-            phi_o2 = -dm_burn / mW_char * mW_O2 / jnp.maximum(dt, 1e-300)
-            phi_co2 = dm_burn / mW_char * mW_CO2 / jnp.maximum(dt, 1e-300)
+            phi_o2 = -dm_burn / mW_char * mW_O2 / jnp.maximum(dt, small())
+            phi_co2 = dm_burn / mW_char * mW_CO2 / jnp.maximum(dt, small())
             m_char_burnt = m_char_burnt + dm_burn
             # heat released into the surface cell: HocChar·dm/(A·dt) [W/m²]
-            q_char = self.hoc_char * dm_burn / (area * jnp.maximum(dt, 1e-300))
+            q_char = self.hoc_char * dm_burn / (area * jnp.maximum(dt, small()))
             rhs = rhs.at[:, 0].add(q_char)
             char_qdot = q_char * area  # [W] per column
 
@@ -384,7 +384,7 @@ class ReactingOneDim:
             pM = jnp.where(dela, m_sp[:, 0] * self.paper_to_fuel, 0.0)
             v0 = st["vD0"] + pM
             m_sp = m_sp.at[:, 0].add(-pM)
-            m_tot = jnp.maximum(m_sp.sum(-1), 1e-300)
+            m_tot = jnp.maximum(m_sp.sum(-1), small())
             rho_new = rho_new.at[:, 0].set(jnp.maximum(m_tot / lv, 1e-3))
             Y_new = Y_new.at[:, 0, :].set(m_sp / m_tot[:, None])
             page = st["page"] + dela.astype(dtp)

@@ -25,6 +25,8 @@ from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
+
+from ..config import small
 import numpy as np
 
 from ..io.foamdict import FoamDict
@@ -97,7 +99,7 @@ class SolidThermo:
     def _vol_weight(self, Y, prop):
         """Volume-fraction weighting X_i ∝ Y_i/ρ_i (greyMeanSolid rule)."""
         X = Y / jnp.asarray(self.rho_s, Y.dtype)
-        X = X / jnp.maximum(jnp.sum(X, axis=-1, keepdims=True), 1e-300)
+        X = X / jnp.maximum(jnp.sum(X, axis=-1, keepdims=True), small())
         return X @ jnp.asarray(prop, Y.dtype)
 
     def emissivity(self, Y):
@@ -178,7 +180,7 @@ class SolidChemistry:
         RRg = jnp.zeros_like(T)
         for r in self.reactions:
             c = jnp.maximum(rho * Ys[..., r.lhs], 0.0)
-            c0 = jnp.maximum(Ys0[..., r.lhs], 1e-300)
+            c0 = jnp.maximum(Ys0[..., r.lhs], small())
             kf = r.A * jnp.exp(-r.Ta / jnp.maximum(T, 1.0))
             kf = jnp.where(T >= r.Tcrit, kf, 0.0)
             omega = kf * (c / c0) ** r.exponent * c0

@@ -17,7 +17,7 @@ from typing import Dict, List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import INT_DTYPE, real_dtype
+from ..config import INT_DTYPE, real_dtype, small
 from ..mesh.polymesh import PolyMesh
 
 __all__ = ["FilmMesh"]
@@ -88,13 +88,13 @@ class FilmMesh:
                 o, n = fs
                 d = Cf[n] - Cf[o]
                 dist = float(np.linalg.norm(d))
-                m = d / max(dist, 1e-300)
+                m = d / max(dist, small())
                 e_own.append(o)
                 e_nei.append(n)
                 e_len.append(el)
                 e_m.append(m)
-                e_dc.append(1.0 / max(dist, 1e-300))
-                w = np.linalg.norm(Cf[n] - ec) / max(dist, 1e-300)
+                e_dc.append(1.0 / max(dist, small()))
+                w = np.linalg.norm(Cf[n] - ec) / max(dist, small())
                 e_w.append(float(w))
             else:
                 f = fs[0]
@@ -103,7 +103,7 @@ class FilmMesh:
                 # project into the face plane
                 d = d - np.dot(d, n_hat[f]) * n_hat[f]
                 nd = np.linalg.norm(d)
-                m = d / max(nd, 1e-300)
+                m = d / max(nd, small())
                 be_face.append(f)
                 be_len.append(el)
                 be_m.append(m)

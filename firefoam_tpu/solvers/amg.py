@@ -153,14 +153,17 @@ class AMGHierarchy:
     def _coarsen(self, lvl: _Level, diag, lower, upper):
         """Galerkin coarse coefficients from fine (diag, lower, upper)."""
         nfc = lvl.n_cfaces
+        # face_diag is a host-built float64 mask; cast to the system dtype
+        # so the coarse hierarchy doesn't silently promote f32 solves
+        fd = lvl.face_diag.astype(diag.dtype)
         diag_c = jax.ops.segment_sum(diag, lvl.restrict, num_segments=lvl.n_coarse)
         # collapsed faces add their off-diagonals into the coarse diagonal
-        dcontrib = lvl.face_diag * (lower + upper)
+        dcontrib = fd * (lower + upper)
         diag_c = diag_c + jax.ops.segment_sum(
             dcontrib, lvl.restrict[self._own_of(lvl)], num_segments=lvl.n_coarse
         )
-        lo = jnp.where(lvl.face_flip > 0, upper, lower) * (1.0 - lvl.face_diag)
-        up = jnp.where(lvl.face_flip > 0, lower, upper) * (1.0 - lvl.face_diag)
+        lo = jnp.where(lvl.face_flip > 0, upper, lower) * (1.0 - fd)
+        up = jnp.where(lvl.face_flip > 0, lower, upper) * (1.0 - fd)
         lower_c = jax.ops.segment_sum(lo, lvl.face_coarse, num_segments=nfc + 1)[:nfc]
         upper_c = jax.ops.segment_sum(up, lvl.face_coarse, num_segments=nfc + 1)[:nfc]
         return diag_c, lower_c, upper_c
@@ -197,7 +200,10 @@ class AMGHierarchy:
         return y
 
     def _smooth(self, d, l, u, own, nei, n, x, b, sweeps):
-        rD = self.damping / d
+        # keep the compute dtype of the system (the damping attribute may be
+        # a numpy float64 scalar, which would silently promote f32 carries
+        # and break the fori_loop's type invariance)
+        rD = jnp.asarray(self.damping, d.dtype) / d
 
         def body(_, x):
             return x + rD * (b - self._matvec(d, l, u, own, nei, n, x))
@@ -247,6 +253,10 @@ def amg_pcg(
     Ax0, norm = _norm_factor(matvec, x0, b, sum_fn, mean_fn)
     r0 = b - Ax0
     res0 = sum_fn(jnp.abs(r0)) / norm
+
+    from .linear import _tol_floor
+
+    tol = _tol_floor(tol, b.dtype)
 
     def cond(state):
         x, r, p, rz_old, it, res = state

@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..config import small
+
 from ..ops.fvm import FvMatrix
 
 __all__ = ["SolverResult", "solve_scalar", "pcg", "bicgstab", "jacobi_smooth"]
@@ -43,6 +45,19 @@ def _norm_factor(matvec, x, b, sum_fn=jnp.sum, mean_fn=jnp.mean):
     return Ax, sum_fn(jnp.abs(Ax - Aref) + jnp.abs(b - Aref)) + jnp.finfo(x.dtype).tiny * 1e6
 
 
+
+
+def _tol_floor(tol, dtype):
+    """Precision-aware stopping floor: OpenFOAM dict tolerances (1e-6..1e-12
+    normalised) are written for double precision; in float32 the normalised
+    residual stagnates around ~100·eps and an unreachable tolerance burns
+    the full maxIter in every while_loop — measured 800 Jacobi sweeps per
+    h/Yi/k solve on the TPU bench (3x whole-step slowdown). Floor the
+    tolerance at 100·eps(dtype): a no-op in float64 (2.2e-14, below every
+    dict tolerance), ~1.2e-5 in float32."""
+    return jnp.maximum(jnp.asarray(tol, dtype), 100.0 * jnp.finfo(dtype).eps)
+
+
 def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
         sum_fn=jnp.sum, dot_fn=jnp.vdot, mean_fn=jnp.mean):
     """Diagonal-preconditioned CG with OpenFOAM convergence semantics.
@@ -54,6 +69,7 @@ def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
     Ax0, norm = _norm_factor(matvec, x0, b, sum_fn, mean_fn)
     r0 = b - Ax0
     res0 = sum_fn(jnp.abs(r0)) / norm
+    tol = _tol_floor(tol, x0.dtype)
 
     def cond(state):
         x, r, p, rz_old, it, res = state
@@ -83,6 +99,7 @@ def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
     Ax0, norm = _norm_factor(matvec, x0, b)
     r0 = b - Ax0
     res0 = jnp.sum(jnp.abs(r0)) / norm
+    tol = _tol_floor(tol, x0.dtype)
     small = jnp.asarray(jnp.finfo(x0.dtype).tiny * 1e3, x0.dtype)
 
     def cond(state):
@@ -133,7 +150,7 @@ def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
 
 def _nz(x):
     """Guard a denominator against exact zero, preserving sign (tiny must be
-    representable in the compute dtype — 1e-300 is 0 in float32)."""
+    representable in the compute dtype — small() is 0 in float32)."""
     tiny = jnp.asarray(jnp.finfo(x.dtype).tiny * 1e6, x.dtype)
     return jnp.where(jnp.abs(x) < tiny, jnp.where(x >= 0, tiny, -tiny), x)
 
@@ -146,23 +163,31 @@ def jacobi_smooth(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
     rD = damping / diag
     Ax0, norm = _norm_factor(matvec, x0, b)
     res0 = jnp.sum(jnp.abs(b - Ax0)) / norm
+    tol = _tol_floor(tol, x0.dtype)
 
     def cond(state):
-        x, it, res = state
-        return (res > jnp.maximum(tol, rel_tol * res0)) & (it < max_iter)
+        x, it, res, res_prev = state
+        # stagnation exit: a fixed-point smoother that stops reducing the
+        # residual (roundoff floor) will never satisfy the tolerance
+        improving = res < res_prev * (1.0 - 1e-4)
+        return (
+            (res > jnp.maximum(tol, rel_tol * res0))
+            & (it < max_iter)
+            & (improving | (it == 0))
+        )
 
     def body(state):
-        x, it, _ = state
+        x, it, res, _ = state
 
         def sweep(_, x):
             return x + rD * (b - matvec(x))
 
         x = jax.lax.fori_loop(0, n_sweeps, sweep, x)
-        res = jnp.sum(jnp.abs(b - matvec(x))) / norm
-        return x, it + 1, res
+        res_new = jnp.sum(jnp.abs(b - matvec(x))) / norm
+        return x, it + 1, res_new, res
 
-    init = (x0, jnp.asarray(0, jnp.int32), res0)
-    x, it, res = jax.lax.while_loop(cond, body, init)
+    init = (x0, jnp.asarray(0, jnp.int32), res0, jnp.asarray(jnp.inf, x0.dtype))
+    x, it, res, _ = jax.lax.while_loop(cond, body, init)
     return SolverResult(x, res0, res, it * n_sweeps)
 
 

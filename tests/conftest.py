@@ -32,3 +32,22 @@ def reference_case(name):
         import pytest
         pytest.skip(f"reference case {name} not available")
     return p
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    XLA:CPU JIT-compiles every jitted graph into a contiguous executable
+    code region that is never compacted; ~200 tests of large f64 solver
+    graphs in ONE pytest process eventually exhaust it and the NEXT
+    backend_compile segfaults (observed at ~95% of the suite). Dropping
+    the jit caches after each module lets the code sections be reclaimed.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
