@@ -215,6 +215,28 @@ class FireFoamSolver:
             n_hydrostatic=pimple.get_int("nHydrostaticCorrectors", 5),
         )
         self.fv_solution = self.case.fv_solution
+        # ---- laplacian scheme (fvSchemes laplacianSchemes default):
+        # 'Gauss linear uncorrected' (all five reference cases — exact on
+        # their orthogonal block meshes) | '... corrected' | '... limited α'.
+        # corrected/limited engage the deferred non-orthogonal correction
+        # (fvm.laplacian corr=fvc.non_orth_correction) on every implicit
+        # laplacian in the step.
+        self.lap_limiter: Optional[float] = None
+        try:
+            lsch = self.case.fv_schemes.get_dict("laplacianSchemes").lookup(
+                "default", ""
+            )
+            toks = [str(t) for t in lsch] if isinstance(lsch, list) else [str(lsch)]
+            if "corrected" in toks:
+                self.lap_limiter = 1.0
+            elif "limited" in toks:
+                i = toks.index("limited")
+                self.lap_limiter = (
+                    float(toks[i + 1]) if i + 1 < len(toks) else 1.0
+                )
+        except Exception:
+            pass
+        self.turb.lap_limiter = self.lap_limiter
         # ---- AMG hierarchy for the pressure solve (the GAMG role) ----
         # used when the case dict selects GAMG, when FIREFOAM_TPU_AMG=1, or
         # automatically above 50k cells where diagonal-PCG's O(√n) iteration
@@ -573,7 +595,7 @@ class FireFoamSolver:
             rv = jnp.zeros(g.n_boundary, dtp)
             rg = phig.b / (rho_f.b * g.b_magSf)
             gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
-            m = -fvm.laplacian(g, rho_f, ph, gic, gbc)
+            m = -fvm.laplacian(g, rho_f, ph, gic, gbc, corr=self._lap_corr(ph))
             m = fvm.FvMatrix(
                 g, m.diag, m.lower, m.upper, m.source - rhs, m.internal_coeffs, m.boundary_coeffs, m.psi
             )
@@ -940,16 +962,37 @@ class FireFoamSolver:
         Tf_b = jnp.zeros((g.n_boundary,), dtp).at[bidx].set(fstate["T"][rows])
         Uf_b = jnp.zeros((g.n_boundary, 3), dtp).at[bidx].set(fstate["U"][rows])
         ov = dict(ov)
+        delta_b = jnp.zeros((g.n_boundary,), dtp).at[bidx].set(
+            fstate["delta"][rows]
+        )
         for bc in self.T_bcs.bcs:
-            if bc.kind != "filmPyrolysisTemperatureCoupled":
-                continue
-            p = g.patch(bc.patch)
-            sl = p.slice
-            base = ov.get(("T", p.name, "value"))
-            T_dry = base if base is not None else state["T"].b[sl]
-            ov[("T", p.name, "value")] = (
-                alpha_b[sl] * Tf_b[sl] + (1.0 - alpha_b[sl]) * T_dry
-            )
+            if bc.kind == "filmPyrolysisTemperatureCoupled":
+                p = g.patch(bc.patch)
+                sl = p.slice
+                base = ov.get(("T", p.name, "value"))
+                T_dry = base if base is not None else state["T"].b[sl]
+                ov[("T", p.name, "value")] = (
+                    alpha_b[sl] * Tf_b[sl] + (1.0 - alpha_b[sl]) * T_dry
+                )
+            elif bc.kind == "compressible::rollPaperTwoZoneST":
+                # fluid branch of rollPaperTwoZoneSTFvPatchScalarField::
+                # updateCoeffs (lib/regionCoupling/derivedFvPatchFields/
+                # rollPaperTwoZoneST/...C:720-786): wetness ratio from the
+                # film thickness between the dry/wet thresholds, Twet is
+                # the film T clamped to [298.15, 378.4] K, Tdry is the
+                # pyrolysis surface T (Tsurface), fixedValue
+                # Twall = ratio·(Twet − Tdry) + Tdry
+                p = g.patch(bc.patch)
+                sl = p.slice
+                base = ov.get(("T", p.name, "value"))
+                T_dry = base if base is not None else state["T"].b[sl]
+                d_dry = float(bc.params.get("filmDeltaDry", 0.0))
+                d_wet = float(bc.params.get("filmDeltaWet", 2e-4))
+                ratio = jnp.clip(
+                    (delta_b[sl] - d_dry) / max(d_wet - d_dry, 1e-12), 0.0, 1.0
+                )
+                T_wet = jnp.clip(Tf_b[sl], 298.15, 378.4)
+                ov[("T", p.name, "value")] = ratio * (T_wet - T_dry) + T_dry
         for bc in self.U_bcs.bcs:
             if bc.kind != "filmPyrolysisVelocityCoupled":
                 continue
@@ -1238,7 +1281,7 @@ class FireFoamSolver:
         m = (
             fvm.ddt(g, rho.i, U, U.i, state["rho_old_i"], state["dt"])
             + fvm.lust_div(g, phi, U, vic, vbc, gradU)
-            - fvm.laplacian(g, mu_eff_f, U, gic, gbc)
+            - fvm.laplacian(g, mu_eff_f, U, gic, gbc, corr=self._lap_corr(U))
         )
         # explicit part of divDevRhoReff: −div(muEff·dev2(∇Uᵀ))
         div_tau = self.turb.div_dev_rho_reff(U, mu_eff, gradU)
@@ -1314,10 +1357,30 @@ class FireFoamSolver:
                 self._ldu, mv, d, m.lower, m.upper, b, x0,
                 tol, rel, mx, ctl["nSweeps"],
             )
+        mx2 = mx if sol != "smoothSolver" else max(mx, 200)
+        from ..solvers import pallas_cg
+
+        g = self.geom
+        if pallas_cg.enabled(g.layout) and self.dtype != jnp.float64:
+            # fused whole-solve pallas kernels: the entire Krylov/smoother
+            # loop runs in one kernel with all vectors VMEM-resident (one
+            # launch per solve instead of ~10 per iteration)
+            interp = pallas_cg.interpret_mode()
+            if sol in ("PCG", "GAMG"):
+                kern, kmx = pallas_cg.dia_pcg, mx2
+            elif sol == "smoothSolver":
+                # pallas max_iter counts sweeps; jacobi_smooth counts
+                # 4-sweep check rounds
+                kern, kmx = pallas_cg.dia_smooth, mx2 * 4
+            else:
+                kern, kmx = pallas_cg.dia_bicgstab, mx2
+            return lambda mv, x0, b, d, m: kern(
+                d, m.upper, m.lower, b, x0, g.offsets, g.n_cells,
+                tol=tol, rel_tol=rel, max_iter=kmx, interpret=interp,
+            )
         base = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
             sol, bicgstab
         )
-        mx2 = mx if sol != "smoothSolver" else max(mx, 200)
         return lambda mv, x0, b, d, m: base(
             mv, x0, b, d, tol=tol, rel_tol=rel, max_iter=mx2
         )
@@ -1446,7 +1509,7 @@ class FireFoamSolver:
             m = (
                 fvm.ddt(g, rho.i, Ysf, ys_i, rho_old, dt)
                 + fvm.div(g, phi, Ysf, w_mv, vic, vbc)
-                - fvm.laplacian(g, alpha_eff_f, Ysf, gic, gbc)
+                - fvm.laplacian(g, alpha_eff_f, Ysf, gic, gbc, corr=self._lap_corr(Ysf))
             )
             m = m.add_source(src)
             if relax_f is not None:
@@ -1523,7 +1586,7 @@ class FireFoamSolver:
         m = (
             fvm.ddt(g, rho.i, hs, hs.i, state["rho_old_i"], dt)
             + fvm.div(g, phi, hs, w, vic, vbc)
-            - fvm.laplacian(g, alpha_eff_f, hs, gic, gbc)
+            - fvm.laplacian(g, alpha_eff_f, hs, gic, gbc, corr=self._lap_corr(hs))
         )
         m = m.add_source(
             qdot + sh_rad + srcs["Sh"] + state["dpdt"] - ddtK - divK
@@ -1650,7 +1713,7 @@ class FireFoamSolver:
 
         rv, rg, f = bcmod.resolve(self.p_rgh_bcs, g, p_rgh, ctx)
         gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
-        m_lap = fvm.laplacian(g, rho_rAU_f, p_rgh, gic, gbc)
+        m_lap = fvm.laplacian(g, rho_rAU_f, p_rgh, gic, gbc, corr=self._lap_corr(p_rgh))
 
         # p_rghEqn (pEqn.H:26-38):
         #   fvm::ddt(psi, p_rgh) + fvc::ddt(psi,rho)·gh + fvc::ddt(psi)·pRef
@@ -1955,5 +2018,33 @@ class FireFoamSolver:
         return state, log
 
     # ------------------------------------------------------------------
+    def _lap_corr(self, psi) -> Optional[jnp.ndarray]:
+        """Deferred non-orthogonal laplacian correction per the fvSchemes
+        laplacianSchemes default (None under 'uncorrected' — the shipped
+        cases' orthogonal block meshes need none)."""
+        if self.lap_limiter is None:
+            return None
+        lim = None if self.lap_limiter >= 1.0 else self.lap_limiter
+        return fvc.non_orth_correction(self.geom, psi, limiter=lim)
+
+    # ------------------------------------------------------------------
     def make_step(self):
         return jax.jit(self.step)
+
+    def make_chunk(self, n: int):
+        """n full time steps fused into ONE jitted lax.scan call.
+
+        The whole step — including adjustable-Δt control — is in-graph, so
+        chaining steps needs no host round trip. This is the TPU-deployment
+        hot loop: per-call dispatch (pytree flatten + transfer of ~hundreds
+        of leaves) costs O(100 µs) on a tunneled device, comparable to the
+        9k-cell step itself. Returns (final_state, stacked_logs[n])."""
+
+        def chunk(state):
+            def body(st, _):
+                st2, log = self.step(st)
+                return st2, log
+
+            return jax.lax.scan(body, state, xs=None, length=n)
+
+        return jax.jit(chunk)

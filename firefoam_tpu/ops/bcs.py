@@ -321,6 +321,11 @@ _REGISTRY: Dict[str, Callable] = {
     "compressible::turbulentTemperatureRadiationCoupledMixedST": _coupled_wall_T,
     "compressible::turbulentTemperatureRadCoupledMixed": _coupled_wall_T,
     "filmPyrolysisTemperatureCoupled": _coupled_wall_T,
+    # roll-paper back-to-back baffle coupling (lib/regionCoupling/
+    # derivedFvPatchFields/rollPaperTwoZoneST/...C:715-786, fluid branch):
+    # Twall = ratio·(Twet − Tdry) + Tdry, injected via ctx overrides by
+    # FireFoamSolver._film_bc_overrides
+    "compressible::rollPaperTwoZoneST": _coupled_wall_T,
     "flowRateInletVelocityPyrolysisCoupled": _flow_rate_pyro_coupled,
     "flowRateInletVelocityFuelConvertCoupled": _flow_rate_pyro_coupled,
     "filmPyrolysisVelocityCoupled": _film_velocity_coupled,
@@ -417,7 +422,8 @@ def make_field_bcs(ff: FieldFile, geom: MeshGeometry) -> FieldBCs:
         for key in ("value", "inletValue", "outletValue", "gradient",
                     "massFluxFraction", "emissivity", "hocSolid", "hocPyr",
                     "QcFlame", "QcThreshold", "Tinf", "h", "QrIncident",
-                    "hOCp", "rPhi"):
+                    "hOCp", "rPhi", "filmDeltaDry", "filmDeltaWet",
+                    "convectiveCoefficient", "convectiveScaling"):
             v = _param_value(pd, key)
             if v is not None and not isinstance(v, tuple):
                 params[key] = v

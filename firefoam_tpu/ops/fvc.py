@@ -65,6 +65,53 @@ def sn_grad(geom: MeshGeometry, f: VolField, b_grad: jnp.ndarray = None) -> Surf
     return SurfaceField(gi, b_grad)
 
 
+def non_orth_correction(
+    geom: MeshGeometry,
+    f: VolField,
+    grad_i: jnp.ndarray = None,
+    limiter: float = None,
+) -> jnp.ndarray:
+    """Explicit non-orthogonal snGrad correction on internal faces:
+    corr_f = k_f·(∇ψ)_f with k = n̂ − Δ·nodc (correctedSnGrad::correction).
+
+    limiter=None → full 'corrected'; limiter=α ∈ (0,1] → OpenFOAM
+    limitedSnGrad: corr clipped to α/(1−α)·|orthogonal part| per face.
+    Scalar ψ → [nI]; vector ψ → [nI,3] (corr_j = Σ_d k_d·∂_d ψ_j)."""
+    if grad_i is None:
+        grad_i = grad(geom, f)
+    k = geom.kvec()
+    go = geom.gather_own(grad_i)
+    gn = geom.gather_nei(grad_i)
+    if grad_i.ndim == 3:  # vector field gradient [nC,3,3]
+        gf = geom.w[:, None, None] * go + (1.0 - geom.w)[:, None, None] * gn
+        corr = jnp.einsum("fd,fdj->fj", k, gf)
+    else:
+        gf = geom.w[:, None] * go + (1.0 - geom.w)[:, None] * gn
+        corr = jnp.einsum("fd,fd->f", k, gf)
+    if limiter is not None and limiter < 1.0:
+        orth = _wmul(geom.nodc, geom.gather_nei(f.i) - geom.gather_own(f.i))
+        lim = (limiter / (1.0 - limiter)) * jnp.abs(orth)
+        corr = jnp.clip(corr, -lim, lim)
+    return corr
+
+
+def sn_grad_corrected(
+    geom: MeshGeometry,
+    f: VolField,
+    b_grad: jnp.ndarray = None,
+    grad_i: jnp.ndarray = None,
+    limiter: float = None,
+) -> SurfaceField:
+    """Corrected/limited surface-normal gradient: nodc·(ψ_N − ψ_P) +
+    k·(∇ψ)_f (OpenFOAM correctedSnGrad/limitedSnGrad). Boundary part as
+    sn_grad (one-sided, uncorrected — stock wall behaviour)."""
+    gi = _wmul(geom.nodc, geom.gather_nei(f.i) - geom.gather_own(f.i))
+    gi = gi + non_orth_correction(geom, f, grad_i, limiter)
+    if b_grad is None:
+        b_grad = _wmul(geom.b_dc, f.b - f.i[geom.b_own])
+    return SurfaceField(gi, b_grad)
+
+
 def surface_sum(geom: MeshGeometry, sf: SurfaceField) -> jnp.ndarray:
     """Σ_faces of signed (outward) face values per cell."""
     if sf.i.ndim == 2:

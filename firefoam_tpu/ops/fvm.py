@@ -386,20 +386,38 @@ def laplacian(
     psi: VolField,
     gic: jnp.ndarray,
     gbc: jnp.ndarray,
+    corr: jnp.ndarray = None,
 ) -> FvMatrix:
-    """fvm::laplacian(gamma, psi), Gauss uncorrected:
+    """fvm::laplacian(gamma, psi), Gauss:
       upper = lower = gamma_f·|Sf|·deltaCoeff ; negSumDiag;
       internalCoeffs = gamma_b·|Sf|·gic ; boundaryCoeffs = −gamma_b·|Sf|·gbc.
+
+    corr (from fvc.non_orth_correction) selects the corrected/limited
+    scheme (gaussLaplacianScheme::fvmLaplacian with correctedSnGrad): the
+    implicit part switches to the stabilised nonOrthDeltaCoeffs and the
+    deferred face-flux correction Γ_f|Sf|·k·(∇ψ)_f enters the source.
+    corr=None is 'Gauss <interp> uncorrected' (exact on orthogonal meshes).
     """
     m = empty_matrix(geom, psi)
-    gmsf = gamma.i * geom.magSf * geom.dc
+    dc = geom.dc if corr is None else geom.nodc
+    gmsf = gamma.i * geom.magSf * dc
     diag = -(geom.face_to_own_sum(gmsf) + geom.face_to_nei_sum(gmsf))
     gb = gamma.b * geom.b_magSf
     ic = _bcol(gb, gic) * gic
     bc = -_bcol(gb, gbc) * gbc
-    return replace(
+    m = replace(
         m, lower=gmsf, upper=gmsf, diag=diag, internal_coeffs=ic, boundary_coeffs=bc
     )
+    if corr is not None:
+        flux_i = _bcol(gamma.i * geom.magSf, corr) * corr
+        zero_b = jnp.zeros(
+            (geom.n_boundary,) + corr.shape[1:], corr.dtype
+        )
+        from . import fvc
+
+        csum = fvc.surface_sum(geom, SurfaceField(flux_i, zero_b))
+        m = replace(m, source=m.source - csum)
+    return m
 
 
 def Sp(geom: MeshGeometry, sp: jnp.ndarray, psi: VolField) -> FvMatrix:

@@ -261,6 +261,17 @@ class MeshGeometry:
             )
         return x[self.nei]
 
+    def kvec(self) -> jnp.ndarray:
+        """Non-orthogonal correction vectors k_f = n̂_f − Δ_f·nodc_f
+        (OpenFOAM surfaceInterpolation::makeNonOrthCorrectionVectors,
+        consumed by corrected/limited snGrad and laplacian schemes).
+        Exactly zero on orthogonal meshes and at DIA pad slots."""
+        tiny = jnp.finfo(self.dtype).tiny * 1e6
+        nhat = self.Sf / jnp.maximum(self.magSf, tiny)[:, None]
+        delta = self.gather_nei(self.C) - self.gather_own(self.C)
+        k = nhat - delta * self.nodc[:, None]
+        return k * self.face_mask[:, None]
+
     def face_to_own_sum(self, fv: jnp.ndarray) -> jnp.ndarray:
         """Σ over each cell's owned faces of fv ([nI(,d)] → [nC(,d)]).
         Pad-slot values MUST be zero (guaranteed for coefficient-weighted

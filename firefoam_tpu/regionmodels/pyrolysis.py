@@ -319,10 +319,23 @@ class ReactingOneDim:
         # end fluxes (exposed = layer 0, back = layer nL−1)
         A0, B0 = self._end_flux_lin(self.bc_exposed, T[:, 0], Y_new[:, 0], q_conv, qr)
         if self.roll_paper:
-            # curled delaminated pages shadow the incident flux
-            shade = 1.0 - jnp.clip(st["blockFactor"], 0.0, 1.0)
-            A0 = A0 * shade
-            B0 = B0 * shade
+            # curled delaminated pages shadow the incident flux; the blocked
+            # fraction still exchanges radiatively with the gas side through
+            # the curled page: qDryBlockage = blocking·ε·σ·(T_gas⁴ − Ts⁴)
+            # + (1−blocking)·(qConv + qRad)  (rollPaperTwoZoneST solid
+            # branch, rollPaperTwoZoneSTFvPatchScalarField.C:614-624)
+            bf0 = jnp.clip(st["blockFactor"], 0.0, 1.0)
+            shade = 1.0 - bf0
+            eps0 = self.thermo.emissivity(Y_new[:, 0])
+            cp0 = jnp.maximum(self.thermo.cp(Y_new[:, 0]), 1e-30)
+            Tg = (
+                q_conv["T_nbr"]
+                if isinstance(q_conv, dict) and q_conv.get("T_nbr") is not None
+                else T[:, 0]
+            )
+            q_block = eps0 * SIGMA_SB * (Tg**4 - T[:, 0] ** 4)
+            A0 = shade * A0 + bf0 * q_block
+            B0 = shade * B0 + bf0 * (4.0 * eps0 * SIGMA_SB * T[:, 0] ** 3 / cp0)
         An, Bn = self._end_flux_lin(self.bc_back, T[:, -1], Y_new[:, -1], None, None)
         diag = diag.at[:, 0].add(B0)
         rhs = rhs.at[:, 0].add(A0 + B0 * h[:, 0])

@@ -234,6 +234,35 @@ def solve_scalar(
                 sched, matvec, diag_c, m.lower, m.upper, b, x0,
                 tol, rel_tol, max_iter, n_sweeps,
             )
+    g = m.geom
+    if component is None and getattr(g, "layout", "seg") == "dia":
+        from . import pallas_cg
+
+        if (
+            pallas_cg.enabled(g.layout)
+            and m.upper.ndim == 1
+            and diag_c.dtype != jnp.float64  # no f64 in mosaic kernels
+            and pallas_cg.operands_on_tpu(x0, b)
+        ):
+            interp = pallas_cg.interpret_mode()
+            if solver in ("PCG", "GAMG"):
+                return pallas_cg.dia_pcg(
+                    diag_c, m.upper, m.lower, b, x0, g.offsets, g.n_cells,
+                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                    interpret=interp,
+                )
+            if solver in ("PBiCGStab", "PBiCG"):
+                return pallas_cg.dia_bicgstab(
+                    diag_c, m.upper, m.lower, b, x0, g.offsets, g.n_cells,
+                    tol=tol, rel_tol=rel_tol, max_iter=max_iter,
+                    interpret=interp,
+                )
+            if solver == "smoothSolver":
+                return pallas_cg.dia_smooth(
+                    diag_c, m.upper, m.lower, b, x0, g.offsets, g.n_cells,
+                    tol=tol, rel_tol=rel_tol,
+                    max_iter=max(max_iter, 200) * 4, interpret=interp,
+                )
     if solver in ("PCG", "GAMG"):
         return pcg(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
     if solver in ("PBiCGStab", "PBiCG"):

@@ -1,0 +1,575 @@
+"""Fused whole-solve pallas kernels for DIA-layout linear systems.
+
+The reference's linear solves (PCG/GAMG/smoothSolver over the LDU matrix,
+`cases/steckler/system/fvSolution:19-80`) dominate the step's device-op
+count: every Krylov iteration is an XLA while_loop body of ~10 small
+HBM-round-trip kernels, and at O(10k) cells the step is launch-latency
+bound, not FLOP bound. These kernels run the ENTIRE solve — matvec,
+preconditioner, reductions, convergence test — inside one pallas_call with
+every vector resident in VMEM, so an N-iteration solve costs one kernel
+launch instead of ~10·N.
+
+Applicability: DIA (offset-stencil) matrices whose vectors fit VMEM
+(~16 MB/core → ~300k f32 cells for the ~8 live vectors of CG). The
+structured block meshes of all five reference cases qualify. SEG-layout
+(unstructured) meshes fall back to the XLA solvers in linear.py.
+
+Semantics mirror linear.py exactly (OpenFOAM normFactor + L1 residual,
+`_tol_floor` stagnation floor) so iteration counts match the flat path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linear import SolverResult
+
+try:  # pallas is TPU/interpret only; import lazily-guarded
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_LANES = 128
+
+
+def _any_gt(a, b):
+    """any(a > b) without a bool/int reduction: reduce_or and integer-sum
+    proxies in the mosaic lowering route through 64-bit types when
+    jax_enable_x64 is on (the package enables it globally), which TPU
+    kernels reject — a float max reduction stays 32-bit. NaNs compare
+    False, matching jnp.any(a > b)."""
+    return jnp.max(a - b) > 0
+
+
+def _any_lt(a, b):
+    return jnp.min(a - b) < 0
+
+
+def _pad_lanes(n: int) -> int:
+    return ((n + _LANES - 1) // _LANES) * _LANES
+
+
+def _shift_up(x, o: int):
+    """y[:, c] = x[:, c+o] (wrapped; wrapped lanes are coefficient-masked —
+    DIA upper/lower coefficients are zero wherever the neighbour slot does
+    not exist, exactly like the jnp.roll path in ops/geometry.py)."""
+    return pltpu.roll(x, jnp.asarray(x.shape[1] - o, jnp.int32), 1)
+
+
+def _shift_down(x, o: int):
+    """y[:, c] = x[:, c−o] (wrapped, coefficient-masked)."""
+    return pltpu.roll(x, jnp.asarray(o, jnp.int32), 1)
+
+
+def _dia_matvec(d, uppers, lowers, offsets, x):
+    """M·x for the DIA stencil, all operands (B, nCp) VMEM arrays.
+
+    matvec(x)[c] = d[c]·x[c] + Σ_k u_k[c]·x[c+o_k] + Σ_k l_k[c−o_k]·x[c−o_k]
+    (FvMatrix.matvec with face_to_own_sum/face_to_nei_sum unrolled; pad
+    lanes carry zero coefficients and d=1, x=0 so they stay exactly zero).
+    """
+    y = d * x
+    for k, o in enumerate(offsets):
+        y = y + uppers[k] * _shift_up(x, o)
+        y = y + _shift_down(lowers[k] * x, o)
+    return y
+
+
+def _pcg_kernel(
+    nc_ref,  # SMEM (1,1) int32: number of real cells
+    d_ref,
+    up_ref,
+    lo_ref,
+    b_ref,
+    x0_ref,
+    mask_ref,
+    x_out,
+    res0_out,
+    res_out,
+    it_out,
+    *,
+    offsets: Tuple[int, ...],
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+):
+    dtype = x0_ref.dtype
+    d = d_ref[:]
+    ups = [up_ref[k] for k in range(len(offsets))]
+    los = [lo_ref[k] for k in range(len(offsets))]
+    b = b_ref[:]
+    x0 = x0_ref[:]
+    mask = mask_ref[:]
+    n_real = jnp.sum(mask, axis=1, keepdims=True)  # (B,1)
+
+    mv = lambda v: _dia_matvec(d, ups, los, offsets, v)
+
+    # normFactor: xref = mean(x0) over real lanes (per batch row)
+    xref = jnp.sum(x0 * mask, axis=1, keepdims=True) / n_real
+    Aref = mv(xref * mask)
+    Ax0 = mv(x0)
+    norm = (
+        jnp.sum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask, axis=1, keepdims=True)
+        + jnp.asarray(np.finfo(np.dtype(dtype.name)).tiny * 1e6, dtype)
+    )
+    r0 = b - Ax0
+    res0 = jnp.sum(jnp.abs(r0) * mask, axis=1, keepdims=True) / norm
+    eff_tol = jnp.maximum(
+        jnp.asarray(tol, dtype), 100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype)
+    )
+    stop = jnp.maximum(eff_tol, rel_tol * res0)
+
+    rD = jnp.where(mask > 0, 1.0 / d, 0.0)
+
+    def cond(state):
+        x, r, p, rz_old, it, res = state
+        return _any_gt(res, stop) & (it < max_iter)
+
+    def body(state):
+        x, r, p, rz_old, it, _ = state
+        z = rD * r
+        rz = jnp.sum(r * z, axis=1, keepdims=True)
+        beta = jnp.where(it == 0, jnp.zeros_like(rz), rz / rz_old)
+        p = z + beta * p
+        Ap = mv(p)
+        pAp = jnp.sum(p * Ap, axis=1, keepdims=True)
+        alpha = rz / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        res = jnp.sum(jnp.abs(r) * mask, axis=1, keepdims=True) / norm
+        return x, r, p, rz, it + 1, res
+
+    init = (
+        x0,
+        r0,
+        jnp.zeros_like(x0),
+        jnp.ones_like(res0),
+        jnp.asarray(0, jnp.int32),
+        res0,
+    )
+    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, init)
+    x_out[:] = x
+    res0_out[:] = res0
+    res_out[:] = res
+    it_out[0, 0] = it
+
+
+def _bicgstab_kernel(
+    nc_ref,
+    d_ref,
+    up_ref,
+    lo_ref,
+    b_ref,
+    x0_ref,
+    mask_ref,
+    x_out,
+    res0_out,
+    res_out,
+    it_out,
+    *,
+    offsets: Tuple[int, ...],
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+):
+    """Jacobi-preconditioned BiCGStab (PBiCG/PBiCGStab role) with the restart
+    semantics of linear.py:bicgstab, batched over rows."""
+    dtype = x0_ref.dtype
+    d = d_ref[:]
+    ups = [up_ref[k] for k in range(len(offsets))]
+    los = [lo_ref[k] for k in range(len(offsets))]
+    b = b_ref[:]
+    x0 = x0_ref[:]
+    mask = mask_ref[:]
+    n_real = jnp.sum(mask, axis=1, keepdims=True)
+
+    mv = lambda v: _dia_matvec(d, ups, los, offsets, v)
+    fi = np.finfo(np.dtype(dtype.name))
+    tiny6 = jnp.asarray(fi.tiny * 1e6, dtype)
+    small = jnp.asarray(fi.tiny * 1e3, dtype)
+
+    def nz(x):
+        return jnp.where(jnp.abs(x) < tiny6, jnp.where(x >= 0, tiny6, -tiny6), x)
+
+    xref = jnp.sum(x0 * mask, axis=1, keepdims=True) / n_real
+    Aref = mv(xref * mask)
+    Ax0 = mv(x0)
+    norm = (
+        jnp.sum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask, axis=1, keepdims=True)
+        + tiny6
+    )
+    r0 = b - Ax0
+    res0 = jnp.sum(jnp.abs(r0) * mask, axis=1, keepdims=True) / norm
+    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 100.0 * jnp.asarray(fi.eps, dtype))
+    stop = jnp.maximum(eff_tol, rel_tol * res0)
+    rD = jnp.where(mask > 0, 1.0 / d, 0.0)
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=1, keepdims=True)
+
+    def cond(state):
+        return _any_gt(state[-1], stop) & (state[-2] < max_iter)
+
+    def body(state):
+        x, r, rhat, p, v, rho_old, alpha, omega, it, _ = state
+        rho = dot(rhat, r)
+        restart = (jnp.abs(rho) < small * dot(r, r)) | (it == 0)
+        rhat = jnp.where(restart, r, rhat)
+        rho = jnp.where(restart, dot(r, r), rho)
+        beta = jnp.where(
+            restart, jnp.zeros_like(rho), (rho / nz(rho_old)) * (alpha / nz(omega))
+        )
+        p = r + beta * (p - omega * v)
+        phat = rD * p
+        v = mv(phat)
+        alpha = rho / nz(dot(rhat, v))
+        s = r - alpha * v
+        shat = rD * s
+        t = mv(shat)
+        omega = dot(t, s) / nz(dot(t, t))
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        res = jnp.sum(jnp.abs(r) * mask, axis=1, keepdims=True) / norm
+        return x, r, rhat, p, v, rho, alpha, omega, it + 1, res
+
+    one = jnp.ones_like(res0)
+    init = (
+        x0,
+        r0,
+        r0,
+        jnp.zeros_like(x0),
+        jnp.zeros_like(x0),
+        one,
+        one,
+        one,
+        jnp.asarray(0, jnp.int32),
+        res0,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    x_out[:] = out[0]
+    res0_out[:] = res0
+    res_out[:] = out[-1]
+    it_out[0, 0] = out[-2]
+
+
+def _smooth_kernel(
+    nc_ref,
+    d_ref,
+    up_ref,
+    lo_ref,
+    b_ref,
+    x0_ref,
+    mask_ref,
+    x_out,
+    res0_out,
+    res_out,
+    it_out,
+    *,
+    offsets: Tuple[int, ...],
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    omega: float,
+    check_every: int,
+):
+    """Damped-Jacobi smoother (smoothSolver role, linear.py:jacobi_smooth
+    semantics): sweeps of x += ω·(b − Mx)/d with residual checks every
+    `check_every` sweeps."""
+    dtype = x0_ref.dtype
+    d = d_ref[:]
+    ups = [up_ref[k] for k in range(len(offsets))]
+    los = [lo_ref[k] for k in range(len(offsets))]
+    b = b_ref[:]
+    x0 = x0_ref[:]
+    mask = mask_ref[:]
+    n_real = jnp.sum(mask, axis=1, keepdims=True)
+
+    mv = lambda v: _dia_matvec(d, ups, los, offsets, v)
+
+    xref = jnp.sum(x0 * mask, axis=1, keepdims=True) / n_real
+    Aref = mv(xref * mask)
+    Ax0 = mv(x0)
+    norm = (
+        jnp.sum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask, axis=1, keepdims=True)
+        + jnp.asarray(np.finfo(np.dtype(dtype.name)).tiny * 1e6, dtype)
+    )
+    res0 = jnp.sum(jnp.abs(b - Ax0) * mask, axis=1, keepdims=True) / norm
+    eff_tol = jnp.maximum(
+        jnp.asarray(tol, dtype), 100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype)
+    )
+    stop = jnp.maximum(eff_tol, rel_tol * res0)
+    rD = jnp.where(mask > 0, omega / d, 0.0)
+
+    def cond(state):
+        x, it, res, res_prev = state
+        # stagnation exit (jacobi_smooth semantics): a fixed-point smoother
+        # at its roundoff floor will never meet the tolerance — bail out
+        improving = _any_lt(res, res_prev * (1.0 - 1e-4))
+        return (
+            _any_gt(res, stop)
+            & (it < max_iter)
+            & (improving | (it == 0))
+        )
+
+    def body(state):
+        x, it, res, _ = state
+
+        def sweep(_, xv):
+            return xv + rD * (b - mv(xv))
+
+        # int32 bounds: python ints lower as i64 under jax_enable_x64,
+        # which the mosaic kernel ABI rejects
+        x = jax.lax.fori_loop(jnp.int32(0), jnp.int32(check_every), sweep, x)
+        res_new = jnp.sum(jnp.abs(b - mv(x)) * mask, axis=1, keepdims=True) / norm
+        return x, it + check_every, res_new, res
+
+    x, it, res, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, jnp.asarray(0, jnp.int32), res0, jnp.full_like(res0, jnp.inf)),
+    )
+    x_out[:] = x
+    res0_out[:] = res0
+    res_out[:] = res
+    it_out[0, 0] = it
+
+
+def _prep(diag, upper, lower, b, x0, offsets, n_cells):
+    """Pack 1-D/2-D operands into (B, nCp) padded arrays + mask.
+
+    diag/b/x0: [nC] or [B, nC]; upper/lower: [K·nC] or [B, K·nC] (the DIA
+    face-slot layout of ops/geometry.py, K = len(offsets)).
+    """
+    K = len(offsets)
+    ncp = _pad_lanes(n_cells)
+
+    def to2d(v):
+        v = v if v.ndim == 2 else v[None, :]
+        return v
+
+    diag, b, x0 = to2d(diag), to2d(b), to2d(x0)
+    B = max(diag.shape[0], b.shape[0], x0.shape[0])
+
+    def bpad(v, fill, width=n_cells):
+        v = jnp.broadcast_to(v, (B, width))
+        return jnp.pad(v, ((0, 0), (0, ncp - width)), constant_values=fill)
+
+    dP = bpad(diag, 1.0)
+    bP = bpad(b, 0.0)
+    xP = bpad(x0, 0.0)
+
+    def faces(v):
+        v = v if v.ndim == 2 else v[None, :]
+        v = jnp.broadcast_to(v, (B, K * n_cells)).reshape(B, K, n_cells)
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, ncp - n_cells)))
+        return jnp.swapaxes(v, 0, 1)  # (K, B, nCp)
+
+    uP, lP = faces(upper), faces(lower)
+    mask = jnp.pad(
+        jnp.ones((B, n_cells), dP.dtype), ((0, 0), (0, ncp - n_cells))
+    )
+    return dP, uP, lP, bP, xP, mask, B, ncp
+
+
+def _run(kernel, diag, upper, lower, b, x0, offsets, n_cells, interpret, **kw):
+    dP, uP, lP, bP, xP, mask, B, ncp = _prep(diag, upper, lower, b, x0, offsets, n_cells)
+    dtype = xP.dtype
+    nc = jnp.asarray([[n_cells]], jnp.int32)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, ncp), dtype),
+        jax.ShapeDtypeStruct((B, 1), dtype),
+        jax.ShapeDtypeStruct((B, 1), dtype),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    )
+    fn = pl.pallas_call(
+        functools.partial(kernel, offsets=tuple(int(o) for o in offsets), **kw),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )
+    xs, res0, res, it = fn(nc, dP, uP, lP, bP, xP, mask)
+    return xs, res0, res, it, B
+
+
+def _finish(xs, res0, res, it, B, n_cells, squeeze):
+    x = xs[:, :n_cells]
+    r0 = res0[:, 0]
+    rf = res[:, 0]
+    if squeeze:
+        x, r0, rf = x[0], r0[0], rf[0]
+    return SolverResult(x, r0, rf, it[0, 0])
+
+
+def _batched_solver(kernel, offsets, n_cells, interpret, kw):
+    """custom_vmap wrapper: a jax.vmap over a pallas_call would synthesize
+    BlockSpec index maps whose traced indices are i64 under jax_enable_x64
+    (mosaic rejects them). The kernels natively batch over rows, so the
+    vmap rule simply feeds the stacked operands straight back in — the
+    solve iterates until every row converges (vmapped-while semantics)."""
+
+    @jax.custom_batching.custom_vmap
+    def call(diag, upper, lower, b, x0):
+        squeeze = diag.ndim == 1 and b.ndim == 1 and x0.ndim == 1
+        xs, res0, res, it, B = _run(
+            kernel, diag, upper, lower, b, x0, offsets, n_cells, interpret, **kw
+        )
+        x = xs[:, :n_cells]
+        r0 = res0[:, 0]
+        rf = res[:, 0]
+        if squeeze:
+            x, r0, rf = x[0], r0[0], rf[0]
+        return x, r0, rf, it[0, 0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, diag, upper, lower, b, x0):
+        def bc(v, batched):
+            return v if batched else jnp.broadcast_to(v, (axis_size,) + v.shape)
+
+        args = [
+            bc(v, bt)
+            for v, bt in zip((diag, upper, lower, b, x0), in_batched)
+        ]
+        out = call(*args)
+        return out, (True, True, True, False)
+
+    return call
+
+
+def available() -> bool:
+    return _HAS_PALLAS
+
+
+def enabled(layout: str) -> bool:
+    """Whether the fused-solve path should serve this mesh.
+
+    FIREFOAM_TPU_PALLAS: '1'/'interpret' force on, '0' off; default 'auto'
+    enables on a real TPU backend only (interpret-mode on CPU is far slower
+    than the XLA solvers — it exists for correctness tests)."""
+    if not _HAS_PALLAS or layout != "dia":
+        return False
+    v = os.environ.get("FIREFOAM_TPU_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v in ("1", "interpret"):
+        return True
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def interpret_mode() -> bool:
+    return os.environ.get("FIREFOAM_TPU_PALLAS", "") == "interpret"
+
+
+def operands_on_tpu(*arrays) -> bool:
+    """False when concrete operands live on a non-TPU device — eager solves
+    under the CPU-staging context (hydrostatic init in FireFoamSolver's
+    setup) must not take the mosaic path. Tracers have no devices(): those
+    are jit-bound to the default backend, which enabled() already vets."""
+    if interpret_mode():
+        return True
+    for a in arrays:
+        try:
+            devs = a.devices()
+        except Exception:
+            continue
+        if devs:
+            return all(d.platform == "tpu" for d in devs)
+    return True
+
+
+def dia_bicgstab(
+    diag,
+    upper,
+    lower,
+    b,
+    x0,
+    offsets,
+    n_cells: int,
+    tol: float = 1e-6,
+    rel_tol: float = 0.0,
+    max_iter: int = 1000,
+    interpret: bool = False,
+) -> SolverResult:
+    """Whole-solve fused Jacobi-BiCGStab (PBiCG/PBiCGStab role)."""
+    call = _batched_solver(
+        _bicgstab_kernel, tuple(int(o) for o in offsets), n_cells, interpret,
+        dict(tol=float(tol), rel_tol=float(rel_tol), max_iter=int(max_iter)),
+    )
+    return SolverResult(*call(diag, upper, lower, b, x0))
+
+
+def dia_pcg(
+    diag,
+    upper,
+    lower,
+    b,
+    x0,
+    offsets,
+    n_cells: int,
+    tol: float = 1e-6,
+    rel_tol: float = 0.0,
+    max_iter: int = 1000,
+    interpret: bool = False,
+) -> SolverResult:
+    """Whole-solve fused diagonal-preconditioned CG (PCG/GAMG role).
+
+    Batched over the leading axis when operands are 2-D: every batch row
+    solves its own system; the loop runs until ALL rows converge (matching
+    vmapped-pcg semantics in models/firefoam.py's species solves).
+    """
+    call = _batched_solver(
+        _pcg_kernel, tuple(int(o) for o in offsets), n_cells, interpret,
+        dict(tol=float(tol), rel_tol=float(rel_tol), max_iter=int(max_iter)),
+    )
+    return SolverResult(*call(diag, upper, lower, b, x0))
+
+
+def dia_smooth(
+    diag,
+    upper,
+    lower,
+    b,
+    x0,
+    offsets,
+    n_cells: int,
+    tol: float = 1e-6,
+    rel_tol: float = 0.0,
+    max_iter: int = 1000,
+    omega: float = 0.8,
+    check_every: int = 4,
+    interpret: bool = False,
+) -> SolverResult:
+    """Whole-solve fused damped-Jacobi smoother (smoothSolver role)."""
+    call = _batched_solver(
+        _smooth_kernel, tuple(int(o) for o in offsets), n_cells, interpret,
+        dict(tol=float(tol), rel_tol=float(rel_tol), max_iter=int(max_iter),
+             omega=float(omega), check_every=int(check_every)),
+    )
+    return SolverResult(*call(diag, upper, lower, b, x0))

@@ -171,10 +171,19 @@ class KEqnLES:
         gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
         w = fvm.limited_linear_weights(g, phi.i, k, k=1.0)
 
+        # non-orthogonal correction per the case laplacianSchemes (set by
+        # FireFoamSolver; None = uncorrected)
+        corr = None
+        lapl = getattr(self, "lap_limiter", None)
+        if lapl is not None:
+            corr = fvc.non_orth_correction(
+                g, k, limiter=None if lapl >= 1.0 else lapl
+            )
+
         m = (
             fvm.ddt(g, rho.i, k, k.i, rho_old, dt)
             + fvm.div(g, phi, k, w, vic, vbc)
-            - fvm.laplacian(g, dk_eff_rho, k, gic, gbc)
+            - fvm.laplacian(g, dk_eff_rho, k, gic, gbc, corr=corr)
             + fvm.Sp(g, self.Ce * rho.i * jnp.sqrt(jnp.maximum(k.i, 0.0)) / self.delta, k)
         )
         # −(2/3)ρ·divU·k: SuSp — implicit where coefficient positive
