@@ -35,12 +35,18 @@ def run_case(
     output_dir: Optional[str] = None,
     write_fields: bool = False,
     resume: Optional[str] = None,
+    chunk: int = 1,
 ):
     """Run a case to end_time; returns (solver, final_state, step_logs).
 
     resume: path to a state checkpoint (io.checkpoint), or "auto" to pick
     the latest one under output_dir when controlDict says
     'startFrom latestTime'.
+
+    chunk > 1 is the deployment hot loop: `chunk` steps fused into one
+    scanned jit call (FireFoamSolver.make_chunk) so the device never waits
+    on per-step host dispatch; per-step logs are replayed host-side after
+    each chunk, so function objects and probes see every step.
     """
     import contextlib
 
@@ -94,6 +100,36 @@ def run_case(
 
             wi = solver.ctl.write_interval
             next_write = (_math.floor(float(state["t"]) / wi + 1e-9) + 1) * wi
+    if chunk > 1:
+        chunk_fn = solver.make_chunk(int(chunk))
+        while float(state["t"]) < end - 1e-12 and n < max_steps:
+            state, slog = chunk_fn(state)
+            n += int(chunk)
+            stacked = {k: np.asarray(v) for k, v in slog.items()}
+            for i in range(int(chunk)):
+                log = {k: v[i] for k, v in stacked.items()}
+                logs.append(log)
+                solver.function_objects.record(float(log["t"]), log)
+                if solver.rtis is not None and "rtis" in state:
+                    solver.rtis.record(float(log["t"]), state["rtis"])
+            if verbose:
+                print(
+                    f"Time = {_fmt(state['t'])}  (chunk of {chunk} steps, "
+                    f"Co {_fmt(logs[-1]['CoNum'])}, "
+                    f"T_max {_fmt(logs[-1]['T_max'])})"
+                    if "T_max" in logs[-1]
+                    else f"Time = {_fmt(state['t'])}"
+                )
+            if write_fields and float(state["t"]) + 1e-9 >= next_write:
+                from ..io.checkpoint import checkpoint_path, save_checkpoint
+                from ..io.writer import write_time_dir
+
+                write_time_dir(output_dir, float(state["t"]), solver, state)
+                save_checkpoint(
+                    checkpoint_path(output_dir, float(state["t"])), state
+                )
+                next_write += solver.ctl.write_interval
+        return solver, state, logs
     while float(state["t"]) < end - 1e-12 and n < max_steps:
         state, log = step(state)
         n += 1
@@ -178,6 +214,13 @@ def main(argv=None):
         help="resume from a state checkpoint ('auto': latest under the "
         "output root when controlDict has startFrom latestTime)",
     )
+    ap.add_argument(
+        "--chunk",
+        type=int,
+        default=1,
+        help="fuse N steps into one scanned jit call (TPU deployment hot "
+        "loop; per-step logs are replayed after each chunk)",
+    )
     args = ap.parse_args(argv)
     # The env's TPU PJRT plugin registers itself in every process and wins
     # over the JAX_PLATFORMS env var; a config update is the hard override.
@@ -195,6 +238,7 @@ def main(argv=None):
         output_dir=args.output,
         write_fields=args.write or args.output is not None,
         resume=args.resume,
+        chunk=args.chunk,
     )
     solver.function_objects.write()
     if solver.rtis is not None:

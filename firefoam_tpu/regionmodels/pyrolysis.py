@@ -93,6 +93,13 @@ class ReactingOneDim:
         self.gas_h_source = coeffs.get_bool("gasHSource", False)
         self.qr_h_source = coeffs.get_bool("qrHSource", False)
         self.film_coupled = coeffs.get_bool("filmCoupled", False)
+        # moving-mesh surface regression (reactingOneDim::updateMesh
+        # reactingOneDim.C:214-238 + moving terms :309-354): outgassed mass
+        # shrinks each layer at constant material density; layers clamp at
+        # minimumDelta and stop reacting. All shipped cases set
+        # 'moveMesh false' — the fixed-grid density-decay formulation.
+        self.move_mesh = coeffs.get_bool("moveMesh", False)
+        self.min_delta = coeffs.get_scalar("minimumDelta", 1e-6)
         self.max_di = None  # set from controlDict by the solver
 
         self.region = Region1D.from_case(case_dir, cm, self.region_name)
@@ -210,6 +217,11 @@ class ReactingOneDim:
                 {"mCharBurnt": jnp.zeros((nF,), dtp)} if self.char_oxi else {}
             ),
             **(
+                {"dx": jnp.tile(jnp.asarray(r.dx, dtp), (nF, 1))}
+                if self.move_mesh
+                else {}
+            ),
+            **(
                 {
                     "page": jnp.zeros((nF,), dtp),
                     "QnetSmooth": jnp.zeros((nF,), dtp),
@@ -263,8 +275,14 @@ class ReactingOneDim:
         """One pyrolysis step (reactingOneDim::evolveRegion)."""
         r = self.region
         dtp = self.dtype
-        dx = jnp.asarray(r.dx, dtp)  # [nL]
         rho, Y, T, h, Ys0 = st["rho"], st["Y"], st["T"], st["h"], st["Ys0"]
+        nFc, nLc = rho.shape
+        # per-column layer thicknesses: stateful under moveMesh (surface
+        # regression), else the static extrusion grid
+        if self.move_mesh:
+            dx2 = st["dx"]  # [nF, nL]
+        else:
+            dx2 = jnp.broadcast_to(jnp.asarray(r.dx, dtp), (nFc, nLc))
 
         # ---- chemistry (explicit rates, availability-limited) ----
         RRs, RRg, qc = self.chem.rates(rho, Y, T, Ys0)
@@ -289,6 +307,22 @@ class ReactingOneDim:
                 omega = -RRs[..., rx.lhs]
                 Ys0_new = Ys0_new.at[..., rx.rhs_solid].add(rx.sr * omega * dt)
 
+        # ---- moving-mesh surface regression (reactingOneDim::updateMesh,
+        # reactingOneDim.C:214-238): the outgassed mass shrinks each layer
+        # at (approximately) constant material density — dx scales with the
+        # remaining mass, density recovers to its pre-step value, and layers
+        # clamp at minimumDelta (clamped layers stop reacting through the
+        # availability limiter as their mass runs out). Per-volume c₀
+        # concentrations rescale with the compression.
+        if self.move_mesh:
+            dx_reg = jnp.maximum(
+                dx2 * rho_new / jnp.maximum(rho, small()), self.min_delta
+            )
+            Ys0_new = Ys0_new * (dx2 / dx_reg)[..., None]
+            rho_reg = rho_new * dx2 / dx_reg
+        else:
+            dx_reg, rho_reg = dx2, rho_new
+
         # ---- energy: implicit tridiagonal in h ----
         cp = self.thermo.cp(Y_new)  # [nF,nL]
         kappa = self.thermo.kappa(Y_new)
@@ -296,8 +330,7 @@ class ReactingOneDim:
         # interior face values (linear interp) and centre distances
         a_f = 0.5 * (alpha[:, 1:] + alpha[:, :-1])
         k_f = 0.5 * (kappa[:, 1:] + kappa[:, :-1])
-        x = jnp.asarray(r.x, dtp)
-        dcc = x[1:] - x[:-1]  # [nL-1]
+        dcc = 0.5 * (dx_reg[:, 1:] + dx_reg[:, :-1])  # [nF, nL-1]
         cond = a_f / dcc  # implicit conductance per unit area
 
         nF, nL = rho.shape
@@ -306,11 +339,13 @@ class ReactingOneDim:
         lower = lower.at[:, 1:].set(-cond)
         upper = upper.at[:, :-1].set(-cond)
         # diag: transient + gas-loss sink + conductances of both cell faces
-        diag = rho_new * dx / dt + RRg * dx
+        # (transient mass rho_reg·dx_reg == rho_new·dx2 — regridding moves
+        # no mass)
+        diag = rho_reg * dx_reg / dt + RRg * dx2
         diag = diag.at[:, 1:].add(cond)
         diag = diag.at[:, :-1].add(cond)
 
-        rhs = rho * h * dx / dt + qc * dx
+        rhs = rho * h * dx2 / dt + qc * dx2
         # explicit correction: ∇·(κ∇T) − ∇·(α∇h) (composition-varying cp)
         corr_f = k_f * (T[:, 1:] - T[:, :-1]) / dcc - a_f * (h[:, 1:] - h[:, :-1]) / dcc
         rhs = rhs.at[:, :-1].add(corr_f)
@@ -359,7 +394,7 @@ class ReactingOneDim:
             phi_o2 = -q_conv["alphaDelta_O2"] * q_conv["O2_nbr"] * area
             dm_o2 = -phi_o2 * dt  # [kg] arriving this step
             # available char in the column
-            vol_l = dx[None, :] * area[:, None]
+            vol_l = dx_reg * area[:, None]
             m_char = jnp.sum(
                 rho_new * Y_new[..., self.char_idx] * vol_l, axis=1
             )
@@ -377,13 +412,13 @@ class ReactingOneDim:
         T_new = self.thermo.T_from_hs(h_new, Y_new)
 
         # ---- mass transfer to the gas (calculateMassTransfer) ----
-        phi_gas = jnp.sum(RRg * dx[None, :], axis=1) * area  # [nF] kg/s
-        mlr = jnp.sum(RRg * dx[None, :], axis=1)  # kg/m²/s
+        phi_gas = jnp.sum(RRg * dx2, axis=1) * area  # [nF] kg/s
+        mlr = jnp.sum(RRg * dx2, axis=1)  # kg/m²/s
 
         # ---- roll-paper delamination + buffered fuel release ----
         rp_state = {}
         if self.roll_paper:
-            paper_thick = dx[0]
+            paper_thick = dx_reg[:, 0]
             Ts = T_new[:, 0]
             qnet_s = (st["QnetSmooth"] + A0 * dt) / (1.0 + dt)
             # delaminate where the surface exceeds Tcrt: peel one page —
@@ -393,12 +428,12 @@ class ReactingOneDim:
             lv = paper_thick * area  # surface-layer volume per column
             # per-species surface-layer mass; the peeled page carries
             # paperToFuelRatio of the VIRGIN (species 0) mass into the buffer
-            m_sp = rho_new[:, 0, None] * Y_new[:, 0, :] * lv[:, None]
+            m_sp = rho_reg[:, 0, None] * Y_new[:, 0, :] * lv[:, None]
             pM = jnp.where(dela, m_sp[:, 0] * self.paper_to_fuel, 0.0)
             v0 = st["vD0"] + pM
             m_sp = m_sp.at[:, 0].add(-pM)
             m_tot = jnp.maximum(m_sp.sum(-1), small())
-            rho_new = rho_new.at[:, 0].set(jnp.maximum(m_tot / lv, 1e-3))
+            rho_reg = rho_reg.at[:, 0].set(jnp.maximum(m_tot / lv, 1e-3))
             Y_new = Y_new.at[:, 0, :].set(m_sp / m_tot[:, None])
             page = st["page"] + dela.astype(dtp)
             # double-exponential release (reactingOneDimRPvol.C:203-209)
@@ -423,9 +458,9 @@ class ReactingOneDim:
                 "vD2": v2,
             }
 
-        vol = dx[None, :] * area[:, None]
+        vol = dx_reg * area[:, None]
         st_new = {
-            "rho": rho_new,
+            "rho": rho_reg,
             "Y": Y_new,
             "T": T_new,
             "h": h_new,
@@ -433,6 +468,7 @@ class ReactingOneDim:
             "lostSolidMass": st["lostSolidMass"] - jnp.sum(RRs.sum(-1) * vol) * dt,
             "addedGasMass": st["addedGasMass"] + jnp.sum(RRg * vol) * dt,
             **({"mCharBurnt": m_char_burnt} if self.char_oxi else {}),
+            **({"dx": dx_reg} if self.move_mesh else {}),
             **rp_state,
         }
         out = {
@@ -452,8 +488,11 @@ class ReactingOneDim:
     def diffusion_number(self, st: Dict, dt) -> jnp.ndarray:
         """solidRegionDiffNo (reactingOneDim.C:612-629)."""
         r = self.region
-        x = jnp.asarray(r.x, self.dtype)
-        dcc = x[1:] - x[:-1]
+        if "dx" in st:  # moveMesh: regressed per-column grid
+            dcc = 0.5 * (st["dx"][:, 1:] + st["dx"][:, :-1])
+        else:
+            x = jnp.asarray(r.x, self.dtype)
+            dcc = x[1:] - x[:-1]
         Y, rho = st["Y"], st["rho"]
         kappa = self.thermo.kappa(Y)
         rcp = rho * self.thermo.cp(Y)

@@ -234,3 +234,45 @@ def test_roll_paper_delamination(tmp_path):
     assert float(out2["phiGas"][0]) >= 0.0
     assert float(st2["vD1"][0]) > 0.0
     assert float(st2["blockFactor"][0]) < 1.0
+
+
+# ---------------------------------------------------------------------------
+def test_move_mesh_regression(tmp_path):
+    """moveMesh true (reactingOneDim::updateMesh, reactingOneDim.C:214-238):
+    outgassed mass shrinks the layers at ~constant material density; total
+    solid mass stays consistent with the pyrolysate flux and thickness
+    regresses monotonically down to minimumDelta."""
+    import shutil
+
+    from conftest import reference_case
+
+    src = reference_case("pyrolysis1D")
+    case = tmp_path / "mm"
+    shutil.copytree(src, case, symlinks=True,
+                    ignore=shutil.ignore_patterns("original"))
+    pz = case / "constant" / "pyrolysisZones"
+    txt = pz.read_text().replace("moveMesh        false;", "moveMesh        true;")
+    assert "moveMesh        true;" in txt
+    pz.write_text(txt)
+    cm = build_case_mesh(str(case))
+    z = PyrolysisCollection(str(case), cm).zones[0]
+    assert z.move_mesh
+    st = z.initial_state()
+    assert "dx" in st
+    dx0 = np.asarray(st["dx"]).copy()
+    area = float(np.asarray(z.region.area)[0])
+    m0 = float(jnp.sum(st["rho"] * st["dx"]) * area)
+    gas_total = 0.0
+    dt = 0.05
+    for _ in range(200):
+        st, out = z.evolve(st, dt)
+        gas_total += float(out["phiGas"][0]) * dt
+    dx_end = np.asarray(st["dx"])
+    # thickness regressed where pyrolysis consumed mass
+    assert dx_end.sum() < dx0.sum()
+    assert (dx_end >= z.min_delta - 1e-15).all()
+    # mass balance: solid mass lost == pyrolysate delivered to the gas
+    m_end = float(jnp.sum(st["rho"] * st["dx"]) * area)
+    assert abs((m0 - m_end) - gas_total) < 5e-3 * m0
+    # density stays near the material density (no artificial decay)
+    assert float(st["rho"].min()) > 0.25 * float(np.asarray(st["rho"]).max())
