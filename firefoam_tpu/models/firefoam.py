@@ -349,6 +349,22 @@ class FireFoamSolver:
         self._read_initial_fields()
         if self.pyrolysis is not None:
             self._init_pyro_coupling()
+        # emissivityMode solidRadiation/pyrolysisModel on IDefault patches
+        # (greyDiffusiveRadiationFire / FF BC variants): wall ε for those
+        # faces tracks the coupled pyrolysis zone's surface emissivity
+        # (radiationCoupledBaseFF.C SOLIDRADIATION/PYROLYSISMODELE — the
+        # mapped neighbour-region 'emissivity' field of
+        # greyDiffusiveRadiationFire...C:246-275)
+        if (
+            self.radiation is not None
+            and self.pyrolysis is not None
+            and getattr(self.radiation, "solid_eps_mask", None) is not None
+            and (
+                self.radiation.solid_eps_mask.any()
+                or self.radiation.solid_abs_mask.any()
+            )
+        ):
+            self.radiation.solid_eps_fn = self._solid_wall_emissivity
 
         # ---- function objects + rti probes (controlDict functions,
         # lib/rtiProbes) ----
@@ -732,6 +748,17 @@ class FireFoamSolver:
                 entries.append((patch, rows, loc, scale))
             if entries:
                 self._pyro_maps[z.region_name] = entries
+
+    def _solid_wall_emissivity(self, state: Dict) -> jnp.ndarray:
+        """Per-boundary-face emissivity with pyrolysis-coupled faces set to
+        the zone's current surface emissivity (composition-weighted solid ε,
+        radiationCoupledBaseFF.C PYROLYSISMODELE/SOLIDRADIATION: the wall ε
+        seen by fvDOM is the solid region's, not a dictionary constant)."""
+        eps = self.radiation.emissivity
+        for z, zst in zip(self.pyrolysis.zones, state["pyro"]):
+            bidx = jnp.asarray(z.region.prim_bidx)
+            eps = eps.at[bidx].set(z.thermo.emissivity(zst["Y"][:, 0]))
+        return eps
 
     def _evolve_pyrolysis(self, state: Dict, log, srcs=None) -> Tuple[Dict, Dict]:
         """pyrolysis.evolve() (fireFoam.C:92-95) + gas-side BC overrides."""

@@ -196,6 +196,17 @@ class FvDOM:
     reaction: object = None  # set by the solver (spSoot/localFuelRadFrac)
     epsilon_fn: object = None  # state → SGS dissipation (spSoot strain rate)
     n_lambda: int = 1
+    # FF/Fire BC variants (lib/thermophysicalModels/radiation/
+    # derivedFvPatchFields): separate wall absorptivity (radiationCoupledBaseFF
+    # absorptivityMode — greyDiffusiveRadiationFF...C:199-210 uses
+    # (1−absorptivity)·qin for the reflection while emitting ε·σT⁴), and
+    # emissivityMode solidRadiation/pyrolysisModel where the wall emissivity
+    # is the coupled solid region's surface emissivity each step
+    # (greyDiffusiveRadiationFire...C:246-275 mapped 'emissivity' field).
+    absorptivity: object = None  # [nB]; None → equal to emissivity
+    solid_eps_mask: object = None  # bool [nB]: ε from coupled solid region
+    solid_abs_mask: object = None  # bool [nB]: absorptivity likewise
+    solid_eps_fn: object = None  # set by the solver: state → ε_b [nB]
 
     # ------------------------------------------------------------ factory
     @classmethod
@@ -269,7 +280,9 @@ class FvDOM:
             spsoot = SpSootRadFrac.from_case(case, aec, turb_ck=ck)
         p1 = tuple(str(x) for x in _aslist(aec.lookup("patch1", [])))
         p2 = tuple(str(x) for x in _aslist(aec.lookup("patch2", [])))
-        emissivity = _read_wall_emissivity(case, geom, dtype)
+        emissivity, absorptivity, solid_eps_mask, solid_abs_mask = (
+            _read_wall_radprops(case, geom, dtype)
+        )
         sigma_s = 0.0
         scatter_C = 0.0
         if str(rp.lookup("scatterModel", "none")) == "constantScatter":
@@ -295,6 +308,9 @@ class FvDOM:
             ae_model=aem,
             grey_species=grey_species,
             emissivity=emissivity,
+            absorptivity=absorptivity,
+            solid_eps_mask=solid_eps_mask,
+            solid_abs_mask=solid_abs_mask,
             wsggm=wsggm,
             sigma_s=sigma_s,
             scatter_C=scatter_C,
@@ -466,6 +482,19 @@ class FvDOM:
         k_tot = a_gas + a_disp  # absorptionEmissionModel::a = aCont + aDisp
 
         emis = self.emissivity
+        absorp = self.absorptivity if self.absorptivity is not None else emis
+        # emissivityMode solidRadiation / pyrolysisModel (FF/Fire BC
+        # variants): wall ε/absorptivity come from the coupled solid
+        # region's current surface emissivity (radiationCoupledBaseFF.C
+        # SOLIDRADIATION/PYROLYSISMODELE branches)
+        if self.solid_eps_fn is not None:
+            eps_dyn = self.solid_eps_fn(state)
+            if self.solid_eps_mask is not None and bool(self.solid_eps_mask.any()):
+                emis = jnp.where(jnp.asarray(self.solid_eps_mask), eps_dyn, emis)
+            if self.solid_abs_mask is not None and bool(self.solid_abs_mask.any()):
+                absorp = jnp.where(
+                    jnp.asarray(self.solid_abs_mask), eps_dyn, absorp
+                )
         sigT4_w = SIGMA * T.b**4
         # per-band emission source (per ω, per π):
         #   (k − aDisp)·σT⁴·enFrac + E/4 + Ep/4   (radiativeIntensityRay.C:296-303)
@@ -492,8 +521,10 @@ class FvDOM:
             # incident flux per band per boundary face for (1−ε) reflection
             w_in = jnp.maximum(-self.phi_ray_b, 0.0) / g.b_magSf  # [nR, nB]
             qin = jnp.einsum("rlb,rb->lb", I[:, :, g.b_own], w_in)  # [nL, nB]
+            # reflection uses the wall ABSORPTIVITY (FF variants allow it to
+            # differ from ε — greyDiffusiveRadiationFF...C:233-238)
             I_wall = (
-                emis[None] * enf_b * sigT4_w[None] + (1.0 - emis[None]) * qin
+                emis[None] * enf_b * sigT4_w[None] + (1.0 - absorp[None]) * qin
             ) / jnp.pi  # [nL, nB]
 
             # in-scatter source [nR, nL, nC] (before the ω_s factor applied
@@ -711,32 +742,65 @@ def _aslist(v):
     return v if isinstance(v, list) else [v]
 
 
-def _read_wall_emissivity(case, geom: MeshGeometry, dtype) -> jnp.ndarray:
-    """Per-boundary-face wall emissivity from 0/IDefault greyDiffusiveRadiation
-    patches ('emissivityMode lookup; emissivity uniform X' — reference
-    greyDiffusiveRadiationMixedFvPatchScalarField / radiationCoupledBase).
-    Unspecified patches (and solidRadiation mode) default to 1."""
+def _uniform_scalar(bd, key):
+    v = bd.lookup(key, None)
+    if v is None:
+        return None
+    if isinstance(v, list):  # 'uniform 1.0' tokenises as [String, value]
+        v = v[-1]
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _read_wall_radprops(case, geom: MeshGeometry, dtype):
+    """Per-boundary-face wall emissivity + absorptivity from 0/IDefault
+    greyDiffusiveRadiation(FF/Fire) / wideBandDiffusiveRadiation(FF) patches.
+
+    Reference semantics (radiationCoupledBase + radiationCoupledBaseFF.H:62-75):
+      emissivityMode   lookup          → 'emissivity uniform X' from the dict
+                       solidRadiation / solidThermo / pyrolysisModel
+                                       → ε mapped from the coupled solid
+                                         region each step (dynamic mask here)
+      absorptivityMode emissivity (default) → absorptivity = emissivity
+                       lookup          → 'absorptivity uniform X'
+                       solidRadiation / pyrolysisModel → dynamic mask
+    Unspecified patches default to ε = absorptivity = 1 (black walls).
+
+    Returns (emissivity[nB], absorptivity[nB], solid_eps_mask[nB],
+    solid_abs_mask[nB]); masks are numpy bool."""
     em = np.ones(geom.n_boundary)
+    ab = np.ones(geom.n_boundary)
+    m_e = np.zeros(geom.n_boundary, bool)
+    m_a = np.zeros(geom.n_boundary, bool)
+    solid_modes = ("solidRadiation", "solidThermo", "pyrolysisModel")
     try:
         ff = case.field("IDefault")
     except (FileNotFoundError, AttributeError, TypeError):
-        return jnp.asarray(em, dtype)
+        return jnp.asarray(em, dtype), jnp.asarray(ab, dtype), m_e, m_a
     for p in geom.patches:
         bd = ff.boundary.get_dict(p.name, None)
         if bd is None:
             continue
-        if str(bd.lookup("emissivityMode", "lookup")) != "lookup":
-            continue
-        v = bd.lookup("emissivity", None)
-        if v is None:
-            continue
-        if isinstance(v, list):  # 'uniform 1.0' tokenises as [String, value]
-            v = v[-1]
-        try:
-            em[p.slice] = float(v)
-        except (TypeError, ValueError):
-            pass
-    return jnp.asarray(em, dtype)
+        emode = str(bd.lookup("emissivityMode", "lookup"))
+        if emode in solid_modes:
+            m_e[p.slice] = True
+        else:
+            v = _uniform_scalar(bd, "emissivity")
+            if v is not None:
+                em[p.slice] = v
+        amode = str(bd.lookup("absorptivityMode", "emissivity"))
+        if amode in solid_modes:
+            m_a[p.slice] = True
+        elif amode == "lookup":
+            v = _uniform_scalar(bd, "absorptivity")
+            if v is not None:
+                ab[p.slice] = v
+        else:  # 'emissivity': mirror the emissivity (incl. its solid mask)
+            ab[p.slice] = em[p.slice]
+            m_a[p.slice] = m_e[p.slice]
+    return jnp.asarray(em, dtype), jnp.asarray(ab, dtype), m_e, m_a
 
 
 class _DeferredFvDOM:

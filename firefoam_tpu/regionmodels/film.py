@@ -119,23 +119,52 @@ class ThermoSingleLayerFilm:
         def _htc(side_key, default_c0):
             side = coeffs.get_dict(side_key, FoamDict())
             model = side.get_word("heatTransferModel", "constant")
-            c0 = side.get_dict(model + "Coeffs", FoamDict()).get_scalar(
-                "c0", default_c0
-            )
-            return model, c0
+            mc = side.get_dict(model + "Coeffs", FoamDict())
+            c0 = mc.get_scalar("c0", default_c0)
+            return model, c0, mc.get_scalar("L", 1.0)
 
-        self.htcw_model, self.htc_wall = _htc("lowerSurfaceModels", 1e3)
-        self.htcs_model, self.htc_gas = _htc("upperSurfaceModels", 10.0)
+        self.htcw_model, self.htc_wall, _ = _htc("lowerSurfaceModels", 1e3)
+        self.htcs_model, self.htc_gas, self.htc_L = _htc("upperSurfaceModels", 10.0)
 
         # ---- filmViscosityModel (submodels/thermo/filmViscosity): liquid
         # (property correlation), constant mu0, Arrhenius factor over the
         # base liquid viscosity (ArrheniusViscosity.C::correct)
         self.visc_model = coeffs.get_word("filmViscosityModel", "liquid")
-        vc = coeffs.get_dict(self.visc_model + "ViscosityCoeffs", FoamDict())
+        vc = coeffs.get_dict(
+            self.visc_model + "ViscosityCoeffs",
+            coeffs.get_dict(self.visc_model + "Coeffs", FoamDict()),
+        )
         self.mu0 = _dimval(vc.lookup("mu0", 1e-3))
         self.visc_k1 = vc.get_scalar("k1", 0.0)
         self.visc_k2 = vc.get_scalar("k2", 0.0)
         self.visc_Tref = vc.get_scalar("Tref", 298.15)
+        # thixotropicViscosity (thixotropicViscosity.C:103-166): structure
+        # parameter λ ∈ [0,1] transported with the film, built up at
+        # a·(1−λ)^b and broken down at c·γ̇^d·λ (γ̇ = |Us−Uw|/δ); viscosity
+        # from the Barnes mixing rule μ = μ∞/(1−K·λ)², K = 1−√(μ∞/μ0)
+        self.thixotropic = self.visc_model == "thixotropic"
+        if self.thixotropic:
+            self.thx_a = _dimval(vc.lookup("a", 0.0))
+            self.thx_b = _dimval(vc.lookup("b", 1.0))
+            self.thx_c = _dimval(vc.lookup("c", 0.0))
+            self.thx_d = _dimval(vc.lookup("d", 1.0))
+            self.thx_muInf = _dimval(vc.lookup("muInf", self.mu0))
+            self.thx_K = 1.0 - math.sqrt(self.thx_muInf / max(self.mu0, 1e-300))
+
+        # ---- phaseChangeModel: standardPhaseChange (Spalding + boil) or
+        # solidification (solidification.C:110-160 — below T0 a rate-limited
+        # fraction of the local mass freezes to the substrate; the energy
+        # goes to the wall, so no latent-heat term)
+        self.pc_model = coeffs.get_word("phaseChangeModel", "standardPhaseChange")
+        sc = coeffs.get_dict("solidificationCoeffs", FoamDict())
+        self.solid_T0 = sc.get_scalar("T0", 273.15)
+        self.solid_max_frac = sc.get_scalar("maxSolidificationFrac", 0.2)
+        self.solid_max_rate = _dimval(sc.lookup("maxSolidificationRate", 1e30))
+
+        # ---- massAbsorptionModel (standardMassAbsorption.C — the same
+        # T-interpolated power-law uptake as the Pw `absorption` flag)
+        if coeffs.get_word("massAbsorptionModel", "none") == "standardMassAbsorption":
+            self.absorption = True
 
         # ---- filmRadiation (standardRadiation: absorbed fraction of the
         # incident flux — FM fork Shs = qin·alpha, standardRadiation.C::Shs;
@@ -185,6 +214,10 @@ class ThermoSingleLayerFilm:
         n = np.asarray(fm.n_hat)
         g_tan = g[None, :] - (n @ g)[:, None] * n
         self.fm.g_tan = jnp.asarray(g_tan, self.dtype)
+        # rim-edge inlet BCs (derivedFvPatchFields film inlet family)
+        from .filmbcs import bind_liquid, parse_film_inlets
+
+        self.inlets = bind_liquid(parse_film_inlets(coeffs, fm, g_tan), self.liquid)
         # dripping rim edges: gravity has a component out of the film there
         be_m = np.asarray(fm.be_m)
         self._drip_edge = jnp.asarray((be_m @ g) > 0.1 * np.linalg.norm(g) + 1e-12)
@@ -230,14 +263,23 @@ class ThermoSingleLayerFilm:
         if self.absorption:
             st["cumAbsorption"] = jnp.zeros((nF,), dtp)  # kg/m² absorbed
             st["absorbedMass"] = jnp.zeros((), dtp)
+        if self.thixotropic:
+            st["lambda"] = jnp.ones((nF,), dtp)  # fully structured at rest
+        if self.pc_model == "solidification":
+            st["solidMass"] = jnp.zeros((nF,), dtp)  # kg/m² frozen out
         return st
 
     # ------------------------------------------------------------------
-    def _viscosity(self, p, T):
-        """filmViscosityModel: liquid correlation, constant mu0, or the
-        Arrhenius factor over the liquid base (ArrheniusViscosity.C)."""
+    def _viscosity(self, p, T, lam=None):
+        """filmViscosityModel: liquid correlation, constant mu0, the
+        Arrhenius factor over the liquid base (ArrheniusViscosity.C), or
+        thixotropic μ = μ∞/(1−K·λ)² (thixotropicViscosity.C:90,
+        K = 1−√(μ∞/μ0))."""
         if self.visc_model == "constant":
             return jnp.full_like(T, self.mu0)
+        if self.thixotropic:
+            lam = jnp.clip(lam if lam is not None else jnp.ones_like(T), 0.0, 1.0)
+            return self.thx_muInf / (1.0 - self.thx_K * lam + small()) ** 2
         mu = self.liquid.mu(p, T)
         if self.visc_model == "Arrhenius":
             mu = mu * jnp.exp(
@@ -245,6 +287,45 @@ class ThermoSingleLayerFilm:
                 * (1.0 / (T + self.visc_k2) - 1.0 / (self.visc_Tref + self.visc_k2))
             )
         return mu
+
+    def _htc_lower(self, p, T, U, delta, mu, rho):
+        """Wall-side heatTransferModel h (thermoSingleLayer htcw_):
+        constant c0, conduction 2κ_f/δ (conductionHeatTransfer.C:95-98),
+        or alKhalil Nu = 3.20 + 0.000237·Re_δ with Re_δ = ρ|Uw−Us|δ/μ and
+        h = Nu·κ_f/δ capped at 1e4 (alKhalilHeatTransfer.C:95-120;
+        |Uw−Us| ≈ 1.5|U| for the laminar parabolic profile, Uw = 0)."""
+        if self.htcw_model == "conduction":
+            kap = self.liquid.kappa(p, T)
+            return jnp.minimum(2.0 * kap / jnp.maximum(delta, 1e-8), 1.2e4)
+        if self.htcw_model == "alKhalil":
+            kap = self.liquid.kappa(p, T)
+            dU = 1.5 * jnp.linalg.norm(U, axis=1)
+            Re = rho * dU * delta / jnp.maximum(mu, 1e-12)
+            Nu = 3.20 + 0.000237 * Re
+            return jnp.minimum(Nu * kap / jnp.maximum(delta, 1e-8), 1e4)
+        return jnp.full_like(T, self.htc_wall)
+
+    def _htc_upper(self, T, U, U_gas, T_gas, rho_gas, htc_mapped):
+        """Gas-side heatTransferModel h (htcs_): constant c0, the gas-side
+        mapped htc (mappedConvectiveHeatTransfer), or the flat-plate
+        correlation Nu = 0.664·Re^½·Pr^⅓ (Re < 5e5) / 0.037·Re^0.8·Pr^⅓
+        with Re = ρ_g·|U_g−U_f|·L/μ_g (flatPlateHeatTransfer.C:52-66 and
+        the htcConv BC, htcConvFvPatchScalarField.C:128-138). Gas μ from
+        Sutherland air, Pr = 0.7, cp = 1007 (the film never sees the gas
+        thermo object — these are the air transport constants)."""
+        if self.htcs_model in ("flatPlate", "htcConv"):
+            mu_g = 1.458e-6 * T_gas**1.5 / (T_gas + 110.4)
+            kappa_g = mu_g * 1007.0 / 0.7
+            dU = jnp.linalg.norm(U_gas - U, axis=1)
+            Re = rho_gas * dU * self.htc_L / jnp.maximum(mu_g, 1e-12)
+            Pr13 = 0.7 ** (1.0 / 3.0)
+            Nu = jnp.where(
+                Re < 5.0e5, 0.664 * jnp.sqrt(Re) * Pr13, 0.037 * Re**0.8 * Pr13
+            )
+            return Nu * kappa_g / self.htc_L
+        if self.htcs_model == "constant" or htc_mapped is None:
+            return jnp.full_like(T, self.htc_gas)
+        return htc_mapped
 
     def _absorbed_radiation(self, qr, delta, alpha):
         """filmRadiation submodel: absorbed fraction of the incident flux."""
@@ -276,7 +357,7 @@ class ThermoSingleLayerFilm:
         delta, U, T = st["delta"], st["U"], st["T"]
         p = 101325.0
         rho = self.liquid.rho(p, T)
-        mu = self._viscosity(p, T)
+        mu = self._viscosity(p, T, st.get("lambda"))
         cp = self.liquid.cp(p, T)
         alpha = self.alpha(delta)
         if self.partial_wetting:
@@ -307,17 +388,17 @@ class ThermoSingleLayerFilm:
         T_gas = inp.get("T_gas")
         if T_gas is None:
             T_gas = jnp.full_like(T, 298.15)
-        # upperSurfaceModels: constant c0 or mappedConvective (gas-side htc
-        # mapped from the primary region — thermoSingleLayer htcs_)
-        htc_gas = inp.get("htc_gas")
-        if htc_gas is None or self.htcs_model == "constant":
-            htc_gas = jnp.full_like(T, self.htc_gas)
         U_gas = inp.get("U_gas")
         if U_gas is None:
             U_gas = jnp.zeros_like(U)
         rho_gas = inp.get("rho_gas")
         if rho_gas is None:
             rho_gas = jnp.full_like(T, 1.2)
+        # heatTransferModel selection per side (constant / mappedConvective
+        # / conduction / alKhalil / flatPlate)
+        htc_gas = self._htc_upper(
+            T, U, U_gas, T_gas, rho_gas, inp.get("htc_gas")
+        )
         qr = inp.get("qr")  # absorbed radiation [W/m²]
         if qr is None:
             qr = jnp.zeros_like(T)
@@ -340,6 +421,36 @@ class ThermoSingleLayerFilm:
         if p_gas is None:
             p_gas = jnp.full_like(T, 101325.0)
 
+        htc_wall = self._htc_lower(p, T, U, delta, mu, rho)
+
+        # ---- rim-edge inlet BCs (derivedFvPatchFields inlet family —
+        # filmbcs.py): prescribed δ/U/T inflow becomes a mass/momentum/
+        # energy source on the rim faces ----
+        m_inlet = jnp.zeros_like(delta)
+        mom_inlet = jnp.zeros_like(U)
+        h_inlet = jnp.zeros_like(delta)
+        for inlet in self.inlets:
+            q = inlet.inflow(self.liquid, inp.get("t", 0.0))
+            rows = jnp.asarray(inlet.rows)
+            faces = fm.be_face[rows]
+            L_e = fm.be_len[rows]
+            m_e = q["rho"] * q["delta"] * q["u"] * L_e  # kg/s per edge
+            dirv = -fm.be_m[rows]  # into the film
+            wob = q["wobble"]
+            if inlet.kind == "filmHeightInletVelocityWavy":
+                tan_e = jnp.cross(fm.n_hat[faces], dirv)
+                dirv = dirv + wob[:, None] * tan_e  # un-normalised, as the
+                # reference's perturbed n (filmHeightInletVelocityWavy…C:141)
+            cp_in = inlet.cp_in
+            inv_A = 1.0 / fm.area[faces]
+            m_inlet = m_inlet.at[faces].add(m_e * inv_A)
+            mom_inlet = mom_inlet.at[faces].add(
+                (m_e * q["u"] * inv_A)[:, None] * dirv
+            )
+            h_inlet = h_inlet.at[faces].add(m_e * cp_in * inlet.T_in * inv_A)
+        m_imp = m_imp + m_inlet
+        h_imp = h_imp + h_inlet
+
         # ---- phase change (standardPhaseChange: Spalding + boil limit) ----
         pv = self.liquid.pv(p_gas, T)
         hl = self.liquid.hl(p_gas, T)
@@ -351,12 +462,25 @@ class ThermoSingleLayerFilm:
         kc = htc_gas / jnp.maximum(rho_gas * 1007.0, 1e-30)  # hm ≈ h/(ρ cp) Lewis≈1
         m_evap = rho_gas * kc * jnp.log1p(B)  # kg/m²/s
         q_rad = self._absorbed_radiation(qr, delta, self.alpha(delta))
-        q_in_tot = self.htc_wall * (T_wall - T) + htc_gas * (T_gas - T) + qr
+        q_in_tot = htc_wall * (T_wall - T) + htc_gas * (T_gas - T) + qr
         m_boil = jnp.maximum(q_in_tot, 0.0) / hl
         boiling = T >= 373.0
         m_evap = jnp.where(boiling, jnp.maximum(m_evap, m_boil), m_evap)
         m_evap = m_evap * alpha  # only where wet
         m_evap = jnp.minimum(m_evap, rho * delta / jnp.maximum(dt_sub, small()))
+        if self.pc_model == "none":
+            m_evap = jnp.zeros_like(m_evap)
+        elif self.pc_model == "solidification":
+            # solidification.C:110-160: below T0 a rate-limited fraction of
+            # the local film freezes out each step (no latent-heat term —
+            # the heat is assumed taken by the wall); no evaporation
+            rate_lim = jnp.minimum(self.solid_max_frac, self.solid_max_rate * dt_sub)
+            freeze = (alpha > 0.5) & (T < self.solid_T0)
+            dm_sol = jnp.where(freeze, rate_lim * rho * delta, 0.0)  # kg/m²
+            m_evap = dm_sol / jnp.maximum(dt_sub, small())
+            st = dict(st)
+            st["solidMass"] = st["solidMass"] + dm_sol
+            hl = jnp.zeros_like(hl)  # mass leaves with no latent heat
 
         # ---- Pw surface absorption (partialWetting.H:169-199): wet faces
         # soak liquid into the substrate by the T-interpolated power law
@@ -520,7 +644,12 @@ class ThermoSingleLayerFilm:
             -div_mom
             - (drip)[:, None] * U  # dripping mass carries its momentum away
             + delta[:, None] * fm.g_tan
-            + (tau_gas + f_surf + m_imp[:, None] * inp.get("U_imp", U * 0.0))
+            + (
+                tau_gas
+                + f_surf
+                + (m_imp - m_inlet)[:, None] * inp.get("U_imp", U * 0.0)
+                + mom_inlet
+            )
             / rho[:, None]
         )
         mom_new = mom + dt_sub * rhs
@@ -534,20 +663,53 @@ class ThermoSingleLayerFilm:
 
         # ---- energy ----
         q_net = (
-            self.htc_wall * (T_wall - T) * alpha
+            htc_wall * (T_wall - T) * alpha
             + htc_gas * (T_gas - T) * alpha
             + q_rad
             - m_evap * hl
             + h_imp
         )
         en = delta * T
-        # dripping mass carries its enthalpy away (−drip·T)
-        en_new = en + dt_sub * (-div_e - drip * T + q_net / (rho * cp))
+        # departing mass carries its sensible enthalpy away: dripping,
+        # evaporation/solidification, and substrate absorption all leave at
+        # the film temperature (the incoming side adds h_imp symmetrically)
+        en_new = en + dt_sub * (
+            -div_e
+            - (drip + (m_evap + m_abs) / rho) * T
+            + q_net / (rho * cp)
+        )
         T_new = jnp.where(delta_new > 1e-8, en_new / d_new_eff, T_wall)
         T_new = jnp.clip(T_new, self.T_min, self.T_max)
 
+        # ---- thixotropic structure transport (thixotropicViscosity.C:
+        # 147-166): dλ/dt + ∇ₛ·(u λ) − λ∇ₛ·u = a(1−λ)^b − c·γ̇^d·λ −
+        # (ṁ_imp/m_film)·λ (added droplets arrive unstructured, λ = 0) ----
+        lam_new = None
+        if self.thixotropic:
+            lam = jnp.clip(st["lambda"], 0.0, 1.0)
+            g_dot = alpha * 1.5 * jnp.linalg.norm(U, axis=1) / jnp.maximum(
+                d_eff, small()
+            )  # γ̇ = |Us−Uw|/δ, Us ≈ 1.5U
+            adv = jnp.zeros_like(lam)
+            if fm.e_own.shape[0] > 0:
+                lam_up = fm.edge_upwind(q_edge, lam)
+                # convective transport of λ at the film velocity (phi/deltaRho)
+                adv = fm.div_edges(q_edge * lam_up) - lam * fm.div_edges(q_edge)
+            dilute = m_imp / jnp.maximum(rho * d_eff, small())
+            dlam = (
+                self.thx_a * jnp.maximum(1.0 - lam, 0.0) ** self.thx_b
+                - self.thx_c * g_dot**self.thx_d * lam
+                - dilute * lam
+                - adv
+            )
+            lam_new = jnp.clip(lam + dt_sub * dlam, 0.0, 1.0)
+
+        # frozen (solidification) mass stays on the substrate — only real
+        # evaporation reaches the gas as vapour
         out = {
-            "m_evap": m_evap,  # kg/m²/s to the gas (H2O vapour)
+            "m_evap": (
+                m_evap if self.pc_model != "solidification" else jnp.zeros_like(m_evap)
+            ),  # kg/m²/s to the gas (H2O vapour)
             "q_gas": htc_gas * (T_gas - T) * alpha,  # heat taken from gas
             "drip": drip * rho,  # kg/m²/s leaving as drops
         }
@@ -559,10 +721,13 @@ class ThermoSingleLayerFilm:
             "evaporatedMass": st["evaporatedMass"]
             + jnp.sum(m_evap * fm.area) * dt_sub,
         }
-        # variant state carried through (Pw omega / absorption tallies)
-        for k in ("omega", "cumAbsorption", "absorbedMass"):
+        # variant state carried through (Pw omega / absorption /
+        # solidification tallies)
+        for k in ("omega", "cumAbsorption", "absorbedMass", "solidMass"):
             if k in st:
                 st2[k] = st[k]
+        if lam_new is not None:
+            st2["lambda"] = lam_new
         return st2, out
 
     # ------------------------------------------------------------------

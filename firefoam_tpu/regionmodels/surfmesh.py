@@ -52,6 +52,7 @@ class FilmMesh:
     be_face: jnp.ndarray  # [nBE]
     be_len: jnp.ndarray  # [nBE]
     be_m: jnp.ndarray  # [nBE,3] outward in-surface unit vector
+    be_C: jnp.ndarray = None  # [nBE,3] rim-edge midpoints (inlet BC siting)
 
     @classmethod
     def from_faces(cls, mesh: PolyMesh, faces: Sequence[int], dtype=None) -> "FilmMesh":
@@ -79,7 +80,7 @@ class FilmMesh:
                 edge_pts[key] = key
 
         e_own, e_nei, e_len, e_m, e_dc, e_w = [], [], [], [], [], []
-        be_face, be_len, be_m = [], [], []
+        be_face, be_len, be_m, be_C = [], [], [], []
         for key, fs in edge_map.items():
             p0, p1 = pts[key[0]], pts[key[1]]
             ec = 0.5 * (p0 + p1)
@@ -107,6 +108,7 @@ class FilmMesh:
                 be_face.append(f)
                 be_len.append(el)
                 be_m.append(m)
+                be_C.append(ec)
 
         r = lambda a, shape=None: jnp.asarray(
             np.asarray(a, np.float64).reshape(shape) if shape else np.asarray(a, np.float64),
@@ -129,6 +131,7 @@ class FilmMesh:
             be_face=jnp.asarray(be_face, INT_DTYPE),
             be_len=r(be_len) if be_len else jnp.zeros((0,), dtype),
             be_m=r(be_m, (-1, 3)) if be_m else jnp.zeros((0, 3), dtype),
+            be_C=r(be_C, (-1, 3)) if be_C else jnp.zeros((0, 3), dtype),
         )
 
     # ------------------------------------------------------------- operators

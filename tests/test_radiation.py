@@ -331,3 +331,105 @@ def test_fvdom_constant_scatter():
     # sigmaEff extinction 2·(3−0.5)=5 /m dominates the σ/4π in-scatter
     assert (Gs < G0).all()
     assert Gs.min() > 0.0
+
+
+def test_ff_bc_absorptivity_and_solid_emissivity():
+    """FF/Fire radiation BC variants (lib/thermophysicalModels/radiation/
+    derivedFvPatchFields): (a) radiationCoupledBaseFF absorptivityMode lets
+    the wall reflection use an absorptivity different from the emissivity
+    (greyDiffusiveRadiationFF...C:199-238 — refValue = (Ir·(1−absorptivity)
+    + ε·σT⁴)/π); (b) emissivityMode solidRadiation/pyrolysisModel pulls the
+    wall ε from the coupled solid region each solve
+    (greyDiffusiveRadiationFire...C:246-275)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.ops import VolField
+    from firefoam_tpu.radiation import make_radiation
+    from firefoam_tpu.radiation.fvdom import _read_wall_radprops
+
+    geom = _unit_box_geom(4)
+    rp = parse_string(
+        """
+        radiation on;
+        radiationModel fvDOM;
+        fvDOMCoeffs { nPhi 2; nTheta 2; maxIter 1; }
+        solverFreq 1;
+        absorptionEmissionModel constantAbsorptionEmission;
+        constantAbsorptionEmissionCoeffs { a 0.5; e 0; E 0; }
+        scatterModel none;
+        sootModel none;
+        """
+    )
+    nC, nB = geom.n_cells, geom.n_boundary
+    T0 = 600.0
+    state = {
+        "T": VolField(jnp.full((nC,), T0), jnp.full((nB,), T0)),
+        "Qdot": jnp.zeros((nC,)),
+    }
+    G_eq = 4.0 * SIGMA * T0**4
+
+    def converge(rad, n=14):
+        s = dict(state)
+        s["rad"] = rad.initial_state()
+        for _ in range(n):
+            s["rad"] = rad._solve_rays(s["rad"], s, None)
+        return np.asarray(s["rad"]["G"])
+
+    # (a) black walls: equilibrium; absorptivity < ε over-reflects → G > G_eq
+    rad = make_radiation(rp, geom, None)
+    assert np.allclose(converge(rad), G_eq, rtol=0.05)
+    rad_ff = make_radiation(rp, geom, None)
+    rad_ff.absorptivity = jnp.full((nB,), 0.5, geom.dtype)
+    G_ff = converge(rad_ff)
+    assert (G_ff > G_eq * 1.05).all()
+
+    # (b) dynamic solid emissivity: cold-mirror walls (ε→0, absorptivity 1)
+    # kill the wall emission → G well below equilibrium
+    rad_fire = make_radiation(rp, geom, None)
+    rad_fire.solid_eps_mask = np.ones((nB,), bool)
+    rad_fire.solid_eps_fn = lambda st: jnp.zeros((nB,), geom.dtype)
+    rad_fire.absorptivity = jnp.ones((nB,), geom.dtype)
+    G_fire = converge(rad_fire)
+    assert (G_fire < 0.6 * G_eq).all()
+
+    # parsing: emissivityMode/absorptivityMode from an IDefault boundary dict
+    bdict = parse_string(
+        """
+        walls
+        {
+            type            greyDiffusiveRadiationFF;
+            emissivityMode  lookup;
+            emissivity      uniform 0.8;
+            absorptivityMode lookup;
+            absorptivity    uniform 0.3;
+            value           uniform 0;
+        }
+        """
+    )
+
+    class _FakeField:
+        boundary = bdict
+
+    class _FakeCase:
+        def field(self, name):
+            assert name == "IDefault"
+            return _FakeField()
+
+    em, ab, m_e, m_a = _read_wall_radprops(_FakeCase(), geom, geom.dtype)
+    assert np.allclose(np.asarray(em), 0.8)
+    assert np.allclose(np.asarray(ab), 0.3)
+    assert not m_e.any() and not m_a.any()
+
+    bdict2 = parse_string(
+        """
+        walls
+        {
+            type            greyDiffusiveRadiationFire;
+            emissivityMode  solidThermo;
+            value           uniform 0;
+        }
+        """
+    )
+    _FakeField.boundary = bdict2
+    em, ab, m_e, m_a = _read_wall_radprops(_FakeCase(), geom, geom.dtype)
+    assert m_e.all() and m_a.all()  # absorptivityMode defaults to emissivity
