@@ -124,8 +124,43 @@ def parse_grey_species(aec: FoamDict) -> tuple:
     return tuple(gs)
 
 
-def grey_absorption(grey_species, a_const, ae_model, geom, state, gas):
-    """Grey absorption coefficient a [1/m] on (cells, boundary faces)."""
+def read_ft_table(case, fname):
+    """constant/<fname> interpolationLookUpTable over mixture fraction ft
+    (stock greyMeanAbsorptionEmission.C ctor 'lookUpTableFileName'): one
+    input field block (ft, min/max/N) + output species columns. Returns
+    (ft_grid [N+1], {species: mole-fraction column}) or None."""
+    try:
+        d = case.constant(str(fname).strip('"'))
+    except (FileNotFoundError, AttributeError, TypeError, KeyError):
+        return None
+    try:
+        out_entries = d.lookup("output")[1]
+        names = [str(x.lookup("name")) for x in out_entries if hasattr(x, "lookup")]
+        raw = d.lookup("values")[1]  # counted lists: [n0, col0, n1, col1, ...]
+        cols = []
+        for cnt, payload in zip(raw[0::2], raw[1::2]):
+            arr = np.asarray([float(x) for x in payload], float)
+            if arr.size == 1 and int(cnt) > 1:
+                arr = np.full(int(cnt), arr[0])  # uniform shorthand 'n{v}'
+            cols.append(arr)
+    except (TypeError, IndexError, AttributeError, ValueError):
+        return None
+    if not cols or len(cols) != len(names) + 1:
+        return None
+    return cols[0], dict(zip(names, cols[1:]))
+
+
+def grey_absorption(
+    grey_species, a_const, ae_model, geom, state, gas, ft_table=None, reaction=None
+):
+    """Grey absorption coefficient a [1/m] on (cells, boundary faces).
+
+    Species carried by the gas mixture use the transported mass fraction;
+    species only present in the ft lookup table (e.g. CO, soot in
+    cases/steckler/constant/SpeciesTable) take their mole fraction from a
+    flamelet-style interpolation over the local mixture fraction
+    (greyMeanAbsorptionEmission(Soot).C::aCont — the reference floors the
+    table index, we interpolate linearly on the same 100-point grid)."""
     dtype = geom.dtype
     if ae_model not in (
         "greyMeanAbsorptionEmission",
@@ -135,15 +170,35 @@ def grey_absorption(grey_species, a_const, ae_model, geom, state, gas):
         a_b = jnp.full((geom.n_boundary,), a_const, dtype)
         return a, a_b
 
+    # mixture fraction for table species (createFields.H ft definition)
+    use_table = ft_table is not None and reaction is not None and any(
+        g[0] not in gas.species and g[0] in ft_table[1] for g in grey_species
+    )
+
+    def ft_of(Y):
+        YO2Inf = 0.23301
+        s = float(reaction.s)
+        fu = Y[:, reaction.fuel_index]
+        o2 = Y[:, gas.index("O2")] if "O2" in gas.species else 0.0
+        return jnp.clip((fu * s - o2 + YO2Inf) / (s + YO2Inf), 0.0, 1.0)
+
     def a_of(T, Y, p):
         W_mix = 8314.47 / gas.R(Y)
         p_atm = p / 101325.0
+        ft = ft_of(Y) if use_table else None
         a = jnp.zeros_like(T)
         for name, tc, inv, lo, hi, tlow, thigh in grey_species:
-            if name not in gas.species:
+            if name in gas.species:
+                si = gas.index(name)
+                Xi = Y[:, si] * W_mix / gas.W[si]
+            elif use_table and name in ft_table[1]:
+                Xi = jnp.interp(
+                    ft,
+                    jnp.asarray(ft_table[0], T.dtype),
+                    jnp.asarray(ft_table[1][name], T.dtype),
+                )
+            else:
                 continue
-            si = gas.index(name)
-            Xi = Y[:, si] * W_mix / gas.W[si]
             Tc = jnp.clip(T, tlow, thigh)
             Tx = jnp.where(inv, 1.0 / Tc, Tc)
 
@@ -193,6 +248,7 @@ class FvDOM:
     scatter_C: float = 0.0  # constantScatter linear-anisotropy coefficient
     spectral: object = None  # band model (spectral.py) when selected
     spsoot: object = None  # SpSootRadFrac flamelet table when selected
+    ft_table: object = None  # (ft_grid, {species: X column}) greyMean lookup
     reaction: object = None  # set by the solver (spSoot/localFuelRadFrac)
     epsilon_fn: object = None  # state → SGS dissipation (spSoot strain rate)
     n_lambda: int = 1
@@ -248,8 +304,12 @@ class FvDOM:
         # (reference greyMeanAbsorptionEmission + case coeffs, e.g.
         # cases/detailedSprinklerInjection/constant/radiationProperties)
         grey_species = ()
+        ft_table = None
         if aem in ("greyMeanAbsorptionEmission", "greyMeanAbsorptionEmissionSoot"):
             grey_species = parse_grey_species(aec)
+            tname = aec.lookup("lookUpTableFileName", "none")
+            if str(tname).strip('"') not in ("none", ""):
+                ft_table = read_ft_table(case, tname)
         wsggm = None
         if aem == "wsggmAbsorptionEmissionGreySmith":
             from .wsggm import WSGGMGreySmith
@@ -316,6 +376,7 @@ class FvDOM:
             scatter_C=scatter_C,
             spectral=spectral,
             spsoot=spsoot,
+            ft_table=ft_table,
             n_lambda=spectral.n_lambda if spectral is not None else 1,
             d_ave=d_ave,
             omega=omega,
@@ -373,7 +434,14 @@ class FvDOM:
                 self.wsggm.a(state["T"].b, state["Y"].b, state["p"].b, gas),
             )
         return grey_absorption(
-            self.grey_species, self.a_const, self.ae_model, self.geom, state, gas
+            self.grey_species,
+            self.a_const,
+            self.ae_model,
+            self.geom,
+            state,
+            gas,
+            ft_table=self.ft_table,
+            reaction=self.reaction,
         )
 
     def _chi_field(self, state, gas):

@@ -166,15 +166,27 @@ class ThermoSingleLayerFilm:
         if coeffs.get_word("massAbsorptionModel", "none") == "standardMassAbsorption":
             self.absorption = True
 
-        # ---- filmRadiation (standardRadiation: absorbed fraction of the
-        # incident flux — FM fork Shs = qin·alpha, standardRadiation.C::Shs;
-        # constantRadiation: fixed absorptivity)
+        # ---- filmRadiation (submodels/thermo/filmRadiationModel):
+        #   standardRadiation   Shs = qin·alpha (FM fork, standardRadiation.C)
+        #   primaryRadiation    Shs = qin_primary·alpha (primaryRadiation.C)
+        #   constantRadiation   Shs = absorptivity·qrConst inside the
+        #                       [timeStart, timeStart+duration] window — a
+        #                       PRESCRIBED flux, not the incident one
+        #                       (constantRadiation.C ctor + ::Shs)
+        #   rampingRadiation    constantRadiation + a staircase ramp of
+        #                       qrConst by rampStep every rampTimeInterval
+        #                       (rampingRadiation.C:160-171)
         self.rad_model = coeffs.get_word("radiationModel", "standardRadiation")
         rc = coeffs.get_dict(self.rad_model + "Coeffs", FoamDict())
         self.rad_beta = rc.get_scalar("beta", 0.75)
         self.rad_kappa_bar = rc.get_scalar("kappaBar", 0.25)
         self.rad_delta_min = rc.get_scalar("deltaMin", 1e-6)
         self.rad_absorptivity = rc.get_scalar("absorptivity", 0.9)
+        self.rad_qr_const = _dimval(rc.lookup("qrConst", 0.0))
+        self.rad_time_start = rc.get_scalar("timeStart", 0.0)
+        self.rad_duration = rc.get_scalar("duration", 1e30)
+        self.rad_ramp_dt = rc.get_scalar("rampTimeInterval", 1e30)
+        self.rad_ramp_step = _dimval(rc.lookup("rampStep", 0.0))
 
         # ---- forces (submodels/kinematic/force): thermocapillary dσ/dT·∇T
         # and the contact-angle line force σ(1−cosθ)/Ccf at wet/dry
@@ -194,9 +206,18 @@ class ThermoSingleLayerFilm:
         )
 
         # ---- injectionModels: drippingInjection (deltaStable threshold on
-        # gravity-detaching faces) and curvatureSeparation
+        # gravity-detaching faces), BrunDrippingInjection (Rayleigh-Taylor
+        # stability limit on inclined ceilings — BrunDrippingInjection.C:
+        # 88-125: δ_stable = 3·lc·√(1−sin²α)/(ū*·sinα^1.5), lc = √(σ/ρg),
+        # drop diameter dCoeff·lc) and curvatureSeparation
         inj = [str(x) for x in _aslist(coeffs.lookup("injectionModels", []))]
-        self.drip_enabled = "drippingInjection" in inj or not inj
+        self.plain_drip = "drippingInjection" in inj or not inj
+        self.brun_drip = "BrunDrippingInjection" in inj
+        self.drip_enabled = self.plain_drip or self.brun_drip
+        bdc = coeffs.get_dict("BrunDrippingInjectionCoeffs", FoamDict())
+        self.brun_ubar = bdc.get_scalar("ubarStar", 1.62208)
+        self.brun_dcoeff = bdc.get_scalar("dCoeff", 3.3)
+        self.brun_delta_stable = bdc.get_scalar("deltaStable", 0.0)
         dc = coeffs.get_dict("drippingInjectionCoeffs", FoamDict())
         self.drip_cloud = dc.get_word("cloudName", "reactingCloud1")
         self.delta_stable = dc.get_scalar("deltaStable", 1e30 if not inj else 1e-3)
@@ -228,6 +249,17 @@ class ThermoSingleLayerFilm:
         gmag = max(np.linalg.norm(g), 1e-12)
         self._detach_face = jnp.asarray((n @ g) < -0.5 * gmag)
         self.g_mag = gmag
+        # Brun dripping statics: sinα = gNorm/|g| with gNorm = g·n̂_ref and
+        # the reference n̂ pointing off the wall into the gas (our n̂ is the
+        # opposite, into the wall) — BrunDrippingInjection.C:79,92
+        self._sin_alpha = jnp.asarray(
+            np.maximum(-(n @ g) / gmag, 0.0), self.dtype
+        )
+        if self.brun_drip:
+            lc0 = math.sqrt(
+                float(self.liquid.sigma(101325.0, 300.0)) / (998.0 * gmag)
+            )
+            self.drip_d_min = self.drip_d_max = self.brun_dcoeff * lc0
         # static surface curvature 1/R1 for curvatureSeparation: normal
         # turning rate across the edge stencil (curvatureSeparation.C
         # calcInvR1 role, mesh-static here)
@@ -327,14 +359,33 @@ class ThermoSingleLayerFilm:
             return jnp.full_like(T, self.htc_gas)
         return htc_mapped
 
-    def _absorbed_radiation(self, qr, delta, alpha):
-        """filmRadiation submodel: absorbed fraction of the incident flux."""
+    def _absorbed_radiation(self, qr, delta, alpha, t=0.0):
+        """filmRadiation submodel → absorbed heat flux Shs [W/m²].
+
+        constantRadiation / rampingRadiation apply a PRESCRIBED flux
+        (qrConst × absorptivity) inside [timeStart, timeStart+duration]
+        (constantRadiation.C::Shs; ramping adds qrConst += rampStep every
+        rampTimeInterval, rampingRadiation.C:160-171). standardRadiation /
+        primaryRadiation absorb the incident fvDOM flux ×alpha (FM fork)."""
         if self.rad_model in ("none",):
             return jnp.zeros_like(qr)
-        if self.rad_model == "constantRadiation":
-            return self.rad_absorptivity * qr * alpha
-        # standardRadiation (FM fork Shs = qin·alpha); the stock ShsConst
-        # attenuation beta·(1−exp(−kappaBar·δ/deltaMin)) gates thin films
+        if self.rad_model in ("constantRadiation", "rampingRadiation"):
+            t = jnp.asarray(t, qr.dtype)
+            q = self.rad_qr_const
+            if self.rad_model == "rampingRadiation" and self.rad_ramp_step:
+                n_ramps = jnp.floor(
+                    jnp.maximum(t - self.rad_time_start, 0.0) / self.rad_ramp_dt
+                )
+                q = q + self.rad_ramp_step * n_ramps
+            window = (t >= self.rad_time_start) & (
+                t <= self.rad_time_start + self.rad_duration
+            )
+            return jnp.where(window, self.rad_absorptivity * q, 0.0) * jnp.ones_like(
+                qr
+            )
+        # standardRadiation / primaryRadiation (FM fork Shs = qin·alpha);
+        # the stock ShsConst attenuation beta·(1−exp(−kappaBar·δ/deltaMin))
+        # gates thin films
         return qr * alpha
 
     # ------------------------------------------------------------------
@@ -461,8 +512,10 @@ class ThermoSingleLayerFilm:
         # mass-transfer coefficient from the gas-side heat-transfer analogy
         kc = htc_gas / jnp.maximum(rho_gas * 1007.0, 1e-30)  # hm ≈ h/(ρ cp) Lewis≈1
         m_evap = rho_gas * kc * jnp.log1p(B)  # kg/m²/s
-        q_rad = self._absorbed_radiation(qr, delta, self.alpha(delta))
-        q_in_tot = htc_wall * (T_wall - T) + htc_gas * (T_gas - T) + qr
+        q_rad = self._absorbed_radiation(
+            qr, delta, self.alpha(delta), inp.get("t", 0.0)
+        )
+        q_in_tot = htc_wall * (T_wall - T) + htc_gas * (T_gas - T) + q_rad
         m_boil = jnp.maximum(q_in_tot, 0.0) / hl
         boiling = T >= 373.0
         m_evap = jnp.where(boiling, jnp.maximum(m_evap, m_boil), m_evap)
@@ -538,10 +591,30 @@ class ThermoSingleLayerFilm:
         # the film off the wall, everything above deltaStable drips this
         # substep (reference drippingInjection.C: availableMass beyond the
         # stable thickness)
-        if self.drip_enabled:
+        if self.plain_drip:
             excess = jnp.maximum(delta - self.delta_stable, 0.0)
             drip = drip + jnp.where(
                 self._detach_face, excess / jnp.maximum(dt_sub, small()), 0.0
+            )
+
+        # ---- BrunDrippingInjection: stability limit of a pendant film
+        # under an inclined ceiling (BrunDrippingInjection.C:88-125) —
+        # δ_stable = max(3·lc·√(1−sin²α)/(ū*·√sinα·sinα), deltaStable),
+        # lc = √(σ/(ρ|g|)); everything above δ_stable drips
+        if self.brun_drip:
+            sigma_b = self.liquid.sigma(p, T)
+            lc = jnp.sqrt(sigma_b / (rho * self.g_mag))
+            sa = jnp.maximum(self._sin_alpha, small())
+            d_stab = jnp.maximum(
+                3.0 * lc * jnp.sqrt(jnp.maximum(1.0 - sa * sa, 0.0))
+                / (self.brun_ubar * jnp.sqrt(sa) * sa),
+                self.brun_delta_stable,
+            )
+            excess_b = jnp.maximum(delta - d_stab, 0.0)
+            drip = drip + jnp.where(
+                self._sin_alpha > 1e-6,
+                excess_b / jnp.maximum(dt_sub, small()),
+                0.0,
             )
 
         # ---- curvatureSeparation: inertial detachment at convex corners

@@ -250,6 +250,125 @@ def test_thixotropic_viscosity():
     assert 0.0 <= float(st["lambda"].min()) and float(st["lambda"].max()) <= 1.0
 
 
+def ceiling_mesh(n=(4, 1, 4)):
+    """Unit box whose film panel is the ceiling (y = 1, normal -y into the
+    gas below): gravity detaches the film there (Brun dripping geometry)."""
+    d = parse_string(
+        f"""
+        convertToMeters 1;
+        vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+                   (0 0 1) (1 0 1) (1 1 1) (0 1 1) );
+        blocks ( hex (0 1 2 3 4 5 6 7) ({n[0]} {n[1]} {n[2]}) simpleGrading (1 1 1) );
+        edges ();
+        boundary (
+            panel {{ type wall;  faces ( (3 7 6 2) ); }}
+            rest  {{ type patch; faces ( (1 2 6 5) (0 1 5 4) (0 4 7 3) (0 3 2 1) (4 5 6 7) ); }}
+        );
+        """
+    )
+    mesh = block_mesh(d)
+    patch = next(p for p in mesh.patches if p.name == "panel")
+    faces = list(range(patch.start, patch.start + patch.n_faces))
+    return mesh, faces
+
+
+def test_brun_dripping_injection():
+    """BrunDrippingInjection (BrunDrippingInjection.C:88-125): on a ceiling
+    (sinα = 1) the stable thickness is deltaStable_ (the √(1−sin²α) factor
+    kills the correlation term), so excess film drips; on a vertical wall
+    (sinα = 0) Brun dripping is inactive."""
+    props = """
+        surfaceFilmModel thermoSingleLayer;
+        thermoSingleLayerCoeffs
+        {
+            liquid H2O;
+            injectionModels ( BrunDrippingInjection );
+            BrunDrippingInjectionCoeffs
+            { ubarStar 1.62208; dCoeff 3.3; deltaStable 5e-4; }
+        }
+    """
+    mesh, faces = ceiling_mesh()
+    fm = FilmMesh.from_faces(mesh, faces)
+    film = ThermoSingleLayerFilm(fm, parse_string(props), G)
+    assert film.brun_drip and not film.plain_drip
+    assert float(film._sin_alpha.min()) > 0.99  # ceiling: g fully detaching
+    # drop size is the capillary-length scale d = dCoeff·lc
+    lc = math.sqrt(0.0717 / (998.0 * 9.81))
+    assert film.drip_d_min == pytest.approx(3.3 * lc, rel=0.05)
+
+    st = film.initial_state(delta0=2e-3, T0=300.0)
+    evolve = jax.jit(lambda s: film.evolve(s, jnp.asarray(1e-3)))
+    for _ in range(5):
+        st, out = evolve(st)
+    # everything above deltaStable dripped; the stable film stays
+    assert float(st["drippedMass"]) > 0.0
+    assert float(st["delta"].max()) < 1.05e-3
+    assert float(st["delta"].min()) > 4e-4
+
+    # vertical wall: sinα = 0 → no Brun dripping (only the tiny rim-edge
+    # run-off at the panel bottom)
+    filmv, fmv = make_film(props)
+    assert float(filmv._sin_alpha.max()) < 1e-12
+    stv = filmv.initial_state(delta0=2e-3, T0=300.0)
+    stv, _ = filmv.evolve(stv, jnp.asarray(1e-4))
+    m0v = 2e-3 * 998.0  # kg/m² initial
+    assert float(stv["drippedMass"]) < 1e-4 * m0v
+
+
+def test_constant_and_ramping_radiation():
+    """constantRadiation applies a PRESCRIBED flux absorptivity·qrConst in
+    [timeStart, timeStart+duration] (constantRadiation.C::Shs — not the
+    incident qin); rampingRadiation staircases qrConst by rampStep every
+    rampTimeInterval (rampingRadiation.C:160-171)."""
+    base = """
+        surfaceFilmModel thermoSingleLayer;
+        thermoSingleLayerCoeffs
+        {
+            liquid H2O;
+            injectionModels ();
+            radiationModel %s;
+            %sCoeffs { %s }
+        }
+    """
+    film, fm = make_film(
+        base % ("constantRadiation", "constantRadiation",
+                "qrConst 5e4; absorptivity 0.8; timeStart 1.0; duration 2.0;")
+    )
+    qr = jnp.zeros((fm.n_faces,))
+    delta = jnp.full((fm.n_faces,), 3e-4)
+    alpha = film.alpha(delta)
+    np.testing.assert_allclose(
+        np.asarray(film._absorbed_radiation(qr, delta, alpha, 0.5)), 0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(film._absorbed_radiation(qr, delta, alpha, 2.0)), 0.8 * 5e4
+    )
+    np.testing.assert_allclose(
+        np.asarray(film._absorbed_radiation(qr, delta, alpha, 3.5)), 0.0
+    )
+
+    filmr, _ = make_film(
+        base % ("rampingRadiation", "rampingRadiation",
+                "qrConst 1e4; absorptivity 1.0; timeStart 0; duration 100; "
+                "rampTimeInterval 1.0; rampStep 1e4;")
+    )
+    got = [
+        float(np.asarray(filmr._absorbed_radiation(qr, delta, alpha, t))[0])
+        for t in (0.5, 1.5, 2.5)
+    ]
+    np.testing.assert_allclose(got, [1e4, 2e4, 3e4], rtol=1e-12)
+
+    # primaryRadiation: absorbs the full incident flux where wet
+    filmp, _ = make_film(
+        base % ("primaryRadiation", "primaryRadiation", "")
+    )
+    qin = jnp.full((fm.n_faces,), 7e3)
+    np.testing.assert_allclose(
+        np.asarray(filmp._absorbed_radiation(qin, delta, alpha, 0.0)),
+        np.asarray(7e3 * alpha),
+    )
+
+
 def test_heat_transfer_submodels():
     """conduction 2κ/δ (conductionHeatTransfer.C:95), alKhalil
     Nu = 3.20+0.000237·Re (alKhalilHeatTransfer.C:113), flatPlate

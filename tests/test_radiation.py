@@ -112,6 +112,98 @@ def test_grey_mean_absorption():
     assert float(a.min()) >= 0.0 and np.isfinite(np.asarray(a)).all()
 
 
+def test_grey_mean_ft_table_species():
+    """Stock greyMeanAbsorptionEmission 'lookUpTableFileName': species not
+    carried by the gas mixture (CO, soot) take their mole fraction from a
+    flamelet lookup over the local mixture fraction ft
+    (greyMeanAbsorptionEmission(Soot).C::aCont with specieIndex != 0;
+    table = cases/steckler/constant/SpeciesTable)."""
+    import numpy as np
+    from firefoam_tpu.io import parse_string
+    from firefoam_tpu.io.casedir import Case
+    from firefoam_tpu.ops import VolField
+    from firefoam_tpu.radiation.fvdom import FvDOM, read_ft_table
+    from firefoam_tpu.thermo import GasThermo
+    from conftest import reference_case
+
+    case = Case(reference_case("steckler"))
+    tab = read_ft_table(case, "SpeciesTable")
+    assert tab is not None
+    ft_grid, cols = tab
+    assert set(cols) == {"C3H8", "CO2", "H2O", "CO", "soot"}
+    assert ft_grid.shape == (101,) and all(c.shape == (101,) for c in cols.values())
+
+    geom = _unit_box_geom(3)
+    rp = parse_string(
+        """
+        radiation on; radiationModel fvDOM;
+        fvDOMCoeffs { nPhi 2; nTheta 2; maxIter 1; }
+        solverFreq 1;
+        absorptionEmissionModel greyMeanAbsorptionEmission;
+        greyMeanAbsorptionEmissionCoeffs
+        {
+            lookUpTableFileName "SpeciesTable";
+            EhrrCoeff 0.0;
+            // CO2 is NOT carried by the test gas below, so its mole
+            // fraction must come from the ft table (its CO/soot columns
+            // are all-zero in steckler's SpeciesTable, so use CO2)
+            CO2
+            {
+                Tcommon 300; invTemp true; Tlow 200; Thigh 2500;
+                loTcoeffs ( 0 0 0 0 0 0 );
+                hiTcoeffs ( 18.741 -121.31e3 273.5e6 -194.05e9 56.31e12 -5.8169e15 );
+            }
+        }
+        scatterModel none; sootModel none;
+        """
+    )
+    rad = FvDOM.from_case_dict(rp, geom, case)
+    assert rad.ft_table is not None
+
+    # two-species gas (fuel + oxidiser proxy) — CO is NOT in the mixture
+    z7 = np.zeros((2, 7))
+    gas = GasThermo(
+        species=["C3H8", "O2"],
+        W=np.array([44.1, 32.0]),
+        lo=z7,
+        hi=z7,
+        Tcommon=np.array([1000.0, 1000.0]),
+        Tlow=np.array([200.0, 200.0]),
+        Thigh=np.array([5000.0, 5000.0]),
+        As=np.array([1.67e-6, 1.67e-6]),
+        Ts=np.array([170.7, 170.7]),
+    )
+
+    class _Rx:
+        fuel_index = 0
+        s = 3.63
+
+    rad.reaction = _Rx()
+    nC, nB = geom.n_cells, geom.n_boundary
+    Y = np.zeros((nC, 2))
+    Y[:, 0] = 0.3  # fuel-rich: ft ≈ 0.34 → table CO2 > 0
+    Y[:, 1] = 0.0
+    state = {
+        "T": VolField(jnp.full((nC,), 1200.0), jnp.full((nB,), 1200.0)),
+        "Y": VolField(jnp.asarray(Y), jnp.tile(jnp.asarray(Y[0]), (nB, 1))),
+        "p": VolField(jnp.full((nC,), 101325.0), jnp.full((nB,), 101325.0)),
+    }
+    a_tab, _ = rad.absorption(state, gas)
+    assert float(a_tab.min()) > 0.0  # CO2 from the table absorbs
+
+    # lean mixture: ft ≈ 0 → little table CO2 → much weaker absorption
+    Y2 = np.zeros((nC, 2))
+    Y2[:, 1] = 0.23301
+    state["Y"] = VolField(jnp.asarray(Y2), jnp.tile(jnp.asarray(Y2[0]), (nB, 1)))
+    a_lean, _ = rad.absorption(state, gas)
+    assert float(a_lean.mean()) < 0.2 * float(a_tab.mean())
+
+    # without a reaction (no ft available) table species are skipped
+    rad.reaction = None
+    a_none, _ = rad.absorption(state, gas)
+    assert float(a_none.max()) == 0.0
+
+
 def _unit_box_geom(n=4):
     from firefoam_tpu.io import parse_string
     from firefoam_tpu.mesh import block_mesh
