@@ -156,6 +156,8 @@ class ThermoSingleLayerFilm:
         # fraction of the local mass freezes to the substrate; the energy
         # goes to the wall, so no latent-heat term)
         self.pc_model = coeffs.get_word("phaseChangeModel", "standardPhaseChange")
+        if self.pc_model == "noPhaseChange":  # runtime-selection alias
+            self.pc_model = "none"
         sc = coeffs.get_dict("solidificationCoeffs", FoamDict())
         self.solid_T0 = sc.get_scalar("T0", 273.15)
         self.solid_max_frac = sc.get_scalar("maxSolidificationFrac", 0.2)
@@ -204,6 +206,33 @@ class ThermoSingleLayerFilm:
         self.ca_theta = math.radians(
             dist.get_scalar("expectation", pw.get_scalar("contactAngleMean", 75.0))
         )
+        # temperatureDependent(/perturbed…)ContactAngleForce: θ(T) from a
+        # Function1 (temperatureDependentContactAngleForce.C::theta —
+        # 'theta constant X;' or 'theta table ( (T θ) … );'); the
+        # perturbation of the perturbed variant is its stochastic seed and
+        # is taken at its expectation here
+        self.ca_theta_table = None
+        if ca is not None and "emperatureDependent" in ca:
+            tv = cac.lookup("theta", None)
+            if isinstance(tv, list) and len(tv) >= 2:
+                kind = str(tv[0])
+                if kind == "constant":
+                    try:
+                        self.ca_theta = math.radians(float(tv[1]))
+                    except (TypeError, ValueError):
+                        pass
+                elif kind == "table" and isinstance(tv[1], list):
+                    rows = [
+                        (float(r[0]), float(r[1]))
+                        for r in tv[1]
+                        if isinstance(r, list) and len(r) == 2
+                    ]
+                    if rows:
+                        rows.sort()
+                        self.ca_theta_table = (
+                            np.asarray([r[0] for r in rows]),
+                            np.radians([r[1] for r in rows]),
+                        )
 
         # ---- injectionModels: drippingInjection (deltaStable threshold on
         # gravity-detaching faces), BrunDrippingInjection (Rayleigh-Taylor
@@ -230,6 +259,10 @@ class ThermoSingleLayerFilm:
         self.curvature_sep = "curvatureSeparation" in inj
         cs = coeffs.get_dict("curvatureSeparationCoeffs", FoamDict())
         self.delta_by_r1_min = cs.get_scalar("deltaByR1Min", 0.0)
+        # removeInjection (removeInjection.C::correct): the whole available
+        # film mass is deleted every step (massToInject = availableMass,
+        # availableMass = 0) — a sink, not a parcel source
+        self.remove_inj = "removeInjection" in inj
 
         g = np.asarray(g_vec, float)
         n = np.asarray(fm.n_hat)
@@ -288,6 +321,7 @@ class ThermoSingleLayerFilm:
             "U": jnp.zeros((nF, 3), dtp),
             "T": jnp.full((nF,), T0, dtp),
             "drippedMass": jnp.zeros((), dtp),
+            "removedMass": jnp.zeros((), dtp),
             "evaporatedMass": jnp.zeros((), dtp),
         }
         if self.partial_wetting:
@@ -638,9 +672,16 @@ class ThermoSingleLayerFilm:
                 separate, delta / jnp.maximum(dt_sub, small()), 0.0
             )
 
+        # ---- removeInjection: the whole available film is deleted this
+        # substep (removeInjection.C::correct: massToInject = availableMass)
+        # — a sink that does NOT feed the cloud, tallied separately
+        removed = jnp.zeros_like(delta)
+        if self.remove_inj:
+            removed = delta / jnp.maximum(dt_sub, small())
+
         # ---- donor-limited continuity: scale every outgoing flux by the
         # donor face's available film so δ ≥ 0 exactly and mass is conserved
-        out_rate = drip + (m_evap + m_abs) / rho
+        out_rate = drip + removed + (m_evap + m_abs) / rho
         if fm.e_own.shape[0] > 0:
             out_rate = out_rate.at[fm.e_own].add(
                 jnp.maximum(flux_m, 0.0) / fm.area[fm.e_own]
@@ -654,6 +695,7 @@ class ThermoSingleLayerFilm:
             1.0,
         )
         drip = drip * lim
+        removed = removed * lim
         m_evap = m_evap * lim
         if fm.e_own.shape[0] > 0:
             flux_m = jnp.where(
@@ -665,7 +707,7 @@ class ThermoSingleLayerFilm:
             )
             div_e = fm.div_edges(flux_m * T_up)
 
-        ddelta = -div_m - drip + (m_imp - m_evap - m_abs) / rho
+        ddelta = -div_m - drip - removed + (m_imp - m_evap - m_abs) / rho
         delta_new = jnp.maximum(delta + dt_sub * ddelta, 0.0)
 
         # ---- momentum ----
@@ -698,11 +740,17 @@ class ThermoSingleLayerFilm:
                 iface = iface.at[fm.e_own].max(iface_e)
                 iface = iface.at[fm.e_nei].max(iface_e)
                 ratio = jnp.minimum(delta / 2e-4, 1.0)
+                if self.ca_theta_table is not None:
+                    tt, th = self.ca_theta_table
+                    theta_f = jnp.interp(
+                        T, jnp.asarray(tt, T.dtype), jnp.asarray(th, T.dtype)
+                    )
+                    one_m_cos = 1.0 - jnp.cos(theta_f)
+                else:
+                    one_m_cos = 1.0 - math.cos(self.ca_theta)
                 f_ca = (
                     (ga / gmagn)
-                    * (sigma_l * (1.0 - math.cos(self.ca_theta)) / self.ca_Ccf * ratio)[
-                        :, None
-                    ]
+                    * (sigma_l * one_m_cos / self.ca_Ccf * ratio)[:, None]
                 )
                 f_surf = f_surf + jnp.where(iface[:, None], f_ca, 0.0)
             if self.f_thermocap:
@@ -715,7 +763,8 @@ class ThermoSingleLayerFilm:
         mom = delta[:, None] * U
         rhs = (
             -div_mom
-            - (drip)[:, None] * U  # dripping mass carries its momentum away
+            # dripping/removed mass carries its momentum away
+            - (drip + removed)[:, None] * U
             + delta[:, None] * fm.g_tan
             + (
                 tau_gas
@@ -748,7 +797,7 @@ class ThermoSingleLayerFilm:
         # the film temperature (the incoming side adds h_imp symmetrically)
         en_new = en + dt_sub * (
             -div_e
-            - (drip + (m_evap + m_abs) / rho) * T
+            - (drip + removed + (m_evap + m_abs) / rho) * T
             + q_net / (rho * cp)
         )
         T_new = jnp.where(delta_new > 1e-8, en_new / d_new_eff, T_wall)
@@ -791,6 +840,8 @@ class ThermoSingleLayerFilm:
             "U": U_new,
             "T": T_new,
             "drippedMass": st["drippedMass"] + jnp.sum(drip * rho * fm.area) * dt_sub,
+            "removedMass": st["removedMass"]
+            + jnp.sum(removed * rho * fm.area) * dt_sub,
             "evaporatedMass": st["evaporatedMass"]
             + jnp.sum(m_evap * fm.area) * dt_sub,
         }

@@ -369,6 +369,42 @@ def test_constant_and_ramping_radiation():
     )
 
 
+def test_remove_injection_theta_table_no_phase_change():
+    """removeInjection deletes the whole available film each step
+    (removeInjection.C::correct); temperatureDependentContactAngleForce
+    takes θ(T) from a Function1 table; phaseChangeModel noPhaseChange is
+    the none alias."""
+    film, fm = make_film(
+        """
+        surfaceFilmModel thermoSingleLayer;
+        thermoSingleLayerCoeffs
+        {
+            liquid H2O;
+            injectionModels ( removeInjection );
+            phaseChangeModel noPhaseChange;
+            forces ( temperatureDependentContactAngle );
+            temperatureDependentContactAngleCoeffs
+            {
+                Ccf 0.085;
+                theta table ( (273 80) (373 30) );
+            }
+        }
+        """
+    )
+    assert film.remove_inj and film.pc_model == "none"
+    assert film.f_contact and film.ca_theta_table is not None
+    np.testing.assert_allclose(np.degrees(film.ca_theta_table[1]), [80.0, 30.0])
+
+    st = film.initial_state(delta0=3e-4, T0=300.0)
+    m0 = float((st["delta"] * film.liquid.rho(101325.0, st["T"]) * np.asarray(fm.area)).sum())
+    st, out = film.evolve(st, jnp.asarray(1e-3))
+    # the whole film was deleted, tallied as removed (not dripped/evaporated)
+    assert float(st["delta"].max()) < 1e-12
+    assert float(st["removedMass"]) == pytest.approx(m0, rel=1e-6)
+    assert float(st["drippedMass"]) < 1e-6 * m0
+    assert float(st["evaporatedMass"]) == 0.0
+
+
 def test_heat_transfer_submodels():
     """conduction 2κ/δ (conductionHeatTransfer.C:95), alKhalil
     Nu = 3.20+0.000237·Re (alKhalilHeatTransfer.C:113), flatPlate
