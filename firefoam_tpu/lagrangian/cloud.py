@@ -982,6 +982,37 @@ class ReactingCloud:
         return st, src
 
     # ------------------------------------------------------------------
+    def write_sprinkler_logs(self, st: Dict, out_dir: str):
+        """Per-sprinkler master log files (DetailedSprinklerInjection.H:
+        154-156 filePtr_, .C:469,567: each head logs its link temperature,
+        activation time and flow): postProcessing/sprinklers/<injector>.dat
+        with one row per head."""
+        import os
+
+        rows_written = False
+        for inj, ist in zip(self.injectors, st["inj"]):
+            if "Te" not in ist:
+                continue  # not an RTI-linked sprinkler model
+            d = os.path.join(out_dir, "sprinklers")
+            os.makedirs(d, exist_ok=True)
+            Te = np.asarray(ist["Te"])
+            t_act = np.asarray(ist["t_act"])
+            Q = getattr(inj, "Q", 0.0)
+            pos = getattr(inj, "positions", np.zeros((Te.shape[0], 3)))
+            with open(os.path.join(d, f"{inj.name}.dat"), "w") as f:
+                f.write(f"# sprinkler injector {inj.name}\n")
+                f.write("# head x y z Tlink[K] tAct[s] activated Q[m3/s]\n")
+                for i in range(Te.shape[0]):
+                    act = t_act[i] >= 0.0
+                    f.write(
+                        f"{i}\t{pos[i][0]:.6g}\t{pos[i][1]:.6g}\t"
+                        f"{pos[i][2]:.6g}\t{Te[i]:.6g}\t"
+                        f"{t_act[i] if act else -1:.6g}\t{int(act)}\t"
+                        f"{(Q if act else 0.0):.6g}\n"
+                    )
+            rows_written = True
+        return rows_written
+
     def write_collectors(self, st: Dict, out_dir: str):
         """Per-collector dat files: bin masses, mean velocity, dv50
         (reference ParticleCollectorFmg master-only log files)."""

@@ -1887,16 +1887,21 @@ class FireFoamSolver:
         phi_b_species = state["phi"].b
 
         # ---- parcels.evolve() (fireFoam.C:88) ----
-        state, srcs = self._evolve_cloud(state, log)
+        # (named scopes label the phases in jax.profiler traces — the
+        # reference's only timers are per-step ExecutionTime prints)
+        with jax.named_scope("lagrangian"):
+            state, srcs = self._evolve_cloud(state, log)
 
         # ---- surface film (fireFoam.C:90) ----
         if self.film is not None:
-            state, srcs = self._evolve_film(state, srcs, log)
+            with jax.named_scope("surfaceFilm"):
+                state, srcs = self._evolve_film(state, srcs, log)
 
         # ---- pyrolysis regions (fireFoam.C:92-95) ----
         ov: Dict = {}
         if self.pyrolysis is not None:
-            state, ov = self._evolve_pyrolysis(state, log, srcs)
+            with jax.named_scope("pyrolysis"):
+                state, ov = self._evolve_pyrolysis(state, log, srcs)
         if self.film is not None:
             ov = self._film_bc_overrides(state, ov)
         srcs["_ov"] = ov
@@ -1911,22 +1916,26 @@ class FireFoamSolver:
 
         for outer in range(self.ctl.n_outer):
             # ---- momentum predictor ----
-            U_new, u_matrix, ubc_coeffs = self._u_eqn(state, log, srcs)
+            with jax.named_scope("UEqn"):
+                U_new, u_matrix, ubc_coeffs = self._u_eqn(state, log, srcs)
             state["U"] = U_new
 
             # ---- species + energy (one shared multivariate convection
             # weight field, frozen before the Yi solves — YEEqn.H:1-10) ----
-            w_mv = self._multivariate_weights(state)
-            Y_new, qdot = self._y_eqns(state, log, srcs, w_mv)
+            with jax.named_scope("YEqn"):
+                w_mv = self._multivariate_weights(state)
+                Y_new, qdot = self._y_eqns(state, log, srcs, w_mv)
             state["Qdot"] = qdot
 
             # ---- radiation field solve (fvDOM), first step + every
             # solverFreq steps, after combustion updates Qdot (YEEqn.H:80) ----
             if self.radiation is not None:
-                state["rad"] = self.radiation.maybe_correct(state, self.gas)
-            hs_new, T_new, psi_new, mu_new, alpha_new = self._e_eqn(
-                state, Y_new, qdot, log, srcs, w_mv
-            )
+                with jax.named_scope("radiation"):
+                    state["rad"] = self.radiation.maybe_correct(state, self.gas)
+            with jax.named_scope("EEqn"):
+                hs_new, T_new, psi_new, mu_new, alpha_new = self._e_eqn(
+                    state, Y_new, qdot, log, srcs, w_mv
+                )
             state["Y"] = Y_new
             state["hs"] = hs_new
             state["T"] = T_new
@@ -1950,9 +1959,10 @@ class FireFoamSolver:
                 return tuple(fields), info
 
             carry0 = (state["p_rgh"], state["p"], state["rho"], state["phi"], state["U"])
-            carry, infos = jax.lax.scan(
-                corr_body, carry0, jnp.arange(n_corr, dtype=jnp.int32)
-            )
+            with jax.named_scope("pEqn"):
+                carry, infos = jax.lax.scan(
+                    corr_body, carry0, jnp.arange(n_corr, dtype=jnp.int32)
+                )
             (state["p_rgh"], state["p"], state["rho"], state["phi"], state["U"]) = carry
             for c in range(n_corr):
                 log[f"p_rgh_res0_{c}"] = infos["res0"][c]
@@ -1966,10 +1976,11 @@ class FireFoamSolver:
             ctx = self._ctx(state, srcs.get("_ov"))
             ctl_k = _solver_controls(self.fv_solution, "k", "kFinal")
             ctl_k["sched"] = self._ldu
-            k_new, nut_i, res_k = self.turb.correct(
-                state["k"], self.k_bcs, state["U"], state["rho"],
-                state["rho_old_i"], state["phi"], state["mu"], dt, ctx, ctl_k,
-            )
+            with jax.named_scope("kEqn"):
+                k_new, nut_i, res_k = self.turb.correct(
+                    state["k"], self.k_bcs, state["U"], state["rho"],
+                    state["rho_old_i"], state["phi"], state["mu"], dt, ctx, ctl_k,
+                )
             state["k"] = k_new
             nut_b = self.turb.nut_b(k_new.b)
             state["nut"] = VolField(nut_i, nut_b)

@@ -141,6 +141,7 @@ def run_case(
             # step (reference infoFieldsOutput.H:18 / infoOutput.H:52-57)
             import os as _os
 
+            _os.makedirs(output_dir, exist_ok=True)
             fh_path = _os.path.join(
                 output_dir, f"outFlameHeight_{solver.t0:.6g}"
             )
@@ -221,6 +222,14 @@ def main(argv=None):
         help="fuse N steps into one scanned jit call (TPU deployment hot "
         "loop; per-step logs are replayed after each chunk)",
     )
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR "
+        "(TensorBoard/xprof format; step phases appear as named scopes: "
+        "lagrangian/surfaceFilm/pyrolysis/UEqn/YEqn/radiation/EEqn/pEqn/kEqn)",
+    )
     args = ap.parse_args(argv)
     # The env's TPU PJRT plugin registers itself in every process and wins
     # over the JAX_PLATFORMS env var; a config update is the hard override.
@@ -229,22 +238,34 @@ def main(argv=None):
     plat = "cpu" if args.cpu else os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
-    solver, state, logs = run_case(
-        args.case,
-        end_time=args.end_time,
-        max_steps=args.max_steps,
-        verbose=not args.quiet,
-        radiation=not args.no_radiation,
-        output_dir=args.output,
-        write_fields=args.write or args.output is not None,
-        resume=args.resume,
-        chunk=args.chunk,
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
     )
+    with prof:
+        solver, state, logs = run_case(
+            args.case,
+            end_time=args.end_time,
+            max_steps=args.max_steps,
+            verbose=not args.quiet,
+            radiation=not args.no_radiation,
+            output_dir=args.output,
+            write_fields=args.write or args.output is not None,
+            resume=args.resume,
+            chunk=args.chunk,
+        )
     solver.function_objects.write()
     if solver.rtis is not None:
         solver.rtis.write(solver.function_objects.out_dir)
     if solver.cloud is not None and solver.cloud.collectors and "cloud" in state:
         solver.cloud.write_collectors(state["cloud"], solver.function_objects.out_dir)
+    if solver.cloud is not None and "cloud" in state:
+        # per-sprinkler activation/flow logs (DetailedSprinklerInjection
+        # master-only filePtr_ logs)
+        solver.cloud.write_sprinkler_logs(
+            state["cloud"], solver.function_objects.out_dir
+        )
     print(f"End: t = {float(state['t']):.6g}, steps = {len(logs)}")
     return 0
 
