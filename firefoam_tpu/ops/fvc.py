@@ -204,16 +204,6 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     # padded DIA slots have magSf=0; guard with a dtype-representable tiny
     # (small() underflows to 0 in float32 → 0/0 NaN at pad slots)
     msf = jnp.maximum(geom.magSf, jnp.finfo(geom.magSf.dtype).tiny * 1e6)
-    ii = geom.Sf[:, :, None] * geom.Sf[:, None, :] / msf[:, None, None]
-    bb = geom.b_Sf[:, :, None] * geom.b_Sf[:, None, :] / geom.b_magSf[:, None, None]
-    tens = jnp.stack(
-        [
-            geom.cell_sum_unsigned(ii[:, a, b_], bb[:, a, b_])
-            for a in range(3)
-            for b_ in range(3)
-        ],
-        axis=1,
-    ).reshape(-1, 3, 3)
     rhs = jnp.stack(
         [
             geom.cell_sum_unsigned(
@@ -223,7 +213,9 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
         ],
         axis=1,
     )
-    return jnp.linalg.solve(tens, rhs[..., None])[..., 0]
+    # the geometric tensor inverse is precomputed once (geom.recon_inv);
+    # the hot path is a fused per-cell 3x3 matvec, not an LU solve
+    return jnp.einsum("cab,cb->ca", geom.recon_inv, rhs)
 
 
 def average_to_cells(geom: MeshGeometry, sf: SurfaceField) -> jnp.ndarray:

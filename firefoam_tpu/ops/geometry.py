@@ -321,6 +321,43 @@ class MeshGeometry:
             + self.boundary_to_cell_sum(bface_vals)
         )
 
+    @property
+    def recon_inv(self) -> jnp.ndarray:
+        """inv(Σ Sf⊗Sf/|Sf|) per cell [nC,3,3] for fvc::reconstruct.
+
+        The tensor is pure geometry, so it is inverted ONCE here (eagerly on
+        concrete arrays, cached on the instance) instead of re-assembling
+        and LU-solving 9000 3x3 systems inside every pressure corrector —
+        profiling showed that vmapped LU custom-call at ~17% of the TPU
+        step; reconstruct becomes a single fused matvec."""
+        cached = getattr(self, "_recon_inv_cache", None)
+        if cached is None:
+            # computed HOST-SIDE in numpy: first access usually happens
+            # while TRACING the step, where the jit-wrapped linalg.inv
+            # would be staged into the trace (and the cache would capture a
+            # leaked tracer, breaking every later trace); numpy on the
+            # concrete geometry arrays stays eager everywhere
+            Sf = np.asarray(self.Sf, np.float64)
+            bSf = np.asarray(self.b_Sf, np.float64)
+            msf = np.maximum(np.asarray(self.magSf, np.float64), 1e-300)
+            bmsf = np.asarray(self.b_magSf, np.float64)
+            ii = Sf[:, :, None] * Sf[:, None, :] / msf[:, None, None]
+            bb = bSf[:, :, None] * bSf[:, None, :] / bmsf[:, None, None]
+            own = np.asarray(self.own)
+            nei = np.asarray(self.nei)
+            mask = np.asarray(self.face_mask, np.float64)
+            tens = np.zeros((self.n_cells, 3, 3))
+            np.add.at(tens, own, ii * mask[:, None, None])
+            np.add.at(tens, nei, ii * mask[:, None, None])
+            np.add.at(tens, np.asarray(self.b_own), bb)
+            # stored as NUMPY: any jnp op here would bind through whatever
+            # trace is active (first access happens while tracing the step)
+            # and cache a leaked tracer; a numpy constant is lifted fresh
+            # and safely by every trace that closes over it
+            cached = np.linalg.inv(tens).astype(np.dtype(self.Sf.dtype))
+            object.__setattr__(self, "_recon_inv_cache", cached)
+        return cached
+
 
 def _find_coupled(mesh: PolyMesh) -> Dict[str, str]:
     """Detect baffle master/slave patch pairs by name convention."""
