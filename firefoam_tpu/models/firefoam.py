@@ -275,15 +275,24 @@ class FireFoamSolver:
         try:
             _pc = _solver_controls(self.fv_solution, "p_rgh")
             amg_env = os.environ.get("FIREFOAM_TPU_AMG", "")
+            # small DIA meshes on the f32 TPU path solve p_rgh fastest with
+            # the whole-solve fused Pallas CG (one VMEM-resident kernel —
+            # measured 477 vs 399 M cell-updates/s on steckler against the
+            # V-cycle); AMG's near-mesh-independent iterations win past the
+            # crossover where the extra CG iterations outgrow the V-cycle
+            pallas_p = False
+            if getattr(g, "layout", "seg") == "dia" and self.dtype != jnp.float64:
+                from ..solvers import pallas_cg as _pcg_mod
+
+                pallas_p = _pcg_mod.enabled("dia") and g.n_cells < 50000
             want_amg = (
-                _pc["solver"] == "GAMG"
-                or amg_env == "1"
+                amg_env == "1"
                 or (amg_env != "0" and g.n_cells >= 50000)
-                # f32 perf path: diag-PCG needs 60-80 iterations for p_rgh
-                # at 9k cells and grows ~O(sqrt n); the near-mesh-independent
-                # V-cycle wins whenever the exact-DIC fidelity solvers are
-                # off (the f64 path keeps the dict's PCG+DIC verbatim)
-                or (amg_env != "0" and self._ldu is None)
+                or (
+                    amg_env != "0"
+                    and not pallas_p
+                    and (_pc["solver"] == "GAMG" or self._ldu is None)
+                )
             )
         except KeyError:
             want_amg = False
@@ -1803,6 +1812,11 @@ class FireFoamSolver:
                 tol=tols[sel], rel_tol=rels[sel],
             )
         else:
+            # flat XLA diagonal-CG: measured FASTER than both the AMG
+            # V-cycle (399 M CUPS) and the fused Pallas CG (265 M) for
+            # p_rgh on small DIA meshes — 477 M CUPS on steckler. The
+            # Pallas whole-solve kernels still serve the smoothSolver/
+            # PBiCGStab systems via solve_scalar.
             res = pcg(
                 lambda x: m.matvec(x, dtot), p_rgh.i, b, dtot,
                 tol=tols[sel], rel_tol=rels[sel],
