@@ -284,7 +284,7 @@ class FireFoamSolver:
             if getattr(g, "layout", "seg") == "dia" and self.dtype != jnp.float64:
                 from ..solvers import pallas_cg as _pcg_mod
 
-                pallas_p = _pcg_mod.enabled("dia") and g.n_cells < 50000
+                pallas_p = _pcg_mod.enabled("dia", g.n_cells) and g.n_cells < 50000
             want_amg = (
                 amg_env == "1"
                 or (amg_env != "0" and g.n_cells >= 50000)
@@ -1397,7 +1397,7 @@ class FireFoamSolver:
         from ..solvers import pallas_cg
 
         g = self.geom
-        if pallas_cg.enabled(g.layout) and self.dtype != jnp.float64:
+        if pallas_cg.enabled(g.layout, g.n_cells) and self.dtype != jnp.float64:
             # fused whole-solve pallas kernels: the entire Krylov/smoother
             # loop runs in one kernel with all vectors VMEM-resident (one
             # launch per solve instead of ~10 per iteration)
@@ -2082,6 +2082,36 @@ class FireFoamSolver:
     # ------------------------------------------------------------------
     def make_step(self):
         return jax.jit(self.step)
+
+    def make_step_hoisted(self, example_state):
+        """jitted step with every closure constant hoisted to an argument.
+
+        Plain jit embeds the geometry/BC/thermo arrays as HLO literals —
+        at 500k cells that is ~900 MB of MLIR text (e.g. a single
+        tensor<1500000x3xf64> literal is 72 MB), which overflows
+        remote-compile transports and bloats compile time. Tracing the
+        step to a jaxpr exposes those arrays as `consts`; evaluating the
+        jaxpr with the consts passed as jit ARGUMENTS makes them ordinary
+        device-resident parameters instead. (jax.closure_convert is not
+        usable here: it hoists only differentiable float consts.)"""
+        closed = jax.make_jaxpr(lambda st: self.step(st))(example_state)
+        out_tree = jax.tree.structure(
+            jax.eval_shape(lambda st: self.step(st), example_state)
+        )
+        # device-resident consts: numpy consts left as-is would be
+        # re-uploaded on every dispatch
+        consts = [jnp.asarray(c) for c in closed.consts]
+        jaxpr = closed.jaxpr
+
+        @jax.jit
+        def run(consts, flat_args):
+            return jax.core.eval_jaxpr(jaxpr, consts, *flat_args)
+
+        def step(st):
+            flat, _ = jax.tree.flatten(st)
+            return jax.tree.unflatten(out_tree, run(consts, flat))
+
+        return step
 
     def make_chunk(self, n: int):
         """n full time steps fused into ONE jitted lax.scan call.

@@ -77,7 +77,13 @@ def run_case(
                 state = load_checkpoint(ckpt, state)
                 if verbose:
                     print(f"Resumed from {ckpt} at t = {float(state['t']):.6g}")
-    step = solver.make_step()
+    if solver.geom.n_cells > 100_000:
+        # large meshes: hoist closure constants to jit arguments — plain
+        # jit embeds the geometry as HLO literals (~900 MB of MLIR at 500k
+        # cells), which overflows remote-compile transports
+        step = solver.make_step_hoisted(state)
+    else:
+        step = solver.make_step()
     end = end_time if end_time is not None else solver.ctl.end_time
 
     logs = []

@@ -204,7 +204,7 @@ class MeshGeometry:
             m[b_own, np.arange(nB)] = 1.0
             onehot = jnp.asarray(m, jnp.float32)
 
-        return cls(
+        obj = cls(
             n_cells=nC,
             n_boundary=nB,
             V=r(mesh.V),
@@ -221,6 +221,16 @@ class MeshGeometry:
             _b_onehot=onehot,
             **geo,
         )
+        # materialise the reconstruct tensor inverse NOW (outside any
+        # trace): built here it can live on device and lower as an
+        # executable parameter; numpy computed inside a trace would be
+        # embedded as an HLO literal (18 MB at 500k cells — blows compile
+        # payload limits), and jnp computed inside a trace would leak a
+        # tracer into the cache
+        object.__setattr__(
+            obj, "_recon_inv_cache", jnp.asarray(obj.recon_inv, dtype)
+        )
+        return obj
 
     def patch(self, name: str) -> PatchInfo:
         for p in self.patches:

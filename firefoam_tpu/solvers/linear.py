@@ -239,7 +239,7 @@ def solve_scalar(
         from . import pallas_cg
 
         if (
-            pallas_cg.enabled(g.layout)
+            pallas_cg.enabled(g.layout, g.n_cells)
             and m.upper.ndim == 1
             and diag_c.dtype != jnp.float64  # no f64 in mosaic kernels
             and pallas_cg.operands_on_tpu(x0, b)

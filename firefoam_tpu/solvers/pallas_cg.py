@@ -462,13 +462,23 @@ def available() -> bool:
     return _HAS_PALLAS
 
 
-def enabled(layout: str) -> bool:
+def max_cells() -> int:
+    """Largest mesh the whole-solve kernels may serve: the entire Krylov
+    state must be VMEM-resident (~128 MB/core on v5e; measured 260 MB
+    demand at 500k cells → OOM at compile). Override with
+    FIREFOAM_TPU_PALLAS_MAX_CELLS."""
+    return int(os.environ.get("FIREFOAM_TPU_PALLAS_MAX_CELLS", "120000"))
+
+
+def enabled(layout: str, n_cells: int = 0) -> bool:
     """Whether the fused-solve path should serve this mesh.
 
     FIREFOAM_TPU_PALLAS: '1'/'interpret' force on, '0' off; default 'auto'
     enables on a real TPU backend only (interpret-mode on CPU is far slower
     than the XLA solvers — it exists for correctness tests)."""
     if not _HAS_PALLAS or layout != "dia":
+        return False
+    if n_cells > max_cells():
         return False
     v = os.environ.get("FIREFOAM_TPU_PALLAS", "auto")
     if v == "0":
