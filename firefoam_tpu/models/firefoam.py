@@ -2130,3 +2130,29 @@ class FireFoamSolver:
             return jax.lax.scan(body, state, xs=None, length=n)
 
         return jax.jit(chunk)
+
+    def make_chunk_hoisted(self, n: int, example_state):
+        """make_chunk with closure constants hoisted to jit arguments —
+        see make_step_hoisted; required for >100k-cell meshes on
+        remote-compile transports."""
+
+        def chunk(state):
+            def body(st, _):
+                return self.step(st)
+
+            return jax.lax.scan(body, state, xs=None, length=n)
+
+        closed = jax.make_jaxpr(chunk)(example_state)
+        out_tree = jax.tree.structure(jax.eval_shape(chunk, example_state))
+        consts = [jnp.asarray(c) for c in closed.consts]
+        jaxpr = closed.jaxpr
+
+        @jax.jit
+        def run(consts, flat_args):
+            return jax.core.eval_jaxpr(jaxpr, consts, *flat_args)
+
+        def fn(st):
+            flat, _ = jax.tree.flatten(st)
+            return jax.tree.unflatten(out_tree, run(consts, flat))
+
+        return fn

@@ -107,7 +107,11 @@ def run_case(
             wi = solver.ctl.write_interval
             next_write = (_math.floor(float(state["t"]) / wi + 1e-9) + 1) * wi
     if chunk > 1:
-        chunk_fn = solver.make_chunk(int(chunk))
+        chunk_fn = (
+            solver.make_chunk_hoisted(int(chunk), state)
+            if solver.geom.n_cells > 100_000
+            else solver.make_chunk(int(chunk))
+        )
         while float(state["t"]) < end - 1e-12 and n < max_steps:
             state, slog = chunk_fn(state)
             n += int(chunk)
