@@ -200,6 +200,31 @@ def _total_flow_rate_adv_diff(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     return rv.astype(dt), _zeros(p, nc, dt), f.astype(dt)
 
 
+def _fixed_enthalpy_flux_T(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
+    """fixedEnthalpyFluxTemperature (lib/fvPatchFields/...C:128-138): gas
+    T mixed BC whose valueFraction balances advective against diffusive
+    enthalpy flux — f = 1/(1 + αEff·Δc·A/max(|φ|, small)) — pinning the
+    dict's refValue where advection dominates and relaxing to zero
+    gradient where diffusion does."""
+    phi = _phi_b(ctx, p)
+    alpha_b = ctx.get("alphaEff_b")
+    if alpha_b is None:
+        alpha_b = jnp.zeros((geom.n_boundary,), dt)
+    f = 1.0 / (
+        1.0
+        + alpha_b[p.slice]
+        * geom.b_dc[p.slice]
+        * geom.b_magSf[p.slice]
+        / jnp.maximum(jnp.abs(phi), 1e-30)
+    )
+    rv = bc.params.get("refValue", bc.params.get("value", None))
+    if rv is None:
+        rv = psi_b[p.slice]
+    else:
+        rv = jnp.broadcast_to(jnp.asarray(rv, dt).reshape(-1), (p.n,))
+    return rv.astype(dt), _zeros(p, nc, dt), f.astype(dt)
+
+
 def _coupled_wall_T(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     """Gas side of the conjugate wall ('In fluid' branch of the reference
     turbulentTemperatureRadiationQinCoupledMixed — lib/fvPatchFieldsPyrolysis
@@ -297,6 +322,11 @@ _REGISTRY: Dict[str, Callable] = {
     "flowRateInletVelocity": _flow_rate_inlet_velocity,
     "pressureInletOutletVelocity": _pressure_inlet_outlet_velocity,
     "totalFlowRateAdvectiveDiffusive": _total_flow_rate_adv_diff,
+    # per-face massFluxFraction variant (lib/fvPatchFieldsPyrolysis/
+    # nonUniFlowRateAdvectiveDiffusive — same mixed fractions, scalarField
+    # massFluxFraction from the dict)
+    "nonUniFlowRateAdvectiveDiffusive": _total_flow_rate_adv_diff,
+    "fixedEnthalpyFluxTemperature": _fixed_enthalpy_flux_T,
     "prghTotalHydrostaticPressure": _prgh_total_hydrostatic,
     "empty": _zero_gradient,
     "symmetry": _symmetry,
@@ -319,6 +349,9 @@ _REGISTRY: Dict[str, Callable] = {
     "compressible::turbulentTemperatureRadiationQinQcScaleCoupledMixed": _coupled_wall_T,
     "compressible::turbulentTemperatureRadiationQinQcWallFunctionCoupledMixed": _coupled_wall_T,
     "compressible::turbulentTemperatureRadiationCoupledMixedST": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadiationCoupledQcWallFunctionMixedST": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadiativeCoupledMixedST": _coupled_wall_T,
+    "compressible::turbulentTemperatureRadiativeCoupledQcWallFunctionMixedST": _coupled_wall_T,
     "compressible::turbulentTemperatureRadCoupledMixed": _coupled_wall_T,
     "filmPyrolysisTemperatureCoupled": _coupled_wall_T,
     # roll-paper back-to-back baffle coupling (lib/regionCoupling/
@@ -419,7 +452,7 @@ def make_field_bcs(ff: FieldFile, geom: MeshGeometry) -> FieldBCs:
             continue
         kind = str(pd.lookup("type"))
         params = {}
-        for key in ("value", "inletValue", "outletValue", "gradient",
+        for key in ("value", "refValue", "inletValue", "outletValue", "gradient",
                     "massFluxFraction", "emissivity", "hocSolid", "hocPyr",
                     "QcFlame", "QcThreshold", "Tinf", "h", "QrIncident",
                     "hOCp", "rPhi", "filmDeltaDry", "filmDeltaWet",

@@ -50,6 +50,8 @@ class EndBC:
     h: float = 0.0
     Tinf: float = 298.15
     qr_incident: float = 0.0
+    emissivity: float = 1.0
+    mode: str = "fixed"  # constHTemperatureRadiation: fixed | correlation
 
 
 def _parse_end_bc(bf: FoamDict, patch: str) -> EndBC:
@@ -65,6 +67,17 @@ def _parse_end_bc(bf: FoamDict, patch: str) -> EndBC:
             "constH",
             h=_uniform(d.lookup("h", 0.0)),
             Tinf=_uniform(d.lookup("Tinf", 298.15)),
+        )
+    if kind == "constHTemperatureRadiation":
+        # lib/fvPatchFields/constHTemperatureRadiationFvPatchScalarField:
+        # q = h(Tinf−T) + ε(σTinf⁴ − σT⁴); mode 'correlation' replaces h
+        # with the Churchill-Chu natural-convection Nu(Ra_L) estimate
+        return EndBC(
+            "constHRad",
+            h=_uniform(d.lookup("h", 0.0)),
+            Tinf=_uniform(d.lookup("Tinf", 298.15)),
+            emissivity=_uniform(d.lookup("emissivity", 1.0)),
+            mode=str(d.lookup("mode", "fixed")),
         )
     if kind == "fixedIncidentRadiation":
         return EndBC("fixedIncidentRadiation", qr_incident=_uniform(d.lookup("QrIncident")))
@@ -248,6 +261,30 @@ class ReactingOneDim:
         if bc.kind == "constH":
             F = bc.h * (bc.Tinf - T_end)
             B = bc.h / cp
+            return F, B
+        if bc.kind == "constHRad":
+            # constHTemperatureRadiation...C:71-93: convection + grey
+            # surroundings radiation exchange at Tinf. mode 'correlation'
+            # (…C:77-101): Churchill-Chu Nu(Ra_L) with the reference's
+            # hard-coded air props (L=0.9, Pr=0.69, k=33.8e-3, ν=26.4e-6,
+            # α=38.3e-6); the reference evaluates Tw/Tamb from patch
+            # averages — here per-column T_end vs Tinf
+            h = bc.h
+            if bc.mode == "correlation":
+                Tf = 0.5 * (T_end + bc.Tinf)
+                beta = 1.0 / jnp.maximum(Tf, 1.0)
+                RaL = jnp.maximum(
+                    9.8 * beta * (T_end - bc.Tinf) * 0.9**3 / (26.4e-6 * 38.3e-6),
+                    0.0,
+                )
+                NuL = (
+                    0.825
+                    + 0.387 * RaL ** (1.0 / 6.0) / (1.0 + (0.492 / 0.69) ** (9.0 / 16.0)) ** (8.0 / 27.0)
+                ) ** 2
+                h = NuL * 33.8e-3 / 0.9
+            eps = bc.emissivity
+            F = h * (bc.Tinf - T_end) + eps * SIGMA_SB * (bc.Tinf**4 - T_end**4)
+            B = (h + 4.0 * eps * SIGMA_SB * T_end**3) / cp
             return F, B
         if bc.kind == "coupled":
             # flux into the solid = kΔ_gas·(T_gas − T_s) + a·qin − εσT_s⁴
