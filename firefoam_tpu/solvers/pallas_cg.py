@@ -40,6 +40,16 @@ except Exception:  # pragma: no cover
 
 _LANES = 128
 
+# Measured scoped-VMEM demand of the fused PCG at 500k f32 cells on v5e:
+# 101 MiB ≈ 212 B/cell (full Krylov state + operand copies + scheduling
+# headroom the compiler claims when the limit allows).
+_VMEM_BYTES_PER_CELL = 212
+
+
+def _sublanes(dtype) -> int:
+    """Min tile sublane count for the dtype ((8,128) f32, (16,128) bf16)."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
 
 def _any_gt(a, b):
     """any(a > b) without a bool/int reduction: reduce_or and integer-sum
@@ -70,8 +80,71 @@ def _shift_down(x, o: int):
     return pltpu.roll(x, jnp.asarray(o, jnp.int32), 1)
 
 
-def _dia_matvec(d, uppers, lowers, offsets, x):
-    """M·x for the DIA stencil, all operands (B, nCp) VMEM arrays.
+def _roll_static(x, shift: int, axis: int):
+    """jnp.roll with a STATIC shift, lowered as slice+concat (mosaic-safe
+    on 3-D operands where pltpu.roll's axis support is 2-D only)."""
+    n = x.shape[axis]
+    shift %= n
+    if shift == 0:
+        return x
+    lo = jax.lax.slice_in_dim(x, n - shift, n, axis=axis)
+    hi = jax.lax.slice_in_dim(x, 0, n - shift, axis=axis)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _fold_shift_up(x, o: int):
+    """Flat shift y_flat[i] = x_flat[i+o] on the folded (B, R, 128) layout.
+
+    Row-major fold: flat index i = r·128 + c. With o = q·128 + s the source
+    lives at row r+q (lane c+s < 128) or row r+q+1 (lane wraps). Wrapped
+    rows/lanes are coefficient-masked exactly like the flat layout."""
+    R = x.shape[1]
+    q, s = divmod(o, _LANES)
+    a = _roll_static(x, -q, 1)  # a[r] = x[r+q]
+    if s == 0:
+        return a
+    b = _roll_static(x, -(q + 1), 1)
+    al = _roll_static(a, -s, 2)  # al[..., c] = a[..., (c+s) mod 128]
+    bl = _roll_static(b, -s, 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANES), 2)
+    return jnp.where(col < _LANES - s, al, bl)
+
+
+def _fold_shift_down(x, o: int):
+    """Flat shift y_flat[i] = x_flat[i−o] on the folded (B, R, 128) layout."""
+    q, s = divmod(o, _LANES)
+    a = _roll_static(x, q, 1)  # a[r] = x[r−q]
+    if s == 0:
+        return a
+    b = _roll_static(x, q + 1, 1)
+    ar = _roll_static(a, s, 2)  # ar[..., c] = a[..., (c−s) mod 128]
+    br = _roll_static(b, s, 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANES), 2)
+    return jnp.where(col >= s, ar, br)
+
+
+def _layout_ops(folded: bool):
+    """(shift_up, shift_down, masked-row-sum) for the vector layout.
+
+    flat:   (B, nCp) — one sublane per batch row; simple pltpu.roll shifts,
+            but the (8,128) tile pads the sublane dim 8x (VMEM/VPU waste).
+    folded: (B, R, 128) row-major fold of the cell axis — dense tiles, so
+            VMEM demand and VPU op count drop about 8x and meshes beyond the
+            flat path's ~120k-cell cap stay VMEM-resident."""
+    if folded:
+        def rsum(v):
+            return jnp.sum(v, axis=(1, 2), keepdims=True)
+
+        return _fold_shift_up, _fold_shift_down, rsum
+
+    def rsum(v):
+        return jnp.sum(v, axis=1, keepdims=True)
+
+    return _shift_up, _shift_down, rsum
+
+
+def _dia_matvec(d, uppers, lowers, offsets, x, su=_shift_up, sd=_shift_down):
+    """M·x for the DIA stencil, all operands (B, nCp) or (B, R, 128) VMEM.
 
     matvec(x)[c] = d[c]·x[c] + Σ_k u_k[c]·x[c+o_k] + Σ_k l_k[c−o_k]·x[c−o_k]
     (FvMatrix.matvec with face_to_own_sum/face_to_nei_sum unrolled; pad
@@ -79,8 +152,8 @@ def _dia_matvec(d, uppers, lowers, offsets, x):
     """
     y = d * x
     for k, o in enumerate(offsets):
-        y = y + uppers[k] * _shift_up(x, o)
-        y = y + _shift_down(lowers[k] * x, o)
+        y = y + uppers[k] * su(x, o)
+        y = y + sd(lowers[k] * x, o)
     return y
 
 
@@ -101,6 +174,7 @@ def _pcg_kernel(
     tol: float,
     rel_tol: float,
     max_iter: int,
+    folded: bool = False,
 ):
     dtype = x0_ref.dtype
     d = d_ref[:]
@@ -109,20 +183,21 @@ def _pcg_kernel(
     b = b_ref[:]
     x0 = x0_ref[:]
     mask = mask_ref[:]
-    n_real = jnp.sum(mask, axis=1, keepdims=True)  # (B,1)
+    su, sd, rsum = _layout_ops(folded)
+    n_real = rsum(mask)  # (B,1[,1])
 
-    mv = lambda v: _dia_matvec(d, ups, los, offsets, v)
+    mv = lambda v: _dia_matvec(d, ups, los, offsets, v, su, sd)
 
     # normFactor: xref = mean(x0) over real lanes (per batch row)
-    xref = jnp.sum(x0 * mask, axis=1, keepdims=True) / n_real
+    xref = rsum(x0 * mask) / n_real
     Aref = mv(xref * mask)
     Ax0 = mv(x0)
     norm = (
-        jnp.sum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask, axis=1, keepdims=True)
+        rsum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask)
         + jnp.asarray(np.finfo(np.dtype(dtype.name)).tiny * 1e6, dtype)
     )
     r0 = b - Ax0
-    res0 = jnp.sum(jnp.abs(r0) * mask, axis=1, keepdims=True) / norm
+    res0 = rsum(jnp.abs(r0) * mask) / norm
     eff_tol = jnp.maximum(
         jnp.asarray(tol, dtype), 100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype)
     )
@@ -137,15 +212,15 @@ def _pcg_kernel(
     def body(state):
         x, r, p, rz_old, it, _ = state
         z = rD * r
-        rz = jnp.sum(r * z, axis=1, keepdims=True)
+        rz = rsum(r * z)
         beta = jnp.where(it == 0, jnp.zeros_like(rz), rz / rz_old)
         p = z + beta * p
         Ap = mv(p)
-        pAp = jnp.sum(p * Ap, axis=1, keepdims=True)
+        pAp = rsum(p * Ap)
         alpha = rz / pAp
         x = x + alpha * p
         r = r - alpha * Ap
-        res = jnp.sum(jnp.abs(r) * mask, axis=1, keepdims=True) / norm
+        res = rsum(jnp.abs(r) * mask) / norm
         return x, r, p, rz, it + 1, res
 
     init = (
@@ -158,8 +233,8 @@ def _pcg_kernel(
     )
     x, r, p, rz, it, res = jax.lax.while_loop(cond, body, init)
     x_out[:] = x
-    res0_out[:] = res0
-    res_out[:] = res
+    res0_out[:] = res0.reshape(res0_out.shape)
+    res_out[:] = res.reshape(res_out.shape)
     it_out[0, 0] = it
 
 
@@ -180,6 +255,7 @@ def _bicgstab_kernel(
     tol: float,
     rel_tol: float,
     max_iter: int,
+    folded: bool = False,
 ):
     """Jacobi-preconditioned BiCGStab (PBiCG/PBiCGStab role) with the restart
     semantics of linear.py:bicgstab, batched over rows."""
@@ -190,9 +266,10 @@ def _bicgstab_kernel(
     b = b_ref[:]
     x0 = x0_ref[:]
     mask = mask_ref[:]
-    n_real = jnp.sum(mask, axis=1, keepdims=True)
+    su, sd, rsum = _layout_ops(folded)
+    n_real = rsum(mask)
 
-    mv = lambda v: _dia_matvec(d, ups, los, offsets, v)
+    mv = lambda v: _dia_matvec(d, ups, los, offsets, v, su, sd)
     fi = np.finfo(np.dtype(dtype.name))
     tiny6 = jnp.asarray(fi.tiny * 1e6, dtype)
     small = jnp.asarray(fi.tiny * 1e3, dtype)
@@ -200,21 +277,18 @@ def _bicgstab_kernel(
     def nz(x):
         return jnp.where(jnp.abs(x) < tiny6, jnp.where(x >= 0, tiny6, -tiny6), x)
 
-    xref = jnp.sum(x0 * mask, axis=1, keepdims=True) / n_real
+    xref = rsum(x0 * mask) / n_real
     Aref = mv(xref * mask)
     Ax0 = mv(x0)
-    norm = (
-        jnp.sum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask, axis=1, keepdims=True)
-        + tiny6
-    )
+    norm = rsum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask) + tiny6
     r0 = b - Ax0
-    res0 = jnp.sum(jnp.abs(r0) * mask, axis=1, keepdims=True) / norm
+    res0 = rsum(jnp.abs(r0) * mask) / norm
     eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 100.0 * jnp.asarray(fi.eps, dtype))
     stop = jnp.maximum(eff_tol, rel_tol * res0)
     rD = jnp.where(mask > 0, 1.0 / d, 0.0)
 
     def dot(u, v):
-        return jnp.sum(u * v, axis=1, keepdims=True)
+        return rsum(u * v)
 
     def cond(state):
         return _any_gt(state[-1], stop) & (state[-2] < max_iter)
@@ -238,7 +312,7 @@ def _bicgstab_kernel(
         omega = dot(t, s) / nz(dot(t, t))
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        res = jnp.sum(jnp.abs(r) * mask, axis=1, keepdims=True) / norm
+        res = rsum(jnp.abs(r) * mask) / norm
         return x, r, rhat, p, v, rho, alpha, omega, it + 1, res
 
     one = jnp.ones_like(res0)
@@ -256,8 +330,8 @@ def _bicgstab_kernel(
     )
     out = jax.lax.while_loop(cond, body, init)
     x_out[:] = out[0]
-    res0_out[:] = res0
-    res_out[:] = out[-1]
+    res0_out[:] = res0.reshape(res0_out.shape)
+    res_out[:] = out[-1].reshape(res_out.shape)
     it_out[0, 0] = out[-2]
 
 
@@ -280,6 +354,7 @@ def _smooth_kernel(
     max_iter: int,
     omega: float,
     check_every: int,
+    folded: bool = False,
 ):
     """Damped-Jacobi smoother (smoothSolver role, linear.py:jacobi_smooth
     semantics): sweeps of x += ω·(b − Mx)/d with residual checks every
@@ -291,18 +366,19 @@ def _smooth_kernel(
     b = b_ref[:]
     x0 = x0_ref[:]
     mask = mask_ref[:]
-    n_real = jnp.sum(mask, axis=1, keepdims=True)
+    su, sd, rsum = _layout_ops(folded)
+    n_real = rsum(mask)
 
-    mv = lambda v: _dia_matvec(d, ups, los, offsets, v)
+    mv = lambda v: _dia_matvec(d, ups, los, offsets, v, su, sd)
 
-    xref = jnp.sum(x0 * mask, axis=1, keepdims=True) / n_real
+    xref = rsum(x0 * mask) / n_real
     Aref = mv(xref * mask)
     Ax0 = mv(x0)
     norm = (
-        jnp.sum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask, axis=1, keepdims=True)
+        rsum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask)
         + jnp.asarray(np.finfo(np.dtype(dtype.name)).tiny * 1e6, dtype)
     )
-    res0 = jnp.sum(jnp.abs(b - Ax0) * mask, axis=1, keepdims=True) / norm
+    res0 = rsum(jnp.abs(b - Ax0) * mask) / norm
     eff_tol = jnp.maximum(
         jnp.asarray(tol, dtype), 100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype)
     )
@@ -329,7 +405,7 @@ def _smooth_kernel(
         # int32 bounds: python ints lower as i64 under jax_enable_x64,
         # which the mosaic kernel ABI rejects
         x = jax.lax.fori_loop(jnp.int32(0), jnp.int32(check_every), sweep, x)
-        res_new = jnp.sum(jnp.abs(b - mv(x)) * mask, axis=1, keepdims=True) / norm
+        res_new = rsum(jnp.abs(b - mv(x)) * mask) / norm
         return x, it + check_every, res_new, res
 
     x, it, res, _ = jax.lax.while_loop(
@@ -338,19 +414,24 @@ def _smooth_kernel(
         (x0, jnp.asarray(0, jnp.int32), res0, jnp.full_like(res0, jnp.inf)),
     )
     x_out[:] = x
-    res0_out[:] = res0
-    res_out[:] = res
+    res0_out[:] = res0.reshape(res0_out.shape)
+    res_out[:] = res.reshape(res_out.shape)
     it_out[0, 0] = it
 
 
-def _prep(diag, upper, lower, b, x0, offsets, n_cells):
-    """Pack 1-D/2-D operands into (B, nCp) padded arrays + mask.
+def _prep(diag, upper, lower, b, x0, offsets, n_cells, folded=False):
+    """Pack 1-D/2-D operands into (B, nCp) padded arrays + mask; when
+    `folded`, reshape the cell axis row-major into (B, R, 128) dense tiles.
 
     diag/b/x0: [nC] or [B, nC]; upper/lower: [K·nC] or [B, K·nC] (the DIA
     face-slot layout of ops/geometry.py, K = len(offsets)).
     """
     K = len(offsets)
-    ncp = _pad_lanes(n_cells)
+    if folded:
+        tile = _LANES * _sublanes(x0.dtype)
+        ncp = ((n_cells + tile - 1) // tile) * tile
+    else:
+        ncp = _pad_lanes(n_cells)
 
     def to2d(v):
         v = v if v.ndim == 2 else v[None, :]
@@ -377,21 +458,49 @@ def _prep(diag, upper, lower, b, x0, offsets, n_cells):
     mask = jnp.pad(
         jnp.ones((B, n_cells), dP.dtype), ((0, 0), (0, ncp - n_cells))
     )
+    if folded:
+        R = ncp // _LANES
+        dP, bP, xP, mask = (
+            v.reshape(B, R, _LANES) for v in (dP, bP, xP, mask)
+        )
+        uP, lP = (v.reshape(K, B, R, _LANES) for v in (uP, lP))
     return dP, uP, lP, bP, xP, mask, B, ncp
 
 
 def _run(kernel, diag, upper, lower, b, x0, offsets, n_cells, interpret, **kw):
-    dP, uP, lP, bP, xP, mask, B, ncp = _prep(diag, upper, lower, b, x0, offsets, n_cells)
+    # Fold only single-system solves: (a) batched flat operands already
+    # fill sublanes across batch rows (B=8 is a dense (8,128) tile — the
+    # 8x padding waste exists only at B=1), and (b) mosaic's layout
+    # inference aborts (layout_rank check) on the 4-D folded coefficient
+    # arrays that B>1 would need.
+    B_in = b.shape[0] if b.ndim == 2 else 1
+    folded = B_in == 1 and use_folded(n_cells)
+    dP, uP, lP, bP, xP, mask, B, ncp = _prep(
+        diag, upper, lower, b, x0, offsets, n_cells, folded=folded
+    )
     dtype = xP.dtype
     nc = jnp.asarray([[n_cells]], jnp.int32)
+    xshape = (B, ncp // _LANES, _LANES) if folded else (B, ncp)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, ncp), dtype),
+        jax.ShapeDtypeStruct(xshape, dtype),
         jax.ShapeDtypeStruct((B, 1), dtype),
         jax.ShapeDtypeStruct((B, 1), dtype),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
     )
+    # Mosaic's default scoped-VMEM stack limit is 16 MiB; the whole-solve
+    # kernel keeps the full Krylov state resident (~212 B/cell measured at
+    # 500k cells on v5e). When the estimate exceeds the default, request
+    # the near-physical 120 MiB cap (v5e VMEM = 128 MiB) — the limit only
+    # permits, it does not reserve.
+    demand = _VMEM_BYTES_PER_CELL * ncp * max(B, 1)
+    params = None
+    if not interpret and demand > 16 * 2**20:
+        params = pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20)
     fn = pl.pallas_call(
-        functools.partial(kernel, offsets=tuple(int(o) for o in offsets), **kw),
+        functools.partial(
+            kernel, offsets=tuple(int(o) for o in offsets), folded=folded, **kw
+        ),
+        compiler_params=params,
         out_shape=out_shapes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -411,7 +520,7 @@ def _run(kernel, diag, upper, lower, b, x0, offsets, n_cells, interpret, **kw):
         interpret=interpret,
     )
     xs, res0, res, it = fn(nc, dP, uP, lP, bP, xP, mask)
-    return xs, res0, res, it, B
+    return xs.reshape(B, ncp), res0, res, it, B
 
 
 def _finish(xs, res0, res, it, B, n_cells, squeeze):
@@ -462,12 +571,32 @@ def available() -> bool:
     return _HAS_PALLAS
 
 
+def use_folded(n_cells: int) -> bool:
+    """Whether _run packs vectors as (B, R, 128) instead of (B, nCp).
+
+    The flat layout wastes 7/8 of every (8,128) f32 tile (one used sublane),
+    so VMEM demand and VPU work are ~8x the data size; folding removes the
+    waste and lifts the VMEM cap ~8x. Default: fold everywhere except tiny
+    systems (lane-carry selects cost a few extra VPU ops that only matter
+    when the whole vector is a handful of tiles).
+    Override with FIREFOAM_TPU_PALLAS_FOLD=0/1."""
+    v = os.environ.get("FIREFOAM_TPU_PALLAS_FOLD", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return n_cells > 2048
+
+
 def max_cells() -> int:
     """Largest mesh the whole-solve kernels may serve: the entire Krylov
-    state must be VMEM-resident (~128 MB/core on v5e; measured 260 MB
-    demand at 500k cells → OOM at compile). Override with
+    state must be VMEM-resident. The folded (R,128) layout measures
+    ~212 B/cell of scoped VMEM (101 MiB at 500k cells on v5e), so with the
+    per-kernel limit raised to 120 MiB about 550k cells fit; the flat
+    layout wastes 8x on tile padding and caps near 70k. Override with
     FIREFOAM_TPU_PALLAS_MAX_CELLS."""
-    return int(os.environ.get("FIREFOAM_TPU_PALLAS_MAX_CELLS", "120000"))
+    dflt = "550000" if use_folded(1 << 30) else "70000"
+    return int(os.environ.get("FIREFOAM_TPU_PALLAS_MAX_CELLS", dflt))
 
 
 def enabled(layout: str, n_cells: int = 0) -> bool:
