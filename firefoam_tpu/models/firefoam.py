@@ -555,6 +555,9 @@ class FireFoamSolver:
                 state["dt"],
             )
             state["dt"] = self.new_dt(state)
+        # previous-step dt for the reference-timed Courant log line (the
+        # first print is 0/0 in the reference since phi starts 0)
+        state["_dt_prev"] = state["dt"]
         return state
 
     # ------------------------------------------------------------------
@@ -1894,8 +1897,13 @@ class FireFoamSolver:
                 state["dt"] = self.new_dt(state)
             return state, log
 
-        log["CoNum"] = self.courant(state)
-        log["CoMean"] = self.courant_mean(state)
+        # the reference prints Courant BEFORE setDeltaT (fireFoam.C:78), i.e.
+        # with the PREVIOUS step's dt; our dt was already advanced at the end
+        # of the previous step, so rescale for a like-for-like log line
+        dt_prev = state.get("_dt_prev", dt)
+        log["CoNum"] = self.courant(state) * (dt_prev / dt)
+        log["CoMean"] = self.courant_mean(state) * (dt_prev / dt)
+        state["_dt_prev"] = dt
         # boundary phi the species equations are about to see — becomes the
         # lagged refValue gate for the NEXT step's species inlet BCs
         phi_b_species = state["phi"].b

@@ -22,7 +22,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GOLDEN = "/root/reference/cases/steckler/original/linux64/log.fireFoam"
+# The reference's own test protocol (cases/steckler/testFiles:1) names
+# original/log.fireFoam as the comparison target: a 2015 2.4.x single-rank
+# run, byte-identical to original/darwinIntel64/log.fireFoam. The repo also
+# ships original/linux64/log.fireFoam from a 2017 OpenFOAM-dev build whose
+# trajectory diverges from the designated golden within 3 steps (max Co at
+# k=2: 0.0772 darwin vs 0.1511 linux; mean Co 0.0014 vs 0.0605) — buoyant
+# fire LES is chaotic and the two builds' scheme/default differences are
+# enough to decorrelate them. Early-step agreement with the DESIGNATED
+# golden is therefore the meaningful fidelity bar; pass --golden linux64
+# to compare against the other build.
+GOLDEN = "/root/reference/cases/steckler/original/log.fireFoam"
+GOLDEN_LINUX = "/root/reference/cases/steckler/original/linux64/log.fireFoam"
 CASE = "/root/reference/cases/steckler"
 
 _SPECIES = ("O2", "H2O", "C3H8", "CO2", "N2")
@@ -165,11 +176,14 @@ def compare(gold, ours, n=None):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default=CASE)
-    ap.add_argument("--golden", default=GOLDEN)
+    ap.add_argument("--golden", default=GOLDEN,
+                    help="golden log path, or the shorthand 'linux64'")
     ap.add_argument("--end-time", type=float, default=2.0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
+    if args.golden == "linux64":
+        args.golden = GOLDEN_LINUX
     gold = parse_golden(args.golden)
     print(f"golden: {len(gold)} steps to t = {gold[-1]['t']}")
     solver, state, ours = run_ours(args.case, args.end_time)
