@@ -207,7 +207,7 @@ def main(argv=None):
             parts.append(f"{eq}:{ratio:6.2f}")
         print(f"  k={k:<2} " + " ".join(parts))
     print("\nspecies ave ref | ours:")
-    for k in range(min(len(rows), 6)):
+    for k in range(len(rows)):
         g, o = gold[k], ours[k]
         parts = []
         for sp in ("C3H8", "O2", "H2O"):
