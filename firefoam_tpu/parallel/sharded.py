@@ -33,6 +33,20 @@ import numpy as np
 
 from .partition import MeshPartition
 
+
+def shard_map_compat(f, *, mesh, in_specs, out_specs):
+    """jax.shard_map across the 0.8 API rename (check_rep -> check_vma),
+    with replication/VMA checking OFF: halo slots are intentionally
+    partition-divergent, which the checker would reject."""
+    try:
+        from jax import shard_map as _sm  # jax >= 0.8
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
 __all__ = [
     "halo_exchange",
     "SpmvLocal",
@@ -162,7 +176,6 @@ def make_sharded_solver(
     Inputs/outputs are the [P, …]-partitioned arrays from
     MeshPartition.scatter_* — the solver itself is fully SPMD: one ppermute
     halo refresh per matvec, psum reductions."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     perm_of = [
@@ -209,12 +222,11 @@ def make_sharded_solver(
         )
         return res.x[None], res.initial_residual[None], res.n_iterations[None]
 
-    smapped = shard_map(
+    smapped = shard_map_compat(
         body,
         mesh=mesh,
         in_specs=(spec,) * (10 + 3 * len(plan)),
         out_specs=(spec, P(), P()),
-        check_rep=False,
     )
 
     flat_plan = [a for tup in plan for a in tup]

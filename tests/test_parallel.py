@@ -16,6 +16,7 @@ from firefoam_tpu.parallel import (
     make_sharded_solver,
     rcb_partition,
 )
+from firefoam_tpu.parallel.sharded import shard_map_compat
 
 
 def _box_graph(nx, ny, nz):
@@ -126,10 +127,9 @@ def test_partition_count_invariance():
 
 
 def test_halo_exchange_values():
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
-    from firefoam_tpu.parallel.sharded import halo_exchange
+    from firefoam_tpu.parallel.sharded import halo_exchange, shard_map_compat
 
     C, own, nei, b_own = _box_graph(6, 6, 3)
     nC = C.shape[0]
@@ -155,11 +155,10 @@ def test_halo_exchange_values():
         h = halo_exchange(xl[0], steps, mp.h_max, "cells")
         return h[None]
 
-    halo = shard_map(
+    halo = shard_map_compat(
         body, mesh=mesh,
         in_specs=(P("cells"),) * (1 + 3 * len(plan)),
         out_specs=P("cells"),
-        check_rep=False,
     )(x_l, *[a for t in plan for a in t])
     halo = np.asarray(halo)
     for p in range(n_parts):
@@ -169,7 +168,6 @@ def test_halo_exchange_values():
 
 
 def test_parcel_exchange_conserves():
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     n_parts, cap, cap_send = 8, 32, 16
@@ -193,11 +191,10 @@ def test_parcel_exchange_conserves():
         return {k: v[None] for k, v in s.items()}, a[None], n_over[None]
 
     soa = {"mass": jnp.asarray(mass), "tag": jnp.asarray(tag, jnp.float64)}
-    out_soa, out_alive, n_over = shard_map(
+    out_soa, out_alive, n_over = shard_map_compat(
         body, mesh=mesh,
         in_specs=({"mass": P("p"), "tag": P("p")}, P("p"), P("p")),
         out_specs=({"mass": P("p"), "tag": P("p")}, P("p"), P()),
-        check_rep=False,
     )(soa, jnp.asarray(alive), jnp.asarray(dest))
 
     out_alive = np.asarray(out_alive)
