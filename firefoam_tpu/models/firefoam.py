@@ -237,6 +237,17 @@ class FireFoamSolver:
         except Exception:
             pass
         self.turb.lap_limiter = self.lap_limiter
+        # ---- div schemes (fvSchemes divSchemes): the reference cases vary
+        # per-case — steckler/singleBox/detailedSprinklerInjection use
+        # 'Gauss LUST grad(U)' for div(phi,U) while pyrolysis1D and
+        # wallFireSpread2D use 'Gauss filteredLinear2V 0.2 0.05'; div(phi,k)
+        # is 'Gauss limitedLinear 1' everywhere. Honour the dict instead of
+        # hardcoding (unknown schemes on these keys raise — no silent
+        # substitution).
+        self.u_div_scheme = self._parse_div_scheme("div(phi,U)", ("LUST",))
+        self.turb.div_scheme = self._parse_div_scheme(
+            "div(phi,k)", ("limitedLinear", 1.0)
+        )
         # ---- AMG hierarchy for the pressure solve (the GAMG role) ----
         # used when the case dict selects GAMG, when FIREFOAM_TPU_AMG=1, or
         # automatically above 50k cells where diagonal-PCG's O(√n) iteration
@@ -1302,6 +1313,57 @@ class FireFoamSolver:
         return None if v is None else float(v)
 
     # ------------------------------------------------------------------
+    def _parse_div_scheme(self, key: str, default: tuple) -> tuple:
+        """fvSchemes.divSchemes[key] → scheme tuple: ('LUST',) |
+        ('linear',) | ('upwind',) | ('limitedLinear'|'limitedLinear01', k) |
+        ('filteredLinear2'|'filteredLinear2V', k, l). Unknown schemes raise
+        (no silent substitution)."""
+        try:
+            v = self.case.fv_schemes.get_dict("divSchemes").lookup(key, None)
+        except Exception:
+            v = None
+        if v is None:
+            return default
+        toks = [str(t) for t in v] if isinstance(v, list) else [str(v)]
+        if toks and toks[0] == "Gauss":
+            toks = toks[1:]
+        if not toks:
+            return default
+        name = toks[0]
+        if name == "LUST":
+            return ("LUST",)
+        if name in ("linear", "upwind"):
+            return (name,)
+        if name in ("limitedLinear", "limitedLinearV", "limitedLinear01"):
+            k = float(toks[1]) if len(toks) > 1 else 1.0
+            return ("limitedLinear01" if name.endswith("01") else "limitedLinear", k)
+        if name in ("filteredLinear2", "filteredLinear2V"):
+            k = float(toks[1]) if len(toks) > 1 else 1.0
+            l = float(toks[2]) if len(toks) > 2 else 0.0
+            return ("filteredLinear2", k, l)
+        raise NotImplementedError(f"divSchemes {key}: scheme '{name}'")
+
+    def _div_weights(self, scheme: tuple, phi, psi, grad_psi=None):
+        """Per-face interpolation weights for a parsed div scheme (the
+        non-deferred-correction family; LUST is handled at the call site)."""
+        g = self.geom
+        name = scheme[0]
+        if name == "linear":
+            return g.w
+        if name == "upwind":
+            return fvm.upwind_weights(g, phi.i)
+        if name in ("limitedLinear", "limitedLinear01"):
+            return fvm.limited_linear_weights(
+                g, phi.i, psi, k=scheme[1], bound01=name.endswith("01")
+            )
+        if name == "filteredLinear2":
+            lim = fvm.filtered_linear2_limiter(
+                g, psi, grad_psi, k=scheme[1], l=scheme[2]
+            )
+            return fvm.limiter_weights(g, phi.i, lim)
+        raise NotImplementedError(f"div scheme '{name}'")
+
+    # ------------------------------------------------------------------
     # equation pieces (all traced inside step)
     # ------------------------------------------------------------------
     def _u_eqn(self, state, log, srcs):
@@ -1317,9 +1379,14 @@ class FireFoamSolver:
         gradU = fvc.grad(g, U)
         mu_eff_f = SurfaceField(fvc.interpolate(g, mu_eff).i, mu_eff.b)
 
+        if self.u_div_scheme[0] == "LUST":
+            conv = fvm.lust_div(g, phi, U, vic, vbc, gradU)
+        else:
+            w_u = self._div_weights(self.u_div_scheme, phi, U, gradU)
+            conv = fvm.div(g, phi, U, w_u, vic, vbc)
         m = (
             fvm.ddt(g, rho.i, U, U.i, state["rho_old_i"], state["dt"])
-            + fvm.lust_div(g, phi, U, vic, vbc, gradU)
+            + conv
             - fvm.laplacian(g, mu_eff_f, U, gic, gbc, corr=self._lap_corr(U))
         )
         # explicit part of divDevRhoReff: −div(muEff·dev2(∇Uᵀ))

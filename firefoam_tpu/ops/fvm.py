@@ -37,6 +37,7 @@ __all__ = [
     "mixed_value_coeffs",
     "mixed_gradient_coeffs",
     "upwind_weights",
+    "filtered_linear2_limiter",
     "limited_linear_weights",
     "limited_linear_limiter",
     "limiter_weights",
@@ -292,6 +293,53 @@ def limited_linear_weights(
     """limitedLinear k (and limitedLinear01): limiter-blended weights."""
     lim = limited_linear_limiter(geom, phi_i, psi, k, bound01)
     return limiter_weights(geom, phi_i, lim)
+
+
+def filtered_linear2_limiter(
+    geom: MeshGeometry,
+    psi: VolField,
+    grad_psi: Optional[jnp.ndarray] = None,
+    k: float = 1.0,
+    l: float = 0.0,
+) -> jnp.ndarray:
+    """filteredLinear2 / filteredLinear2V limiter (fvSchemes
+    `Gauss filteredLinear2V k l`, used by the reference's pyrolysis1D and
+    wallFireSpread2D cases for div(phi,U)): damp high-frequency "staggering"
+    modes by comparing the face difference with both neighbouring cell
+    gradients, introducing k-scaled upwind where they disagree.
+
+      df = ψ_N − ψ_P          (V variant: |Δψ|², projections along Δψ)
+      dP = d·(∇ψ)_P,  dN = d·(∇ψ)_N
+      λ  = clip((l+1) − k·max(|df−dP|, |df−dN|)/(|df| + SMALL), 0, 1)
+
+    Smooth fields (cell gradients consistent with the face difference) give
+    λ=1 (pure linear, k=0 ⇒ always linear); staggered zig-zag modes (cell
+    gradients ≈ 0) give λ = 1+l−k; face-local extrema (cell gradients large
+    vs the face difference, overshoot risk beyond l·df) drive λ → 0
+    (upwind). Reconstructed from the published scheme's definition — the
+    scheme source is not bundled in /root/reference; coefficient-exact
+    OpenFOAM parity is unverified (docs/FIDELITY.md protocol applies)."""
+    from . import fvc
+    from ..config import small
+
+    if grad_psi is None:
+        grad_psi = fvc.grad(geom, psi) if psi.i.ndim == 2 else fvc.grad_scalar(geom, psi)
+    d = geom.gather_nei(geom.C) - geom.gather_own(geom.C)
+    go = geom.gather_own(grad_psi)
+    gn = geom.gather_nei(grad_psi)
+    if psi.i.ndim == 2:  # filteredLinear2V: along the face-difference direction
+        dfV = geom.gather_nei(psi.i) - geom.gather_own(psi.i)
+        df = jnp.einsum("fi,fi->f", dfV, dfV)
+        dP = jnp.einsum("fi,fi->f", dfV, jnp.einsum("fi,fij->fj", d, go))
+        dN = jnp.einsum("fi,fi->f", dfV, jnp.einsum("fi,fij->fj", d, gn))
+    else:
+        df = geom.gather_nei(psi.i) - geom.gather_own(psi.i)
+        dP = jnp.einsum("fd,fd->f", d, go)
+        dN = jnp.einsum("fd,fd->f", d, gn)
+    ratio = jnp.maximum(jnp.abs(df - dP), jnp.abs(df - dN)) / (
+        jnp.abs(df) + small()
+    )
+    return jnp.clip((l + 1.0) - k * ratio, 0.0, 1.0)
 
 
 def lust_div(

@@ -169,7 +169,22 @@ class KEqnLES:
         rv, rg, f = bcmod.resolve(k_bcs, g, k, ctx)
         vic, vbc = fvm.mixed_value_coeffs(rv, rg, f, g.b_dc)
         gic, gbc = fvm.mixed_gradient_coeffs(rv, rg, f, g.b_dc)
-        w = fvm.limited_linear_weights(g, phi.i, k, k=1.0)
+        # div(phi,k) scheme per the case fvSchemes (set by FireFoamSolver;
+        # every reference case uses 'Gauss limitedLinear 1' — the default)
+        sch = getattr(self, "div_scheme", ("limitedLinear", 1.0))
+        if sch[0] in ("limitedLinear", "limitedLinear01"):
+            w = fvm.limited_linear_weights(
+                g, phi.i, k, k=float(sch[1]), bound01=sch[0].endswith("01")
+            )
+        elif sch[0] == "linear":
+            w = g.w
+        elif sch[0] == "upwind":
+            w = fvm.upwind_weights(g, phi.i)
+        elif sch[0] == "filteredLinear2":
+            lim = fvm.filtered_linear2_limiter(g, k, None, k=sch[1], l=sch[2])
+            w = fvm.limiter_weights(g, phi.i, lim)
+        else:
+            raise NotImplementedError(f"div(phi,k) scheme '{sch[0]}'")
 
         # non-orthogonal correction per the case laplacianSchemes (set by
         # FireFoamSolver; None = uncorrected)
