@@ -207,6 +207,37 @@ class ConeInjection(InjectorBase):
         return st, cand
 
 
+def _unwrap_list(v):
+    """'phi List<scalar> 42 ( ... )' tokenises as [String, 42, [...]] —
+    unwrap to the trailing value list."""
+    if v and isinstance(v[-1], list):
+        return v[-1]
+    return v
+
+
+def _midpoint_edges(phi_tab: np.ndarray, theta_tab: np.ndarray):
+    """v1 bin-edge reconstruction from cell centres (computeAreas :1125-1160):
+    interior edges are midpoints of neighbouring centres; the first elevation
+    edge is pinned to 0° while the outermost elevation/azimuth edges coincide
+    with the outermost centres. Tables are [nAzi, nEle]."""
+    n_azi, n_ele = phi_tab.shape
+    ele_lo = np.empty_like(theta_tab)
+    ele_hi = np.empty_like(theta_tab)
+    mid_e = 0.5 * (theta_tab[:, :-1] + theta_tab[:, 1:])  # [nAzi, nEle-1]
+    ele_lo[:, 0] = 0.0
+    ele_lo[:, 1:] = mid_e
+    ele_hi[:, :-1] = mid_e
+    ele_hi[:, -1] = theta_tab[:, -1]
+    azi_lo = np.empty_like(phi_tab)
+    azi_hi = np.empty_like(phi_tab)
+    mid_a = 0.5 * (phi_tab[:-1, :] + phi_tab[1:, :])  # [nAzi-1, nEle]
+    azi_lo[0, :] = phi_tab[0, :]
+    azi_lo[1:, :] = mid_a
+    azi_hi[:-1, :] = mid_a
+    azi_hi[-1, :] = phi_tab[-1, :]
+    return azi_lo, azi_hi, ele_lo, ele_hi
+
+
 def _constant_profile(d: FoamDict, key: str) -> float:
     v = d.lookup(key)
     if isinstance(v, list):  # e.g. "constant 4.0" parses as [String, 4.0]
@@ -216,13 +247,24 @@ def _constant_profile(d: FoamDict, key: str) -> float:
 
 # ---------------------------------------------------------------------------
 class DetailedSprinklerInjection(InjectorBase):
-    """FM Global detailed sprinkler spray from measured (ele×azi) tables."""
+    """FM Global detailed sprinkler spray from measured (ele×azi) tables.
 
-    def __init__(self, name: str, d: FoamDict, walk, case, dtype):
+    version=1: DetailedSprinklerInjection.C — per-pressure phi/theta tables,
+    bin edges reconstructed by the midpoint rule (computeAreas :1100-1185),
+    RTI default 200, scalar |U| link ODE.
+    version=2: DetailedSprinklerInjection2.C — phiMinMax/thetaMinMax bin-edge
+    lists in the table dict (:991-1031), RTI default 22 plus RTI_deflector,
+    link ODE split into deflector-normal/tangential components (:748-760).
+    Both inject the ideal K-factor flow in total (v1 volumeTotal_ :232,
+    v2 normalises the measured fluxes by input/ideal ratio :1201-1211).
+    """
+
+    def __init__(self, name: str, d: FoamDict, walk, case, dtype, version: int = 1):
         soi = d.get_scalar("SOI")
         dur = d.get_scalar("duration")
         super().__init__(name, soi, dur)
         self.dtype = dtype
+        self.version = version
         lt = d.get_dict("lookupTableCoeffs")
         self.table_name = lt.get_word("tableName")
         self.p_op = lt.get_scalar("operatingPressure")  # psig
@@ -235,9 +277,13 @@ class DetailedSprinklerInjection(InjectorBase):
         self.arm = np.asarray(d.get_vector("armDirection"), float)
         self.arm /= np.linalg.norm(self.arm)
         self.radius = d.get_scalar("radiusToSprinkler")
+        self.momentum_eff = d.get_scalar("momentumEfficiency", 1.0)
+        self.reduction_factor = d.get_scalar("reductionFactor", 0.0)
         rti = d.get_dict("rtiCoeffs", FoamDict())
         self.rti_active = rti.get_bool("active", False)
-        self.RTI = rti.get_scalar("RTI", 50.0)
+        rti_default = 22.0 if version == 2 else 200.0
+        self.RTI = rti.get_scalar("RTI", rti_default)
+        self.RTI_deflector = rti.get_scalar("RTI_deflector", self.RTI)
         self.C = rti.get_scalar("C", 0.0)
         self.T0_link = rti.get_scalar("initialTemperature", 298.15)
         self.T_act = rti.get_scalar("activationTemperature", 347.0)
@@ -248,12 +294,31 @@ class DetailedSprinklerInjection(InjectorBase):
             raise ValueError(f"{name}: sprinkler position outside mesh")
         self.walk = walk
 
-    # -- table ingestion (reference readTableData :930-1000) ---------------
+    # -- table ingestion (reference readTableData v1 :930-1000 / v2 :960-1035)
     def _read_table(self, case):
         tdict = case.constant(self.table_name)
         self.k_factor = tdict.get_scalar("kFactor")  # gpm/psi^0.5
         n_ele = tdict.get_int("nEle")
         n_azi = tdict.get_int("nAzi")
+        sampled_radius = tdict.get_scalar("radius", self.radius)
+        v2_format = tdict.found("phiMinMax") and tdict.found("thetaMinMax")
+        if v2_format:
+            # v2: bin EDGES shipped directly; cell centres are mid-edges
+            # (DetailedSprinklerInjection2.C:1013-1031)
+            phi_e = np.asarray(_unwrap_list(tdict.get_list("phiMinMax")), float)
+            the_e = np.asarray(_unwrap_list(tdict.get_list("thetaMinMax")), float)
+            n_azi = len(phi_e) - 1
+            n_ele = len(the_e) - 1
+            self.phi_tab = np.broadcast_to(
+                0.5 * (phi_e[:-1] + phi_e[1:])[:, None], (n_azi, n_ele)
+            ).copy()
+            self.theta_tab = np.broadcast_to(
+                0.5 * (the_e[:-1] + the_e[1:])[None, :], (n_azi, n_ele)
+            ).copy()
+            azi_lo = np.broadcast_to(phi_e[:-1][:, None], (n_azi, n_ele))
+            azi_hi = np.broadcast_to(phi_e[1:][:, None], (n_azi, n_ele))
+            ele_lo = np.broadcast_to(the_e[:-1][None, :], (n_azi, n_ele))
+            ele_hi = np.broadcast_to(the_e[1:][None, :], (n_azi, n_ele))
         press = tdict.get_dict("pressures")
         entries = []
         for pname, sub in press.subdicts():
@@ -261,12 +326,13 @@ class DetailedSprinklerInjection(InjectorBase):
             def grab(k):
                 # 'phi List<scalar> 42 ( ... )' tokenises as
                 # [String('List<scalar>'), 42, [values...]] — unwrap to values
-                v = sub.get_list(k)
-                if v and isinstance(v[-1], list):
-                    v = v[-1]
-                return np.asarray(v, float).reshape(n_azi, n_ele)
+                return np.asarray(_unwrap_list(sub.get_list(k)), float).reshape(
+                    n_azi, n_ele
+                )
+            phi_th = (None, None) if v2_format else (grab("phi"), grab("theta"))
             entries.append(
-                (p, grab("phi"), grab("theta"), grab("volFlux"), grab("dv50"), grab("velMag"))
+                (p, phi_th[0], phi_th[1], grab("volFlux"), grab("dv50"),
+                 grab("velMag"), sub.get_scalar("velocityCorrection", 1.0))
             )
         entries.sort(key=lambda e: e[0])
         ps = np.array([e[0] for e in entries])
@@ -276,20 +342,41 @@ class DetailedSprinklerInjection(InjectorBase):
         lo = hi - 1
         f = (po - ps[lo]) / max(ps[hi] - ps[lo], small())
         blend = lambda i: (1 - f) * entries[lo][i] + f * entries[hi][i]
-        self.phi_tab = blend(1)  # deg [nAzi, nEle]
-        self.theta_tab = blend(2)
+        if not v2_format:
+            self.phi_tab = blend(1)  # deg [nAzi, nEle]
+            self.theta_tab = blend(2)
+            # v1: reconstruct bin edges by the midpoint rule over cell centres
+            # (computeAreas :1125-1160; first elevation edge pinned to 0°)
+            azi_lo, azi_hi, ele_lo, ele_hi = _midpoint_edges(
+                self.phi_tab, self.theta_tab
+            )
         vol_flux = blend(3)  # L/m2/s
         self.dv50_tab = blend(4) * 1e-3  # mm → m
-        self.vel_tab = blend(5)
+        vel_corr = blend(6)
+        self.vel_tab = blend(5) * self.momentum_eff * vel_corr
 
-        # bin sampling probability ∝ volFlux · solid-angle weight(theta)
-        theta = np.radians(self.theta_tab)
-        w = vol_flux * np.maximum(np.sin(theta), 1e-3)
-        w = w.ravel()
-        self.bin_p = w / w.sum()
+        # per-bin sampled area at the measurement radius:
+        #   A = R²·(sin e2 − sin e1)·Δazi_rad    (computeAreas :1170-1171)
+        d2r = math.pi / 180.0
+        area = (
+            sampled_radius ** 2
+            * (np.sin(d2r * ele_hi) - np.sin(d2r * ele_lo))
+            * d2r * (azi_hi - azi_lo)
+        )
+        area = np.abs(area)
+        # under-nozzle reduction: scale = (1−rf) at ele 90° → 1 at 0°
+        # (computeVolFlow :1195-1200)
+        rf = self.reduction_factor
+        scale = (1.0 - rf) - ((90.0 - self.theta_tab) / 90.0) * ((1.0 - rf) - 1.0)
+        # bin sampling probability ∝ volFlow = volFlux·area·scale
+        # (weightedSampling :1285-1305)
+        w = (vol_flux * area * scale).ravel()
+        w = np.maximum(w, 0.0)
+        self.bin_p = w / max(w.sum(), small())
         self.n_bins = w.size
         self.n_ele, self.n_azi = n_ele, n_azi
         # total volumetric flow from the K-factor at operating pressure
+        # (both versions inject the ideal flow: v1 volumeTotal_ :232)
         self.Q = self.k_factor * math.sqrt(max(self.p_op, 0.0)) * _GPM_TO_M3S  # m3/s
 
     def capacity_for_dt(self, dt_max: float) -> int:
@@ -304,13 +391,30 @@ class DetailedSprinklerInjection(InjectorBase):
 
     def _update_links(self, st, t, dt, gas) -> Dict:
         """RTI link ODE against gas T,|U| at the sprinkler cells — reference
-        DetailedSprinklerInjection activation & solver/rti.H:34-47."""
+        DetailedSprinklerInjection activation & solver/rti.H:34-47. v2 splits
+        the convective coefficient into deflector-normal (|U·dir|, RTI_deflector)
+        and tangential (|U×dir|, RTI) parts (DetailedSprinklerInjection2.C:748-760)."""
         cells = jnp.asarray(self.cells, INT_DTYPE)
         Tg = gas["T"][cells]
-        Ug = jnp.sqrt(jnp.sum(gas["U"][cells] ** 2, axis=1))
-        sqU = jnp.sqrt(jnp.maximum(Ug, 1e-6))
+        Ucell = gas["U"][cells]
+        dTg = Tg - self.T0_link
         dTe_old = st["Te"] - self.T0_link
-        dTe = sqU / self.RTI * ((Tg - self.T0_link) - (1.0 + self.C / sqU) * dTe_old) * dt
+        if self.version == 2:
+            dirv = jnp.asarray(self.direction, self.dtype)
+            Un = jnp.abs(Ucell @ dirv)
+            Ut = jnp.sqrt(jnp.maximum(
+                jnp.sum(jnp.cross(Ucell, dirv[None, :]) ** 2, axis=1), 0.0))
+            sqUn = jnp.sqrt(jnp.maximum(Un, 1e-6))
+            sqUt = jnp.sqrt(jnp.maximum(Ut, 1e-6))
+            coeff = (
+                sqUn / self.RTI_deflector * (dTg - (1.0 + self.C / sqUn) * dTe_old)
+                + sqUt / self.RTI * (dTg - (1.0 + self.C / sqUt) * dTe_old)
+            )
+            dTe = coeff * dt
+        else:
+            Ug = jnp.sqrt(jnp.sum(Ucell ** 2, axis=1))
+            sqU = jnp.sqrt(jnp.maximum(Ug, 1e-6))
+            dTe = sqU / self.RTI * (dTg - (1.0 + self.C / sqU) * dTe_old) * dt
         Te = st["Te"] + dTe
         newly = (Te >= self.T_act) & (st["t_act"] < 0.0)
         st = dict(st)
@@ -570,7 +674,10 @@ def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None,
     if kind in ("patchInjection", "patchFlowRateInjection") and geom is not None:
         return PatchInjection(name, d, geom, dtype)
     if kind in ("detailedSprinklerInjection", "detailedSprinklerInjection2"):
-        return DetailedSprinklerInjection(name, d, walk, case, dtype)
+        return DetailedSprinklerInjection(
+            name, d, walk, case, dtype,
+            version=2 if kind.endswith("2") else 1,
+        )
     if kind in ("sprinklerInjection", "multiSprinklerInjection"):
         from .sprinklers import AnalyticSprinklerInjection
 

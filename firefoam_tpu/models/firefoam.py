@@ -149,7 +149,15 @@ class FireFoamSolver:
                 pass
 
         # ---- turbulence ----
-        self.turb = KEqnLES.from_case(g, self.case.constant("turbulenceProperties"))
+        self.turb = KEqnLES.from_case(
+            g,
+            self.case.constant("turbulenceProperties"),
+            les_props=(
+                self.case.constant("LESProperties")
+                if self.case.has_constant("LESProperties")
+                else None
+            ),
+        )
 
         # ---- radiation (fvDOM/P1, selected from constant/radiationProperties) ----
         rad_props = (

@@ -1,7 +1,8 @@
 """LES SGS models: kEqn, WALE/WALE2, SIGMA2 (+ cubeRootVol delta).
 
-kEqn is the model steckler selects (constant/turbulenceProperties:
-LESModel kEqn; golden log prints Ck=0.094, Ce=1.048):
+kEqn is the model steckler selects (constant/LESProperties: LESModel
+oneEqEddy with ck 0.03 — the designated 2.4.x golden log's model; the
+newer turbulenceProperties LES subdict names the same model kEqn):
   nut  = Ck·sqrt(k)·Δ
   k-eqn: ddt(ρk) + div(φ,k) − lap(ρ·DkEff,k) =
          ρ·G − (2/3)ρ·divU·k − Ce·ρ·k^1.5/Δ
@@ -52,20 +53,49 @@ class KEqnLES:
     cx: float = 1.35  # SIGMA coefficient
 
     @classmethod
-    def from_case(cls, geom: MeshGeometry, turb_dict) -> "KEqnLES":
+    def from_case(cls, geom: MeshGeometry, turb_dict, les_props=None) -> "KEqnLES":
+        """Build from turbulenceProperties, preferring constant/LESProperties.
+
+        The reference's designated golden runs are OpenFOAM-2.4.x builds that
+        select the model from constant/LESProperties (steckler golden log:
+        "Selecting LES turbulence model oneEqEddy ... ck 0.03; ce 1.048") —
+        the new-style turbulenceProperties LES subdict those cases also carry
+        is what the *dev-2017* build reads instead (its kEqnCoeffs `C 0.03`
+        is a dead key there, giving Ck=0.094).  All five reference cases ship
+        LESProperties with `LESModel oneEqEddy`; three of them set ck 0.03.
+        Honouring LESProperties first reproduces the designated goldens'
+        effective coefficients (oneEqEddy == kEqn: nut = ck·√k·Δ,
+        ε = ce·k^1.5/Δ per OpenFOAM-2.4.x oneEqEddy.C).
+        """
         les = turb_dict.get_dict("LES")
         model = les.get_word("LESModel", les.get_word("model", "kEqn"))
         coeffs = les.get_dict(model + "Coeffs", None) if les.found(model + "Coeffs") else None
         crv = les.get_dict("cubeRootVolCoeffs", None) if les.found("cubeRootVolCoeffs") else None
+        ck_default, ce_default = 0.094, 1.048
+        if les_props is not None and les_props.found("LESModel"):
+            model = les_props.get_word("LESModel", model)
+            if les_props.found(model + "Coeffs"):
+                coeffs = les_props.get_dict(model + "Coeffs")
+            crv2 = (
+                les_props.get_dict("cubeRootVolCoeffs", None)
+                if les_props.found("cubeRootVolCoeffs")
+                else None
+            )
+            if crv2 is not None:
+                crv = crv2
         delta_coeff = crv.get_scalar("deltaCoeff", 1.0) if crv else 1.0
         delta = delta_coeff * jnp.cbrt(geom.V)
         kw = {}
         if coeffs:
-            kw["Ck"] = coeffs.get_scalar("Ck", 0.094)
-            kw["Ce"] = coeffs.get_scalar("Ce", 1.048)
+            # 2.4.x oneEqEddy spells the coefficients lowercase (ck/ce);
+            # the new kEqn spells them Ck/Ce — accept either.
+            kw["Ck"] = coeffs.get_scalar("Ck", coeffs.get_scalar("ck", ck_default))
+            kw["Ce"] = coeffs.get_scalar("Ce", coeffs.get_scalar("ce", ce_default))
             kw["Prt"] = coeffs.get_scalar("Prt", 1.0)
             kw["cw"] = coeffs.get_scalar("cw", 0.5)
             kw["cx"] = coeffs.get_scalar("cx", 1.35)
+        if model == "oneEqEddy":
+            model = "kEqn"  # 2.4.x name for the same one-equation SGS model
         if model not in ("kEqn", "WALE", "WALE2", "SIGMA2"):
             model = "kEqn"  # stock core models default to kEqn behaviour
         return cls(geom=geom, delta=delta, model=model, **kw)

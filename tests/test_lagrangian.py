@@ -535,3 +535,76 @@ def test_patch_injection():
     # cumulative count: nothing more to inject for the same window
     st2, cand2 = inj.inject(st, key, jnp.asarray(0.0), jnp.asarray(0.01), None)
     assert int(cand2["valid"].sum()) == 0
+
+
+def test_detailed_sprinkler_v2(tmp_path):
+    """DetailedSprinklerInjection2: phiMinMax/thetaMinMax bin-edge table
+    format (DetailedSprinklerInjection2.C:991-1031) and the deflector-split
+    RTI link ODE (:748-760)."""
+    import textwrap
+    from firefoam_tpu.io import Case
+    from firefoam_tpu.lagrangian.injection import make_injector
+    from firefoam_tpu.io.foamdict import parse_string
+
+    import os
+    os.makedirs(tmp_path / "constant", exist_ok=True)
+    # 3 azi bins x 2 ele bins
+    (tmp_path / "constant" / "v2table").write_text(textwrap.dedent("""
+        kFactor 16.8;
+        radius 0.762;
+        nEle 2;
+        nAzi 3;
+        phiMinMax ( 0 30 60 90 );
+        thetaMinMax ( 0 45 90 );
+        pressures
+        {
+            p5
+            {
+                pressure 5.0;
+                velocityCorrection 0.5;
+                volFlux ( 1 2 3 4 5 6 );
+                dv50    ( 1 1 1 1 1 1 );
+                velMag  ( 10 10 10 10 10 10 );
+            }
+        }
+    """))
+    case = Case(str(tmp_path))
+    d = parse_string("""
+        type detailedSprinklerInjection2;
+        lookupTableCoeffs { tableName v2table; operatingPressure 5.0; }
+        SOI 0; duration 100; parcelsPerSecond 1000;
+        positionList ( (0.5 0.9 0.5) );
+        direction (0 -1 0); armDirection (1 0 0);
+        radiusToSprinkler 0.05;
+        rtiCoeffs { active false; RTI 22; RTI_deflector 50; C 0.2;
+                    initialTemperature 298.15; activationTemperature 347.0; }
+    """)
+    mesh = small_mesh((4, 4, 4))
+    walk = WalkMesh.from_polymesh(mesh)
+    inj = make_injector("spr2", d, walk, case, np.float64)
+    assert inj.version == 2
+    assert inj.RTI == 22.0 and inj.RTI_deflector == 50.0
+    # bin centres are mid-edges
+    assert inj.n_azi == 3 and inj.n_ele == 2
+    assert np.allclose(np.unique(inj.phi_tab), [15.0, 45.0, 75.0])
+    assert np.allclose(np.unique(inj.theta_tab), [22.5, 67.5])
+    # velocityCorrection folded into parcel velocity magnitude
+    assert np.allclose(inj.vel_tab, 5.0)
+    # ideal K-factor flow, mass released matches it
+    assert inj.Q == pytest.approx(16.8 * math.sqrt(5.0) * 6.30902e-5, rel=1e-6)
+    inj.max_per_step = inj.capacity_for_dt(0.01)
+    st = inj.init_state()
+    st, cand = inj.inject(st, jax.random.PRNGKey(0), jnp.asarray(0.0),
+                          jnp.asarray(0.01), None)
+    assert int(cand["valid"].sum()) == 10
+    assert float(cand["mass"].sum()) == pytest.approx(inj.Q * 1000.0 * 0.01, rel=1e-6)
+
+    # deflector-split link ODE: pure tangential flow (U ⊥ direction) heats
+    # via RTI=22; pure normal flow (U ∥ direction) heats via RTI_deflector=50
+    # — the tangential case must respond faster
+    nC = mesh.n_cells
+    tang = {"T": jnp.full((nC,), 500.0), "U": jnp.tile(jnp.array([2.0, 0.0, 0.0]), (nC, 1))}
+    norm = {"T": jnp.full((nC,), 500.0), "U": jnp.tile(jnp.array([0.0, -2.0, 0.0]), (nC, 1))}
+    st_t = inj._update_links(inj.init_state(), 0.0, 0.5, tang)
+    st_n = inj._update_links(inj.init_state(), 0.0, 0.5, norm)
+    assert float(st_t["Te"][0]) > float(st_n["Te"][0]) > 298.15
