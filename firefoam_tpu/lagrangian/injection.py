@@ -277,7 +277,7 @@ class DetailedSprinklerInjection(InjectorBase):
         self.arm = np.asarray(d.get_vector("armDirection"), float)
         self.arm /= np.linalg.norm(self.arm)
         self.radius = d.get_scalar("radiusToSprinkler")
-        self.momentum_eff = d.get_scalar("momentumEfficiency", 1.0)
+        self.momentum_eff = d.get_scalar("momentumEfficiency", 0.8)
         self.reduction_factor = d.get_scalar("reductionFactor", 0.0)
         rti = d.get_dict("rtiCoeffs", FoamDict())
         self.rti_active = rti.get_bool("active", False)
@@ -286,7 +286,7 @@ class DetailedSprinklerInjection(InjectorBase):
         self.RTI_deflector = rti.get_scalar("RTI_deflector", self.RTI)
         self.C = rti.get_scalar("C", 0.0)
         self.T0_link = rti.get_scalar("initialTemperature", 298.15)
-        self.T_act = rti.get_scalar("activationTemperature", 347.0)
+        self.T_act = rti.get_scalar("activationTemperature", 432.0)
 
         self._read_table(case)
         self.cells = np.array([walk.find_cell_host(p) for p in self.positions])
@@ -336,8 +336,10 @@ class DetailedSprinklerInjection(InjectorBase):
             )
         entries.sort(key=lambda e: e[0])
         ps = np.array([e[0] for e in entries])
-        # linear interpolation in pressure at operating pressure (clamped)
-        po = np.clip(self.p_op, ps[0], ps[-1])
+        # linear interpolation in pressure at the operating pressure; outside
+        # the table range the reference linearly EXTRAPOLATES from the end
+        # segment (interpolatePressure, both versions) — so no clamping
+        po = self.p_op
         hi = int(np.searchsorted(ps, po, side="left").clip(1, len(ps) - 1))
         lo = hi - 1
         f = (po - ps[lo]) / max(ps[hi] - ps[lo], small())

@@ -74,8 +74,14 @@ class KEqnLES:
         ck_default, ce_default = 0.094, 1.048
         if les_props is not None and les_props.found("LESModel"):
             model = les_props.get_word("LESModel", model)
-            if les_props.found(model + "Coeffs"):
-                coeffs = les_props.get_dict(model + "Coeffs")
+            # once LESProperties selects the model, never fall back to the
+            # (possibly differently-named) turbulenceProperties Coeffs subdict
+            # — that would mix coefficient sources across the two dict styles
+            coeffs = (
+                les_props.get_dict(model + "Coeffs")
+                if les_props.found(model + "Coeffs")
+                else None
+            )
             crv2 = (
                 les_props.get_dict("cubeRootVolCoeffs", None)
                 if les_props.found("cubeRootVolCoeffs")

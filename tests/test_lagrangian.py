@@ -327,7 +327,9 @@ def test_sprinkler_injection_tables():
 
     # K-factor flow: Q = 16.8 gpm/psi^0.5 · √5 psi ≈ 37.6 gpm ≈ 2.37e-3 m3/s
     assert inj.Q == pytest.approx(16.8 * math.sqrt(5.0) * 6.30902e-5, rel=1e-6)
-    assert inj.dv50_tab.max() < 0.005  # mm → m conversion happened
+    # mm → m conversion happened (raw table values are ~1-6 mm; the 5 psig
+    # operating point extrapolates below the 25-75 psig table, enlarging drops)
+    assert inj.dv50_tab.max() < 0.01
 
     st = inj.init_state()
     st, cand = inj.inject(st, jax.random.PRNGKey(0), jnp.asarray(0.0), jnp.asarray(0.01), None)
@@ -588,8 +590,9 @@ def test_detailed_sprinkler_v2(tmp_path):
     assert inj.n_azi == 3 and inj.n_ele == 2
     assert np.allclose(np.unique(inj.phi_tab), [15.0, 45.0, 75.0])
     assert np.allclose(np.unique(inj.theta_tab), [22.5, 67.5])
-    # velocityCorrection folded into parcel velocity magnitude
-    assert np.allclose(inj.vel_tab, 5.0)
+    # velocityCorrection and the 0.8 default momentumEfficiency
+    # (DetailedSprinklerInjection2.C:86) folded into parcel velocity magnitude
+    assert np.allclose(inj.vel_tab, 10.0 * 0.8 * 0.5)
     # ideal K-factor flow, mass released matches it
     assert inj.Q == pytest.approx(16.8 * math.sqrt(5.0) * 6.30902e-5, rel=1e-6)
     inj.max_per_step = inj.capacity_for_dt(0.01)
