@@ -1416,25 +1416,34 @@ class FireFoamSolver:
             m = m.relax(rf)
 
         # buoyancy + pressure-gradient source (UEqn.H:22-31):
-        # reconstruct((−ghf·snGrad(rho) − snGrad(p_rgh))·magSf)
+        # reconstruct((−ghf·snGrad(rho) − snGrad(p_rgh))·magSf).
+        # OpenFOAM solves `UEqn == reconstruct(...)` — the == builds a
+        # TEMPORARY matrix, so the named UEqn (whose A()/H() the pEqn
+        # consumes) never contains this source: buoyancy reaches the pEqn
+        # only through phig. Keep the solve matrix separate or HbyA
+        # double-counts buoyancy and the plume over-accelerates.
         sg_rho = fvc.sn_grad(g, rho)
         sg_p = fvc.sn_grad(g, state["p_rgh"])
         face_src = SurfaceField(
             (-self.ghf_i * sg_rho.i - sg_p.i) * g.magSf,
             (-self.ghf_b * sg_rho.b - sg_p.b) * g.b_magSf,
         )
-        m = m.add_source(fvc.reconstruct(g, face_src))
+        recon_src = fvc.reconstruct(g, face_src)
+        if os.environ.get("FIREFOAM_TPU_DEBUG_U"):
+            log["dbg_ay_src_pred"] = recon_src[:, 1] / rho.i
+            log["dbg_rho_pred"] = rho.i
+        m_solve = m.add_source(recon_src)
 
         # one vmapped solve over the 3 components (same matrix, 3 RHS) —
         # a single while_loop in the graph instead of three
         ctl = _solver_controls(self.fv_solution, "Ux", "U")
         fn = self._lin_fn(ctl)
 
-        dtot = m.diag_total()
-        b = m.rhs_total()
+        dtot = m_solve.diag_total()
+        b = m_solve.rhs_total()
 
         def solve_c(x0, d, bb):
-            return fn(lambda x: m.matvec(x, d), x0, bb, d, m)
+            return fn(lambda x: m_solve.matvec(x, d), x0, bb, d, m_solve)
 
         res = jax.vmap(solve_c, in_axes=(1, 1, 1), out_axes=0)(U.i, dtot, b)
         for c, comp in enumerate("xyz"):
@@ -1750,7 +1759,14 @@ class FireFoamSolver:
 
         rAU = 1.0 / u_matrix.A()
         rho_rAU_f = fvc.interpolate(g, VolField(rho.i * rAU, rho.b * rAU[g.b_own]))
-        HbyA_i = rAU[:, None] * u_matrix.H()
+        # pEqn.H is re-included per corrector, so UEqn.H() is evaluated with
+        # the CURRENT U (post-predictor for corrector 1, post-corrector after)
+        # — re-bind the matrix psi to this corrector's U before taking H
+        m_h = fvm.FvMatrix(
+            g, u_matrix.diag, u_matrix.lower, u_matrix.upper, u_matrix.source,
+            u_matrix.internal_coeffs, u_matrix.boundary_coeffs, state["U"],
+        )
+        HbyA_i = rAU[:, None] * m_h.H()
         # constrainHbyA sees the CURRENT U boundary: OpenFOAM updates U's
         # inlet BCs during UEqn assembly (fvMatrix ctor updateCoeffs), so
         # the burner flux is live from step 0's pEqn — the golden log's
@@ -1900,6 +1916,8 @@ class FireFoamSolver:
                 tol=tols[sel], rel_tol=rels[sel],
             )
         info = {"res0": res.initial_residual, "iters": res.n_iterations}
+        if os.environ.get("FIREFOAM_TPU_DEBUG_U"):
+            info["dbg_Uy_hbya"] = HbyA.i[:, 1]
 
         # boundary update + flux reconstruction
         p_rgh_b = f * rv + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
@@ -2015,6 +2033,9 @@ class FireFoamSolver:
             # ---- momentum predictor ----
             with jax.named_scope("UEqn"):
                 U_new, u_matrix, ubc_coeffs = self._u_eqn(state, log, srcs)
+            if os.environ.get("FIREFOAM_TPU_DEBUG_U"):
+                log["dbg_Uy_start"] = state["U"].i[:, 1]
+                log["dbg_Uy_pred"] = U_new.i[:, 1]
             state["U"] = U_new
 
             # ---- species + energy (one shared multivariate convection
@@ -2053,6 +2074,8 @@ class FireFoamSolver:
                 (st2["p_rgh"], st2["p"], st2["rho"], st2["phi"], st2["U"]) = carry
                 sel = jnp.where(corr == n_corr - 1, 1, 0)
                 *fields, info = self._p_eqn(st2, u_matrix, sel, srcs, ubc_coeffs)
+                if os.environ.get("FIREFOAM_TPU_DEBUG_U"):
+                    info["dbg_Uy_corr"] = fields[4].i[:, 1]
                 return tuple(fields), info
 
             carry0 = (state["p_rgh"], state["p"], state["rho"], state["phi"], state["U"])
@@ -2066,6 +2089,9 @@ class FireFoamSolver:
                 log[f"p_rgh_iters_{c}"] = infos["iters"][c]
                 log[f"cont_local_{c}"] = infos["cont_local"][c]
                 log[f"cont_global_{c}"] = infos["cont_global"][c]
+                if "dbg_Uy_corr" in infos:
+                    log[f"dbg_Uy_corr_{c}"] = infos["dbg_Uy_corr"][c]
+                    log[f"dbg_Uy_hbya_{c}"] = infos["dbg_Uy_hbya"][c]
 
             state["dpdt"] = (state["p"].i - state["p_old_i"]) / dt
 
