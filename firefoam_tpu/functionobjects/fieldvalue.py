@@ -79,17 +79,17 @@ class FunctionObjects:
                 if fo.kind == "volFieldValue":
                     op = fo.params.get("operation", "volIntegrate")
                     if op == "volIntegrate":
-                        out[tag] = jnp.sum(v * g.V, axis=0)
+                        out[tag] = g.rsum(v * g.V)
                     elif op == "volAverage":
-                        out[tag] = jnp.sum(v * g.V, axis=0) / jnp.sum(g.V)
+                        out[tag] = g.rsum(v * g.V) / g.rsum(g.V)
                     elif op == "max":
-                        out[tag] = jnp.max(v)
+                        out[tag] = g.rmax(v)
                     elif op == "min":
-                        out[tag] = jnp.min(v)
+                        out[tag] = g.rmin(v)
                 elif fo.kind == "fieldMinMax":
                     m = jnp.linalg.norm(v, axis=-1) if v.ndim == 2 else v
-                    out[tag + "_min"] = jnp.min(m)
-                    out[tag + "_max"] = jnp.max(m)
+                    out[tag + "_min"] = g.rmin(m)
+                    out[tag + "_max"] = g.rmax(m)
                 elif fo.kind == "probes":
                     cells = fo.params["cells"]
                     out[tag] = v[jnp.asarray(cells)]

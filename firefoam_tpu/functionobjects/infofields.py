@@ -57,8 +57,8 @@ def flame_heights(solver, state) -> Dict[str, jnp.ndarray]:
     h = jnp.abs(g.C @ jnp.asarray(ghat, g.C.dtype))
     ftSt = ft_stoich(solver)
     return {
-        "flameHeight": jnp.max(jnp.where(ft >= ftSt, h, 0.0)),
-        "flameHeight2": jnp.max(jnp.where(ft >= 0.2 * ftSt, h, 0.0)),
+        "flameHeight": g.rmax(jnp.where(ft >= ftSt, h, 0.0)),
+        "flameHeight2": g.rmax(jnp.where(ft >= 0.2 * ftSt, h, 0.0)),
     }
 
 

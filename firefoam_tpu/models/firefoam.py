@@ -692,14 +692,14 @@ class FireFoamSolver:
         """compressibleCourantNo: 0.5·max(Σ|φ| / (ρ V))·Δt."""
         g = self.geom
         sum_phi = g.cell_sum_unsigned(jnp.abs(state["phi"].i), jnp.abs(state["phi"].b))
-        return 0.5 * jnp.max(sum_phi / (state["rho"].i * g.V)) * state["dt"]
+        return 0.5 * g.rmax(sum_phi / (state["rho"].i * g.V)) * state["dt"]
 
     def courant_mean(self, state: Dict) -> jnp.ndarray:
         """compressibleCourantNo meanCoNum: 0.5·(ΣsumPhi/ρ)/ΣV·Δt."""
         g = self.geom
         sum_phi = g.cell_sum_unsigned(jnp.abs(state["phi"].i), jnp.abs(state["phi"].b))
         return (
-            0.5 * jnp.sum(sum_phi / state["rho"].i) / jnp.sum(g.V) * state["dt"]
+            0.5 * g.rsum(sum_phi / state["rho"].i) / g.rsum(g.V) * state["dt"]
         )
 
     def _adjust_write_dt(self, t, dt):
@@ -1437,7 +1437,7 @@ class FireFoamSolver:
         # one vmapped solve over the 3 components (same matrix, 3 RHS) —
         # a single while_loop in the graph instead of three
         ctl = _solver_controls(self.fv_solution, "Ux", "U")
-        fn = self._lin_fn(ctl)
+        fn = self._lin_fn(ctl, n_comp=3)
 
         dtot = m_solve.diag_total()
         b = m_solve.rhs_total()
@@ -1457,7 +1457,7 @@ class FireFoamSolver:
         # fixed with THIS moment's rho_b for the whole step
         return U_new, m, (rv, rg, f)
 
-    def _lin_fn(self, ctl):
+    def _lin_fn(self, ctl, n_comp: int = 1):
         """fn(matvec, x0, b, diag, m) → SolverResult, honouring the case's
         fvSolution exactly: PCG+DIC and smoothSolver+symGaussSeidel run the
         OpenFOAM-exact wavefront implementations (solvers/dic.py) so the
@@ -1484,7 +1484,10 @@ class FireFoamSolver:
         from ..solvers import pallas_cg
 
         g = self.geom
-        if pallas_cg.enabled(g.layout, g.n_cells) and self.dtype != jnp.float64:
+        # vmapped vector solves keep n_comp whole Krylov states VMEM-
+        # resident at once — charge the fused-kernel cell budget accordingly
+        # (a 144k-cell UEqn solve at n_comp=3 OOMs the 120 MiB scoped VMEM)
+        if pallas_cg.enabled(g.layout, g.n_cells * n_comp) and self.dtype != jnp.float64:
             # fused whole-solve pallas kernels: the entire Krylov/smoother
             # loop runs in one kernel with all vectors VMEM-resident (one
             # launch per solve instead of ~10 per iteration)
@@ -1797,7 +1800,7 @@ class FireFoamSolver:
                 mdot = jnp.asarray(
                     bc.params.get("massFlowRate", 0.0), self.dtype
                 )
-            A = jnp.sum(g.b_magSf[sl])
+            A = g.bsum(g.b_magSf, sl)
             n = g.b_Sf[sl] / g.b_magSf[sl, None]
             u_met = -n * (mdot / (rho.b[sl] * A))[:, None]
             U_b_eff = U_b_eff.at[sl].set(u_met)
@@ -1967,9 +1970,9 @@ class FireFoamSolver:
 
         # compressibleContinuityErrs.H: compare against thermo.rho()
         thermo_rho = psi_new.i * p_new.i
-        total_mass = jnp.sum(rho_cont * g.V)
-        info["cont_local"] = jnp.sum(jnp.abs(rho_cont - thermo_rho) * g.V) / total_mass
-        info["cont_global"] = jnp.sum((rho_cont - thermo_rho) * g.V) / total_mass
+        total_mass = g.rsum(rho_cont * g.V)
+        info["cont_local"] = g.rsum(jnp.abs(rho_cont - thermo_rho) * g.V) / total_mass
+        info["cont_global"] = g.rsum((rho_cont - thermo_rho) * g.V) / total_mass
         return p_rgh_new, p_new, rho_new, phi_new, U_new, info
 
     # ------------------------------------------------------------------
@@ -2062,8 +2065,8 @@ class FireFoamSolver:
             state["alpha"] = alpha_new
             # Foam::min/max(GeometricField) include the boundary field — the
             # golden log's min/max(T) tracks baffle FACE values early on
-            log["T_min"] = jnp.minimum(jnp.min(T_new.i), jnp.min(T_new.b))
-            log["T_max"] = jnp.maximum(jnp.max(T_new.i), jnp.max(T_new.b))
+            log["T_min"] = jnp.minimum(g.rmin(T_new.i), g.bmin(T_new.b))
+            log["T_max"] = jnp.maximum(g.rmax(T_new.i), g.bmax(T_new.b))
 
             # ---- pressure correctors (single scanned body) ----
             n_corr = self.ctl.n_correctors
@@ -2146,20 +2149,20 @@ class FireFoamSolver:
         state["t"] = state["t"] + dt
         if self.ctl.adjust:
             state["dt"] = self.new_dt(state)
-        log["Qdot_total"] = jnp.sum(state["Qdot"] * g.V)
-        log["Qdot_max"] = jnp.max(state["Qdot"])
+        log["Qdot_total"] = g.rsum(state["Qdot"] * g.V)
+        log["Qdot_max"] = g.rmax(state["Qdot"])
         for pch in g.patches:
             if pch.name == "burner":
-                log["burner_influx"] = -jnp.sum(state["phi"].b[pch.slice])
-                log["burner_rho_b"] = jnp.mean(state["rho"].b[pch.slice])
+                log["burner_influx"] = -g.bsum(state["phi"].b, pch.slice)
+                log["burner_rho_b"] = g.bmean(state["rho"].b, pch.slice)
                 log["burner_Yfuel_b"] = jnp.mean(
                     state["Y"].b[pch.slice, self.reaction.fuel_index]
                 ) if self.reaction is not None else jnp.asarray(0.0)
         log["HRR"] = log["Qdot_total"] / 1e3  # kW
-        log["k_max"] = jnp.max(state["k"].i)
-        log["T_max_int"] = jnp.max(state["T"].i)
-        log["T_max_b"] = jnp.max(state["T"].b)
-        log["U_max"] = jnp.max(jnp.linalg.norm(state["U"].i, axis=1))
+        log["k_max"] = g.rmax(state["k"].i)
+        log["T_max_int"] = g.rmax(state["T"].i)
+        log["T_max_b"] = g.bmax(state["T"].b)
+        log["U_max"] = g.rmax(jnp.linalg.norm(state["U"].i, axis=1))
         # flame heights from mixture fraction (infoOutput.H:34-57) — the
         # reference appends these to outFlameHeight every step
         if self.reaction is not None and float(np.linalg.norm(self.g_vec)) > 0:
@@ -2170,9 +2173,9 @@ class FireFoamSolver:
         # the dt used this step and the post-increment time
         for s, sp in enumerate(self.species):
             col = state["Y"].i[:, s]
-            log[f"Y_{sp}_min"] = jnp.min(col)
-            log[f"Y_{sp}_ave"] = jnp.mean(col)
-            log[f"Y_{sp}_max"] = jnp.max(col)
+            log[f"Y_{sp}_min"] = g.rmin(col)
+            log[f"Y_{sp}_ave"] = g.rmean(col)
+            log[f"Y_{sp}_max"] = g.rmax(col)
         log["t"] = state["t"]
         log["dt"] = dt
         log.update(self.function_objects.compute(state))

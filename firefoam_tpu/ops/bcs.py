@@ -148,7 +148,7 @@ def _flow_rate_inlet_velocity(bc, p, geom, psi_i, psi_b, ctx, nc, dt):
     else:
         mdot = jnp.asarray(bc.params.get("massFlowRate", 0.0), dt)
     rho_b = ctx["rho"].b[p.slice]
-    A = jnp.sum(geom.b_magSf[p.slice])
+    A = geom.bsum(geom.b_magSf, p.slice)
     n = geom.b_Sf[p.slice] / geom.b_magSf[p.slice, None]
     u = -n * (mdot / (rho_b * A))[:, None]
     return u, _zeros(p, nc, dt), _fcol(jnp.ones((p.n,), dt), nc)

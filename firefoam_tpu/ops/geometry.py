@@ -331,6 +331,56 @@ class MeshGeometry:
             + self.boundary_to_cell_sum(bface_vals)
         )
 
+    # ------------------------------------------------- global reductions
+    # The SPMD seam (SURVEY §2.11): every gSum/gMin/gMax/gAverage the
+    # reference performs (solver/YEEqn.H:72-77, setMultiRegionDeltaT.H)
+    # routes through these so the partitioned ShardGeometry can override
+    # them with mask-aware psum/pmax collectives while the global
+    # single-device geometry keeps them as plain XLA reductions.
+    def rsum(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Σ over the (real) cells of a cell array (reduces axis 0)."""
+        return jnp.sum(x, axis=0)
+
+    def rmax(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.max(x)
+
+    def rmin(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.min(x)
+
+    def rmean(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.mean(x, axis=0)
+
+    def rcount(self):
+        """Number of real cells (a traced scalar under sharding)."""
+        return self.n_cells
+
+    def bsum(self, x: jnp.ndarray, sl=None) -> jnp.ndarray:
+        """Σ over boundary faces (optionally a patch slice) of a boundary
+        array."""
+        return jnp.sum(x if sl is None else x[sl], axis=0)
+
+    def bmax(self, x: jnp.ndarray, sl=None) -> jnp.ndarray:
+        return jnp.max(x if sl is None else x[sl])
+
+    def bmin(self, x: jnp.ndarray, sl=None) -> jnp.ndarray:
+        return jnp.min(x if sl is None else x[sl])
+
+    def bmean(self, x: jnp.ndarray, sl=None) -> jnp.ndarray:
+        return jnp.mean(x if sl is None else x[sl], axis=0)
+
+    def sync(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Refresh halo slots of a cell array after a non-pointwise update
+        (identity on the unpartitioned geometry)."""
+        return x
+
+    def reducers(self):
+        """(sum, dot, mean) over cells, for injectable linear solvers."""
+        return (
+            lambda v: self.rsum(v),
+            lambda a, b: self.rsum(a * b),
+            lambda v: self.rmean(v),
+        )
+
     @property
     def recon_inv(self) -> jnp.ndarray:
         """inv(Σ Sf⊗Sf/|Sf|) per cell [nC,3,3] for fvc::reconstruct.

@@ -418,7 +418,7 @@ class FvDOM:
             tot = jnp.asarray(0.0, phi_b.dtype)
             for p in self.geom.patches:
                 if p.name in names:
-                    tot = tot - jnp.sum(phi_b[p.slice])
+                    tot = tot - self.geom.bsum(phi_b, p.slice)
             return tot
 
         m1, m2 = mlr(self.patch1), mlr(self.patch2)
@@ -492,7 +492,7 @@ class FvDOM:
             "E": E[None],
             "enFrac": ones[None],
             "enFrac_b": jnp.ones_like(T.b)[None],
-            "chi": chi if jnp.ndim(chi) == 0 else jnp.mean(chi),
+            "chi": chi if jnp.ndim(chi) == 0 else self.geom.rmean(chi),
         }
 
     # ------------------------------------------------------------ solve
@@ -687,7 +687,7 @@ class FvDOM:
             "aG": jnp.sum(a_gas * G_band, axis=0),
             "aEn": jnp.sum(a_gas * enf, axis=0),
             "count": rad["count"] + 1,
-            "chi": chi if jnp.ndim(chi) == 0 else jnp.mean(chi),
+            "chi": chi if jnp.ndim(chi) == 0 else self.geom.rmean(chi),
         }
 
     def maybe_correct(self, state, gas) -> Dict:
