@@ -104,11 +104,22 @@ class Controls:
 class FireFoamSolver:
     """Host-side case setup + jitted step factory (the flagship model)."""
 
-    def __init__(self, case_dir: str, dtype=None, radiation=None):
+    def __init__(self, case_dir: str, dtype=None, radiation=None,
+                 local=None, enable_cloud=True):
+        """local: a parallel.localize.LocalContext — builds this instance
+        over ONE partition's extended geometry for the explicit-SPMD step
+        (parallel/spmd_step.py); all geometry-derived constants then come
+        out partition-local and the step traces with ppermute/psum
+        collectives inside."""
         self.dtype = dtype or real_dtype()
+        self._local = local
         self.case = Case(case_dir)
-        self.cm = build_case_mesh(case_dir)
-        self.geom = MeshGeometry.from_polymesh(self.cm.mesh, dtype=self.dtype)
+        if local is not None:
+            self.cm = local.cm
+            self.geom = local.geom
+        else:
+            self.cm = build_case_mesh(case_dir)
+            self.geom = MeshGeometry.from_polymesh(self.cm.mesh, dtype=self.dtype)
         g = self.geom
 
         # ---- thermo / chemistry ----
@@ -140,10 +151,13 @@ class FireFoamSolver:
             # (eddyDissipationIgnModel::correct)
             try:
                 dqi_f, _ = self._read_field("dQI")
-                mask = np.zeros(g.n_cells)
+                nC_g = g.n_cells if local is None else local.global_geom.n_cells
+                mask = np.zeros(nC_g)
                 zone = self.cm.sets.cell_zones.get("igniter")
                 if zone is not None:
                     mask[np.asarray(zone)] = 1.0
+                if local is not None:
+                    mask = local.lz.cells(mask)[local.p]
                 self.combustion.ign_dQI = np.asarray(dqi_f.i) * mask
             except Exception:
                 pass
@@ -270,7 +284,11 @@ class FireFoamSolver:
         # application, a poor fit for the MXU). FIREFOAM_TPU_EXACT_SOLVERS
         # overrides either way.
         _ex = os.environ.get("FIREFOAM_TPU_EXACT_SOLVERS", "")
-        if _ex == "1" or (_ex != "0" and self.dtype == jnp.float64):
+        if local is not None:
+            # the explicit-SPMD path runs the flat psum-Krylov solvers; the
+            # wavefront LDU schedule is a global-topology object
+            self._ldu = None
+        elif _ex == "1" or (_ex != "0" and self.dtype == jnp.float64):
             from ..solvers.dic import build_schedule
 
             _nIr = self.cm.mesh.n_internal_faces
@@ -285,9 +303,14 @@ class FireFoamSolver:
 
         # cells adjacent to wall patches (BertExt's nearWallCells gate)
         _nw = np.zeros(g.n_cells, bool)
+        _bv = np.asarray(getattr(g, "b_valid", None) if local is not None else None) \
+            if local is not None else None
         for pch in g.patches:
             if "wall" in (pch.ptype or "").lower():
-                _nw[np.asarray(g.b_own)[pch.slice]] = True
+                o = np.asarray(g.b_own)[pch.slice]
+                if _bv is not None:
+                    o = o[_bv[pch.slice] > 0]
+                _nw[o] = True
         self._near_wall_mask = jnp.asarray(_nw)
 
         self.amg = None
@@ -315,6 +338,8 @@ class FireFoamSolver:
             )
         except KeyError:
             want_amg = False
+        if local is not None:
+            want_amg = False
         if want_amg:
             from ..solvers.amg import AMGHierarchy
 
@@ -330,7 +355,9 @@ class FireFoamSolver:
 
         # ---- Lagrangian spray cloud (solver/createClouds.H:1-9) ----
         self.cloud = None
-        if self.case.has_constant("reactingCloud1Properties"):
+        if local is not None or not enable_cloud:
+            pass
+        elif self.case.has_constant("reactingCloud1Properties"):
             props = self.case.constant("reactingCloud1Properties")
             if props.get_dict("solution").get_bool("active", True):
                 from ..lagrangian.cloud import ReactingCloud
@@ -358,6 +385,10 @@ class FireFoamSolver:
 
             coll = PyrolysisCollection(case_dir, self.cm, self.dtype)
             if coll.zones:
+                if local is not None:
+                    raise NotImplementedError(
+                        "explicit-SPMD path: pyrolysis regions not yet localized"
+                    )
                 self.pyrolysis = coll
 
         # ---- surface film region (constant/surfaceFilmProperties) ----
@@ -369,6 +400,10 @@ class FireFoamSolver:
                 sfp.get_bool("active", False)
                 and sfp.get_word("surfaceFilmModel", "none") != "none"
             ):
+                if local is not None:
+                    raise NotImplementedError(
+                        "explicit-SPMD path: film region not yet localized"
+                    )
                 self._build_film(sfp)
 
         # ---- fields & BCs ----
@@ -404,10 +439,15 @@ class FireFoamSolver:
         from .fvoptions import FvOptions
 
         self.fv_options = FvOptions(
-            case_dir, g, getattr(self.cm.sets, "cell_zones", None)
+            case_dir, g,
+            getattr(self.cm.sets, "cell_zones", None) if local is None else None,
         )
         if not self.fv_options.active:
             self.fv_options = None
+        elif local is not None:
+            raise NotImplementedError(
+                "explicit-SPMD path: fvOptions zones not yet localized"
+            )
 
         self.function_objects = make_function_objects(self, cd)
         self.rtis = RtiProbes.try_from_case(self, case_dir)
@@ -430,6 +470,17 @@ class FireFoamSolver:
         else:
             raise FileNotFoundError(f"0/{name}")
         g = self.geom
+        if self._local is not None:
+            # read against the GLOBAL mesh, scatter onto this partition's
+            # extended layout (halo filled so pointwise consistency holds),
+            # and build the BC set against the LOCAL patch layout
+            L = self._local
+            gg = L.global_geom
+            i_g = np.asarray(ff.internal_array(gg.n_cells), np.float64)
+            b_g = np.asarray(initial_boundary(ff, gg, self.dtype))
+            i_l = jnp.asarray(L.lz.cells(i_g)[L.p], self.dtype)
+            b_l = jnp.asarray(L.lz.bfaces(b_g)[L.p], self.dtype)
+            return VolField(i_l, b_l), make_field_bcs(ff, g)
         internal = jnp.asarray(ff.internal_array(g.n_cells), self.dtype)
         boundary = initial_boundary(ff, g, self.dtype)
         return VolField(internal, boundary), make_field_bcs(ff, g)
@@ -1507,9 +1558,16 @@ class FireFoamSolver:
         base = {"PCG": pcg, "GAMG": pcg, "smoothSolver": jacobi_smooth}.get(
             sol, bicgstab
         )
-        return lambda mv, x0, b, d, m: base(
-            mv, x0, b, d, tol=tol, rel_tol=rel, max_iter=mx2
-        )
+        sfn, dfn, mfn = g.solver_reducers()
+
+        def _flat(mv, x0, b, d, m):
+            res = base(
+                mv, x0, b, d, tol=tol, rel_tol=rel, max_iter=mx2,
+                sum_fn=sfn, dot_fn=dfn, mean_fn=mfn,
+            )
+            return res._replace(x=g.sync(res.x))
+
+        return _flat
 
     def _multivariate_weights(self, state):
         """div(phi,Yi_h) Gauss multivariateSelection — ONE shared convection
@@ -1914,10 +1972,13 @@ class FireFoamSolver:
             # p_rgh on small DIA meshes — 477 M CUPS on steckler. The
             # Pallas whole-solve kernels still serve the smoothSolver/
             # PBiCGStab systems via solve_scalar.
+            sfn, dfn, mfn = g.solver_reducers()
             res = pcg(
                 lambda x: m.matvec(x, dtot), p_rgh.i, b, dtot,
                 tol=tols[sel], rel_tol=rels[sel],
+                sum_fn=sfn, dot_fn=dfn, mean_fn=mfn,
             )
+            res = res._replace(x=g.sync(res.x))
         info = {"res0": res.initial_residual, "iters": res.n_iterations}
         if os.environ.get("FIREFOAM_TPU_DEBUG_U"):
             info["dbg_Uy_hbya"] = HbyA.i[:, 1]

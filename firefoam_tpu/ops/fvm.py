@@ -114,8 +114,13 @@ class FvMatrix:
         return self.source + g.boundary_to_cell_sum(self.boundary_coeffs)
 
     def matvec(self, x: jnp.ndarray, diag_total: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """M·x for a scalar component (x: [nC])."""
+        """M·x for a scalar component (x: [nC]). Under SPMD the Krylov
+        iterate's halo slots are stale (only owned slots are updated each
+        iteration), so the matvec refreshes them first — the one halo
+        exchange per matvec the reference performs through processor
+        patches inside every solve (SURVEY §2.11). Identity globally."""
         g = self.geom
+        x = g.sync(x)
         d = self.diag if diag_total is None else diag_total
         y = d * x
         y = y + g.face_to_own_sum(self.upper * g.gather_nei(x))

@@ -381,6 +381,13 @@ class MeshGeometry:
             lambda v: self.rmean(v),
         )
 
+    def solver_reducers(self):
+        """(sum_fn, dot_fn, mean_fn) for the Krylov solvers. The global
+        geometry returns the solvers' own defaults (bit-identical to the
+        uninjected path); ShardGeometry overrides with mask-aware psum
+        collectives so solve residuals/dots are global."""
+        return (jnp.sum, jnp.vdot, jnp.mean)
+
     @property
     def recon_inv(self) -> jnp.ndarray:
         """inv(Σ Sf⊗Sf/|Sf|) per cell [nC,3,3] for fvc::reconstruct.

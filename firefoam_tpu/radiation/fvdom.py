@@ -650,11 +650,13 @@ class FvDOM:
                 m = m.add_source(omega * (src + sc))
                 dt_tot = m.diag_total()
                 b = m.rhs_total()
+                sfn, dfn, mfn = g.solver_reducers()
                 res = bicgstab(
                     lambda x: m.matvec(x, dt_tot), I0, b, dt_tot,
                     tol=self.tol, rel_tol=0.0, max_iter=500,
+                    sum_fn=sfn, dot_fn=dfn, mean_fn=mfn,
                 )
-                return jnp.maximum(res.x, 0.0), res.initial_residual
+                return jnp.maximum(g.sync(res.x), 0.0), res.initial_residual
 
             I_new_f, res0 = jax.vmap(solve_one)(
                 phi_i_f, phi_b_f, om_f, I_f, k_f, se_f, src_f, Iw_f, scat_f

@@ -93,12 +93,14 @@ def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
     return SolverResult(x, res0, res, it)
 
 
-def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
-    """Jacobi-preconditioned BiCGStab (PBiCGStab role) for asymmetric systems."""
+def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
+             sum_fn=jnp.sum, dot_fn=jnp.vdot, mean_fn=jnp.mean):
+    """Jacobi-preconditioned BiCGStab (PBiCGStab role) for asymmetric systems.
+    sum_fn/dot_fn/mean_fn are the SPMD injection points (see pcg)."""
     rD = 1.0 / diag
-    Ax0, norm = _norm_factor(matvec, x0, b)
+    Ax0, norm = _norm_factor(matvec, x0, b, sum_fn, mean_fn)
     r0 = b - Ax0
-    res0 = jnp.sum(jnp.abs(r0)) / norm
+    res0 = sum_fn(jnp.abs(r0)) / norm
     tol = _tol_floor(tol, x0.dtype)
     small = jnp.asarray(jnp.finfo(x0.dtype).tiny * 1e3, x0.dtype)
 
@@ -108,11 +110,11 @@ def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
 
     def body(state):
         x, r, rhat, p, v, rho_old, alpha, omega, it, _ = state
-        rho = jnp.vdot(rhat, r)
+        rho = dot_fn(rhat, r)
         # breakdown (rhat ⟂ r): restart with the current residual
-        restart = (jnp.abs(rho) < small * jnp.vdot(r, r)) | (it == 0)
+        restart = (jnp.abs(rho) < small * dot_fn(r, r)) | (it == 0)
         rhat = jnp.where(restart, r, rhat)
-        rho = jnp.where(restart, jnp.vdot(r, r), rho)
+        rho = jnp.where(restart, dot_fn(r, r), rho)
         beta = jnp.where(
             restart,
             0.0,
@@ -121,14 +123,14 @@ def bicgstab(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000):
         p = r + beta * (p - omega * v)
         phat = rD * p
         v = matvec(phat)
-        alpha = rho / _nz(jnp.vdot(rhat, v))
+        alpha = rho / _nz(dot_fn(rhat, v))
         s = r - alpha * v
         shat = rD * s
         t = matvec(shat)
-        omega = jnp.vdot(t, s) / _nz(jnp.vdot(t, t))
+        omega = dot_fn(t, s) / _nz(dot_fn(t, t))
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        res = jnp.sum(jnp.abs(r)) / norm
+        res = sum_fn(jnp.abs(r)) / norm
         return x, r, rhat, p, v, rho, alpha, omega, it + 1, res
 
     one = jnp.asarray(1.0, x0.dtype)
@@ -156,13 +158,14 @@ def _nz(x):
 
 
 def jacobi_smooth(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
-                  n_sweeps=4, damping=0.8):
+                  n_sweeps=4, damping=0.8,
+                  sum_fn=jnp.sum, dot_fn=jnp.vdot, mean_fn=jnp.mean):
     """Damped-Jacobi smoothSolver: nSweeps smoothing passes per convergence
     check (the smoothSolver/symGaussSeidel role; Jacobi needs damping and
     more sweeps for the same effect, but converges to the same solution)."""
     rD = damping / diag
-    Ax0, norm = _norm_factor(matvec, x0, b)
-    res0 = jnp.sum(jnp.abs(b - Ax0)) / norm
+    Ax0, norm = _norm_factor(matvec, x0, b, sum_fn, mean_fn)
+    res0 = sum_fn(jnp.abs(b - Ax0)) / norm
     tol = _tol_floor(tol, x0.dtype)
 
     def cond(state):
@@ -183,7 +186,7 @@ def jacobi_smooth(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,
             return x + rD * (b - matvec(x))
 
         x = jax.lax.fori_loop(0, n_sweeps, sweep, x)
-        res_new = jnp.sum(jnp.abs(b - matvec(x))) / norm
+        res_new = sum_fn(jnp.abs(b - matvec(x))) / norm
         return x, it + 1, res_new, res
 
     init = (x0, jnp.asarray(0, jnp.int32), res0, jnp.asarray(jnp.inf, x0.dtype))
@@ -263,15 +266,23 @@ def solve_scalar(
                     tol=tol, rel_tol=rel_tol,
                     max_iter=max(max_iter, 200) * 4, interpret=interp,
                 )
+    sfn, dfn, mfn = g.solver_reducers()
+
+    def _synced(res):
+        return res._replace(x=g.sync(res.x))
+
     if solver in ("PCG", "GAMG"):
-        return pcg(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
+        return _synced(pcg(matvec, x0, b, diag_c, tol, rel_tol, max_iter,
+                           sum_fn=sfn, dot_fn=dfn, mean_fn=mfn))
     if solver in ("PBiCGStab", "PBiCG"):
-        return bicgstab(matvec, x0, b, diag_c, tol, rel_tol, max_iter)
+        return _synced(bicgstab(matvec, x0, b, diag_c, tol, rel_tol, max_iter,
+                                sum_fn=sfn, dot_fn=dfn, mean_fn=mfn))
     if solver == "smoothSolver":
         # damped Jacobi needs headroom beyond the dict's maxIter (typically
         # 10 symGaussSeidel sweeps' worth) to reach the same tolerance
-        return jacobi_smooth(matvec, x0, b, diag_c, tol, rel_tol,
-                             max(max_iter, 200))
+        return _synced(jacobi_smooth(matvec, x0, b, diag_c, tol, rel_tol,
+                                     max(max_iter, 200),
+                                     sum_fn=sfn, dot_fn=dfn, mean_fn=mfn))
     if solver == "diagonal":
         # exact for diagonal systems (rhoEqn "diagonal" solver)
         x = b / diag_c
