@@ -116,10 +116,19 @@ class ReactingCloud:
         dtype=None,
         capacity: Optional[int] = None,
         cell_zones=None,
+        part=None,
+        inj_walk: Optional[WalkMesh] = None,
     ):
         self.name = name
         self.dtype = dtype or real_dtype()
         self.walk = walk
+        # SPMD partition identity (parallel.localize.PartInfo): when set,
+        # `walk` is the partition-local WalkMesh, injector setup uses the
+        # GLOBAL walk (inj_walk) so injector cell tables are global ids
+        # remapped at injection time, and evolve() migrates parcels that
+        # walked into halo slots (the reference's switchProcessor handoff,
+        # KinematicParcel.C:330-333)
+        self.part = part
         self.geom = geom
         self.gas = gas
         self.g = jnp.asarray(np.asarray(g_vec, float), self.dtype)
@@ -250,8 +259,8 @@ class ReactingCloud:
         for iname, idict in inj_dict.subdicts():
             self.injectors.append(
                 make_injector(
-                    iname, idict, walk, case, self.dtype, geom=geom,
-                    cell_zones=cell_zones,
+                    iname, idict, inj_walk or walk, case, self.dtype,
+                    geom=geom, cell_zones=cell_zones,
                 )
             )
         for inj in self.injectors:
@@ -464,6 +473,14 @@ class ReactingCloud:
     def _scatter_new(self, st: Dict, cand: Dict) -> Dict:
         """Place candidate parcels into free slots (drop on overflow)."""
         cap = self.cfg.capacity
+        if self.part is not None:
+            # injector cell ids are GLOBAL (every partition runs the same
+            # injection with the same replicated RNG); keep only the
+            # parcels whose cell this partition owns
+            cand = dict(cand)
+            loc = self.part.cell_map[cand["cell"]]
+            cand["valid"] = cand["valid"] & (loc >= 0)
+            cand["cell"] = jnp.maximum(loc, 0)
         m = cand["valid"].shape[0]
         # free slots first: argsort(alive) puts False (free) lanes first
         free = jnp.argsort(st["alive"].astype(jnp.int32), stable=True)[:m]
@@ -948,6 +965,32 @@ class ReactingCloud:
                 st, src, code, hit, mass_before, hit_T,
                 gas.get("film_delta_b"), gas,
             )
+            # SPMD parcel migration (the reference's switchProcessor
+            # handoff): the walk stopped in a halo slot for any parcel
+            # that left this partition — hand it to the owner BEFORE the
+            # physics so sources accumulate on owned cells only
+            if self.part is not None:
+                from ..parallel.parcels import exchange_parcels
+
+                pi = self.part
+                in_halo = st["alive"] & (st["cell"] >= pi.n_own)
+                hslot = jnp.maximum(st["cell"] - pi.n_own, 0)
+                dest = jnp.where(in_halo, pi.halo_owner[hslot], -1).astype(jnp.int32)
+                soa_keys = ("x", "U", "d", "T", "nP", "cell", "age",
+                            "canCombust", "typeId")
+                soa = {k: st[k] for k in soa_keys}
+                soa["cell"] = jnp.where(
+                    in_halo, pi.halo_local[hslot], st["cell"]
+                ).astype(st["cell"].dtype)
+                soa, alive2, n_over = exchange_parcels(
+                    soa, st["alive"], dest, pi.n_parts, pi.cap_send, pi.axis
+                )
+                st = dict(st)
+                st.update(soa)
+                st["alive"] = alive2
+                src["migrOverflow"] = src.get(
+                    "migrOverflow", jnp.zeros((), jnp.int32)
+                ) + n_over
             # physics + gas-side sources
             st, src = self._calc(st, gas, dt_sub, src)
             # cloud function objects: postMove (void fraction, tracks, trap)
@@ -1032,12 +1075,21 @@ class ReactingCloud:
     # ------------------------------------------------------------------
     def info(self, st: Dict) -> Dict:
         m = self._mass(st)
+        red = self.part.preduce if self.part is not None else (lambda v: v)
+        mx = (
+            (lambda v: jax.lax.pmax(v, self.part.axis))
+            if self.part is not None
+            else (lambda v: v)
+        )
         return {
-            "nParcels": jnp.sum(st["alive"].astype(jnp.int32)),
-            "massInSystem": jnp.sum(m),
-            "Dmax": jnp.max(jnp.where(st["alive"], st["d"], 0.0)),
-            "D32": jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 3, 0.0))
-            / jnp.maximum(jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 2, 0.0)), small()),
+            "nParcels": red(jnp.sum(st["alive"].astype(jnp.int32))),
+            "massInSystem": red(jnp.sum(m)),
+            "Dmax": mx(jnp.max(jnp.where(st["alive"], st["d"], 0.0))),
+            "D32": red(jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 3, 0.0)))
+            / jnp.maximum(
+                red(jnp.sum(jnp.where(st["alive"], st["nP"] * st["d"] ** 2, 0.0))),
+                small(),
+            ),
         }
 
 

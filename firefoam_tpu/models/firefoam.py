@@ -355,7 +355,7 @@ class FireFoamSolver:
 
         # ---- Lagrangian spray cloud (solver/createClouds.H:1-9) ----
         self.cloud = None
-        if local is not None or not enable_cloud:
+        if not enable_cloud:
             pass
         elif self.case.has_constant("reactingCloud1Properties"):
             props = self.case.constant("reactingCloud1Properties")
@@ -363,11 +363,21 @@ class FireFoamSolver:
                 from ..lagrangian.cloud import ReactingCloud
                 from ..lagrangian.tracking import WalkMesh
 
-                walk = WalkMesh.from_polymesh(self.cm.mesh, dtype=self.dtype)
+                if local is not None:
+                    # partition-local tracking mesh + migration identity;
+                    # injector tables stay GLOBAL (built over walk_g) and
+                    # are remapped at injection time
+                    walk = local.walk_local(self.dtype)
+                    part = local.part_info()
+                    inj_walk = local.walk_g
+                else:
+                    walk = WalkMesh.from_polymesh(self.cm.mesh, dtype=self.dtype)
+                    part = inj_walk = None
                 self.cloud = ReactingCloud(
                     "reactingCloud1", props, walk, g, self.case, self.gas,
                     self.g_vec, dt_max=min(self.ctl.max_dt, 0.1), dtype=self.dtype,
                     cell_zones=getattr(self.cm.sets, "cell_zones", None),
+                    part=part, inj_walk=inj_walk,
                 )
 
         # ---- additional controls + pyrolysis regions ----
@@ -1349,10 +1359,14 @@ class FireFoamSolver:
         inv_vdt = 1.0 / (g.V * state["dt"])
         cfg = self.cloud.cfg
         out = {
-            "Srho": cfg.relax_rho * src["rhoTrans"] * inv_vdt,
-            "SU": cfg.relax_U * src["UTrans"] * inv_vdt[:, None],
-            "SYv": cfg.relax_Yi * src["rhoTrans"] * inv_vdt,
-            "Sh": cfg.relax_h * src["hsTrans"] * inv_vdt,
+            # sync: under SPMD the parcel scatters only fill owned cells
+            # (parcels migrate to their owner before physics), so the halo
+            # slots of the source fields must be refreshed before the gas
+            # equations read them (identity on the global geometry)
+            "Srho": g.sync(cfg.relax_rho * src["rhoTrans"] * inv_vdt),
+            "SU": g.sync(cfg.relax_U * src["UTrans"] * inv_vdt[:, None]),
+            "SYv": g.sync(cfg.relax_Yi * src["rhoTrans"] * inv_vdt),
+            "Sh": g.sync(cfg.relax_h * src["hsTrans"] * inv_vdt),
             "filmMass": src["filmMass"],
             "filmEnthalpy": src["filmEnthalpy"],
         }
@@ -1536,9 +1550,12 @@ class FireFoamSolver:
 
         g = self.geom
         # vmapped vector solves keep n_comp whole Krylov states VMEM-
-        # resident at once — charge the fused-kernel cell budget accordingly
-        # (a 144k-cell UEqn solve at n_comp=3 OOMs the 120 MiB scoped VMEM)
-        if pallas_cg.enabled(g.layout, g.n_cells * n_comp) and self.dtype != jnp.float64:
+        # resident at once, and vmap also batches the matrix operands, so
+        # the measured per-component cost is ~1.32x the single-solve 212
+        # B/cell (144k cells x 3 comps hit 121 MiB vs the 120 MiB scoped
+        # limit) — charge the fused-kernel cell budget with a 1.4x margin
+        eff_cells = g.n_cells if n_comp == 1 else int(g.n_cells * n_comp * 1.4)
+        if pallas_cg.enabled(g.layout, eff_cells) and self.dtype != jnp.float64:
             # fused whole-solve pallas kernels: the entire Krylov/smoother
             # loop runs in one kernel with all vectors VMEM-resident (one
             # launch per solve instead of ~10 per iteration)
@@ -1678,7 +1695,7 @@ class FireFoamSolver:
         Yi_s = Y.i[:, jnp.asarray(solved)].T
         Yb_s = Y.b[:, jnp.asarray(solved)].T
 
-        fn = self._lin_fn(ctl)
+        fn = self._lin_fn(ctl, n_comp=len(solved))
         rho_old = state["rho_old_i"]
         # YiEqn.relax(): all solved species share one factor in practice
         # (regex keys); None = no relax call

@@ -427,12 +427,27 @@ class LocalContext:
     p: int
     cm: object  # the (shared) global CaseMesh
     global_geom: MeshGeometry  # global SEG geometry used for field reads
+    walk_g: object = None  # shared global WalkMesh (cloud cases)
+    axis: str = "cells"
+
+    def walk_local(self, dtype=None):
+        return localize_walkmesh(self.walk_g, self.lz, self.p, dtype)
+
+    def part_info(self, cap_send: int = 512) -> "PartInfo":
+        return make_part_info(self.lz, self.p, axis=self.axis,
+                              cap_send=cap_send)
 
     @classmethod
-    def build_all(cls, cm, n_parts: int, dtype=None, axis: str = "cells"):
+    def build_all(cls, cm, n_parts: int, dtype=None, axis: str = "cells",
+                  with_walk: bool = False):
         """One SEG global geometry + localizer + P contexts."""
         gg = MeshGeometry.from_polymesh(cm.mesh, dtype=dtype, layout="seg")
         lz = Localizer.build(gg, cm, n_parts)
+        walk_g = None
+        if with_walk:
+            from ..lagrangian.tracking import WalkMesh
+
+            walk_g = WalkMesh.from_polymesh(cm.mesh, dtype=dtype)
         return gg, lz, [
             cls(
                 geom=lz.make_geom(gg, p, axis=axis),
@@ -440,6 +455,106 @@ class LocalContext:
                 p=p,
                 cm=cm,
                 global_geom=gg,
+                walk_g=walk_g,
+                axis=axis,
             )
             for p in range(n_parts)
         ]
+
+
+@dataclass
+class PartInfo:
+    """Partition identity the Lagrangian cloud needs for SPMD tracking:
+    the reference's switchProcessor/hitProcessorPatch handoff
+    (KinematicParcel.C:330-333,402-412) becomes: walk stops in a halo
+    slot -> dest = owning partition, cell rewritten to the owner-local
+    id, one ppermute all-to-all round (parallel/parcels.py)."""
+
+    cell_map: jnp.ndarray  # [nC_global] -> local ext id, -1 if not owned
+    halo_owner: jnp.ndarray  # [h_max] owning part of each halo slot
+    halo_local: jnp.ndarray  # [h_max] owner-local cell id of each halo slot
+    n_own: int  # owned-slot count (halo starts here)
+    n_parts: int
+    axis: str = "cells"
+    cap_send: int = 512
+
+    def preduce(self, v):
+        return jax.lax.psum(v, self.axis)
+
+
+def localize_walkmesh(walk_g, lz: Localizer, p: int, dtype=None):
+    """Partition p's WalkMesh over the extended cell set. Owned rows are
+    the global rows with neighbour ids remapped to ext indices (halo slot
+    for remote neighbours); halo/pad rows have zero normals so the
+    containment walk STOPS there — arrival in a halo slot is the
+    migration event."""
+    from ..lagrangian.tracking import WalkMesh
+    from ..config import INT_DTYPE as IDT, real_dtype
+
+    dtype = dtype or real_dtype()
+    mp = lz.mp
+    F = walk_g.max_faces
+    n_ext = lz.n_ext
+    cf_Cf = np.zeros((n_ext, F, 3))
+    cf_n = np.zeros((n_ext, F, 3))
+    cf_nei = np.full((n_ext, F), -1, np.int64)
+    cf_bidx = np.full((n_ext, F), -1, np.int64)
+    tol = np.full(n_ext, 1.0)
+    C = lz.cells(np.asarray(walk_g._h_C))[p]
+
+    own_gids = mp.l2g[p][mp.l2g[p] >= 0]
+    rows = np.arange(len(own_gids))
+    cf_Cf[rows] = np.asarray(walk_g._h_cf_Cf)[own_gids]
+    cf_n[rows] = np.asarray(walk_g._h_cf_n)[own_gids]
+    tol[rows] = np.asarray(walk_g._h_tol)[own_gids]
+
+    # neighbour remap: global cell -> ext id (own slot or halo slot)
+    ext_of = np.full(mp.n_cells, -1, np.int64)
+    ext_of[own_gids] = rows
+    hg = mp.halo_g[p]
+    hok = hg >= 0
+    ext_of[hg[hok]] = mp.n_loc_max + np.nonzero(hok)[0]
+    nei_g = np.asarray(walk_g._h_cf_nei)[own_gids]
+    cf_nei[rows] = np.where(nei_g >= 0, ext_of[np.maximum(nei_g, 0)], -1)
+
+    # boundary index remap: global boundary slot -> partition-local slot
+    ok = lz.bmap[p] >= 0
+    binv_full = np.full(int(lz.bmap.max()) + 2, -1, np.int64)
+    binv_full[lz.bmap[p][ok]] = np.nonzero(ok)[0]
+    bidx_g = np.asarray(walk_g.cf_bidx)[own_gids]
+    cf_bidx[rows] = np.where(
+        bidx_g >= 0, binv_full[np.maximum(bidx_g, 0)], -1
+    )
+
+    return WalkMesh(
+        max_faces=F,
+        cf_Cf=jnp.asarray(cf_Cf, dtype),
+        cf_n=jnp.asarray(cf_n, dtype),
+        cf_nei=jnp.asarray(cf_nei, IDT),
+        cf_bidx=jnp.asarray(cf_bidx, IDT),
+        tol=jnp.asarray(tol, dtype),
+        C=jnp.asarray(C, dtype),
+        _h_cf_Cf=cf_Cf,
+        _h_cf_n=cf_n,
+        _h_cf_nei=cf_nei,
+        _h_tol=tol,
+        _h_C=np.asarray(C),
+    )
+
+
+def make_part_info(lz: Localizer, p: int, axis="cells", cap_send=512) -> PartInfo:
+    from ..config import INT_DTYPE as IDT
+
+    mp = lz.mp
+    cell_map = np.full(mp.n_cells, -1, np.int64)
+    own_gids = mp.l2g[p][mp.l2g[p] >= 0]
+    cell_map[own_gids] = np.arange(len(own_gids))
+    return PartInfo(
+        cell_map=jnp.asarray(cell_map, IDT),
+        halo_owner=jnp.asarray(mp.halo_owner_part()[p], IDT),
+        halo_local=jnp.asarray(mp.halo_remote_local()[p], IDT),
+        n_own=mp.n_loc_max,
+        n_parts=mp.n_parts,
+        axis=axis,
+        cap_send=cap_send,
+    )

@@ -107,7 +107,7 @@ class SpmdFireFoam:
         os.environ["FIREFOAM_TPU_EXACT_SOLVERS"] = "0"
         os.environ["FIREFOAM_TPU_AMG"] = "0"
         try:
-            self.ref = FireFoamSolver(case_dir, dtype=dtype, enable_cloud=False)
+            self.ref = FireFoamSolver(case_dir, dtype=dtype)
         finally:
             for k, v in old.items():
                 if v is None:
@@ -116,7 +116,8 @@ class SpmdFireFoam:
                     os.environ[k] = v
 
         self.gg, self.lz, ctxs = LocalContext.build_all(
-            self.ref.cm, n_devices, dtype=self.ref.dtype, axis=axis
+            self.ref.cm, n_devices, dtype=self.ref.dtype, axis=axis,
+            with_walk=self.ref.cloud is not None,
         )
         self.locals: List[FireFoamSolver] = [
             FireFoamSolver(case_dir, dtype=dtype, local=c) for c in ctxs
@@ -152,6 +153,63 @@ class SpmdFireFoam:
         # replicated (tables, scalars with shape)
         return np.broadcast_to(x[None], (self.n_devices,) + x.shape)
 
+    def _scatter_cloud(self, cst):
+        """Cloud SoA: every per-parcel array replicates (all partitions
+        share the injection RNG), but `alive` is masked to the owning
+        partition and `cell` remapped to the owner-local id."""
+        mp = self.lz.mp
+        cell_g = np.asarray(cst["cell"])
+        alive_g = np.asarray(cst["alive"])
+        part = mp.part_of_cell[np.clip(cell_g, 0, mp.n_cells - 1)]
+        loc = mp.g2l[np.clip(cell_g, 0, mp.n_cells - 1)]
+        P_ = self.n_devices
+        cells = np.zeros((P_,) + cell_g.shape, cell_g.dtype)
+        alive = np.zeros((P_,) + alive_g.shape, bool)
+        for p in range(P_):
+            mine = alive_g & (part == p)
+            cells[p] = np.where(mine, loc, 0)
+            alive[p] = mine
+        out = {}
+        for k, v in cst.items():
+            if k == "cell":
+                out[k] = jnp.asarray(cells)
+            elif k == "alive":
+                out[k] = jnp.asarray(alive)
+            else:
+                out[k] = jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        jnp.asarray(x)[None],
+                        (P_,) + jnp.asarray(x).shape,
+                    ),
+                    v,
+                )
+        return out
+
+    def gather_cloud(self, cst_l):
+        """Stacked local cloud → one global SoA (partition-major order)."""
+        mp = self.lz.mp
+        keys = [k for k, v in cst_l.items()
+                if isinstance(v, jnp.ndarray) and v.ndim >= 2
+                and v.shape[1] == np.asarray(cst_l["alive"]).shape[1]]
+        alive = np.asarray(cst_l["alive"])  # [P, cap]
+        cap = alive.shape[1]
+        out = {k: np.zeros((cap,) + np.asarray(cst_l[k]).shape[2:],
+                           np.asarray(cst_l[k]).dtype) for k in keys}
+        out["alive"] = np.zeros(cap, bool)
+        n = 0
+        for p in range(alive.shape[0]):
+            idx = np.nonzero(alive[p])[0]
+            take = idx[: cap - n]
+            sl = slice(n, n + len(take))
+            for k in keys:
+                v = np.asarray(cst_l[k])[p][take]
+                if k == "cell":
+                    v = mp.l2g[p][np.clip(v, 0, mp.n_loc_max - 1)]
+                out[k][sl] = v
+            out["alive"][sl] = True
+            n += len(take)
+        return out
+
     def scatter_state(self, state) -> Dict:
         """Global state pytree → stacked [P, ...] local pytree."""
 
@@ -160,11 +218,27 @@ class SpmdFireFoam:
                 return jnp.broadcast_to(jnp.asarray(x), (self.n_devices,))
             return jnp.asarray(self._conv(x, True), jnp.asarray(x).dtype)
 
-        return jax.tree.map(f, state)
+        state = dict(state)
+        cloud = state.pop("cloud", None)
+        out = jax.tree.map(f, state)
+        if cloud is not None:
+            c = dict(cloud)
+            aux = {k: c.pop(k) for k in ("rng", "inj", "coll", "cfo") if k in c}
+            sc = self._scatter_cloud(c)
+            sc.update(jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    jnp.asarray(x)[None], (self.n_devices,) + jnp.asarray(x).shape
+                ),
+                aux,
+            ))
+            out["cloud"] = sc
+        return out
 
     def gather_state(self, state_l) -> Dict:
         """Stacked local state → global (owned cells only)."""
         lz = self.lz
+        state_l = dict(state_l)
+        cloud_l = state_l.pop("cloud", None)
 
         def f(x):
             x = np.asarray(x)
@@ -185,7 +259,10 @@ class SpmdFireFoam:
                 return g.T.reshape(lead + (self._n_c,))
             return x[0]
 
-        return jax.tree.map(f, state_l)
+        out = jax.tree.map(f, state_l)
+        if cloud_l is not None:
+            out["cloud"] = self.gather_cloud(cloud_l)
+        return out
 
     # ------------------------------------------------------------ trace
     def build_step(self, example_state_global):

@@ -159,7 +159,10 @@ class ReactingOneDim:
         # ---- char oxidation (reactingOneDim21CharOxi.H:64-87) ----
         # O2 diffuses from the gas to the surface, burns available char
         # (12 g/mol) to CO2 (44 g/mol) at HocChar = 32.8 MJ/kg
-        self.char_oxi = self.model == "reactingOneDim21CharOxi" and "char" in species
+        self.char_oxi = self.model in (
+            "reactingOneDim21CharOxi",
+            "pyroCUPOneDimV1",  # inherits CharOxi (pyroCUPOneDimV1.H:38)
+        ) and "char" in species
         if self.char_oxi:
             self.char_idx = species.index("char")
             self.rho_char = float(self.thermo.rho_s[self.char_idx])
@@ -549,16 +552,19 @@ class PyrolysisCollection:
                 continue
             if zd.get_bool("active", True):
                 model = zd.get_word("pyrolysisModel", "reactingOneDim")
-                if model in (
+                if model == "pyroCUPOneDimV1":
+                    # CharOxi transport + the cartoned-commodity unit-cell
+                    # ledger (regionmodels/pyrocup.py)
+                    from .pyrocup import PyroCUP
+
+                    self.zones.append(PyroCUP(case_dir, cm, zd, dtype))
+                elif model in (
                     "reactingOneDim",
                     "reactingOneDim21",
                     "reactingOneDim21CharOxi",
                     "reactingOneDimRPvol",
                     "reactingOneDimRPvol2",
                     "reactingOneDimRollPaper",
-                    # pyroCUPOneDimV1 shares reactingOneDim's used transport
-                    # (lib/regionModels/pyrolysisModels/pyroCUPOneDimV1)
-                    "pyroCUPOneDimV1",
                     "none",
                     "noPyrolysis",
                 ):
