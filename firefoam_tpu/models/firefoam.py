@@ -326,10 +326,14 @@ class FireFoamSolver:
             if getattr(g, "layout", "seg") == "dia" and self.dtype != jnp.float64:
                 from ..solvers import pallas_cg as _pcg_mod
 
-                pallas_p = _pcg_mod.enabled("dia", g.n_cells) and g.n_cells < 50000
+                pallas_p = _pcg_mod.enabled("dia", g.n_cells)
+            # fused whole-solve CG serves p_rgh from ~50k cells up to the
+            # VMEM cap (one launch per solve — the V-cycle's many small
+            # level kernels are dispatch-latency-bound there); AMG remains
+            # the path for meshes past the fused VMEM cap and for CPU/f64
             want_amg = (
                 amg_env == "1"
-                or (amg_env != "0" and g.n_cells >= 50000)
+                or (amg_env != "0" and g.n_cells >= 50000 and not pallas_p)
                 or (
                     amg_env != "0"
                     and not pallas_p
@@ -1370,6 +1374,20 @@ class FireFoamSolver:
             "filmMass": src["filmMass"],
             "filmEnthalpy": src["filmEnthalpy"],
         }
+        if "dvTrans" in src and self.cloud.devol is not None:
+            # devolatilised volatiles: continuity + their OWN species
+            # (parcels.Srho + SYi, YEEqn.H:52 — distinct from the
+            # evaporation split over vapour_indices)
+            dv = src["dvTrans"]  # [nVol, nC]
+            out["Srho"] = out["Srho"] + g.sync(
+                cfg.relax_rho * jnp.sum(dv, axis=0) * inv_vdt
+            )
+            sy = dict(out.get("SY", {}))
+            for i, si in enumerate(self.cloud.devol.gas_indices):
+                sy[si] = sy.get(si, 0.0) + g.sync(
+                    cfg.relax_Yi * dv[i] * inv_vdt
+                )
+            out["SY"] = sy
         info = self.cloud.info(cst)
         log["cloud_nParcels"] = info["nParcels"]
         log["cloud_mass"] = info["massInSystem"]
@@ -1522,6 +1540,24 @@ class FireFoamSolver:
         # fixed with THIS moment's rho_b for the whole step
         return U_new, m, (rv, rg, f)
 
+    def _p_rgh_fused(self) -> bool:
+        """Whether p_rgh solves take the fused whole-solve Pallas CG.
+
+        Crossover measured on v5e: below ~50k cells the flat XLA CG wins
+        (477 vs 265 M CUPS at steckler's 9k); above it the flat path is
+        dispatch-latency-bound (190 us/iter at 500k vs ~50 us of HBM
+        traffic) and the single-launch VMEM-resident kernel takes over."""
+        from ..solvers import pallas_cg
+
+        g = self.geom
+        return (
+            self._local is None
+            and self.dtype != jnp.float64
+            and getattr(g, "layout", "seg") == "dia"
+            and g.n_cells >= 50000
+            and pallas_cg.enabled(g.layout, g.n_cells)
+        )
+
     def _lin_fn(self, ctl, n_comp: int = 1):
         """fn(matvec, x0, b, diag, m) → SolverResult, honouring the case's
         fvSolution exactly: PCG+DIC and smoothSolver+symGaussSeidel run the
@@ -1549,12 +1585,15 @@ class FireFoamSolver:
         from ..solvers import pallas_cg
 
         g = self.geom
-        # vmapped vector solves keep n_comp whole Krylov states VMEM-
-        # resident at once, and vmap also batches the matrix operands, so
-        # the measured per-component cost is ~1.32x the single-solve 212
-        # B/cell (144k cells x 3 comps hit 121 MiB vs the 120 MiB scoped
-        # limit) — charge the fused-kernel cell budget with a 1.4x margin
-        eff_cells = g.n_cells if n_comp == 1 else int(g.n_cells * n_comp * 1.4)
+        # Fused-kernel VMEM accounting: a small vmapped solve keeps n_comp
+        # whole Krylov states resident at once (flat batch — charge
+        # n_comp x 1.4x); past pallas_cg.grid_threshold() the kernel
+        # switches to grid-over-batch (one folded row per program), so the
+        # per-program budget is the single-row cost and only n_cells counts
+        if n_comp == 1 or g.n_cells * n_comp > pallas_cg.grid_threshold():
+            eff_cells = g.n_cells
+        else:
+            eff_cells = int(g.n_cells * n_comp * 1.4)
         if pallas_cg.enabled(g.layout, eff_cells) and self.dtype != jnp.float64:
             # fused whole-solve pallas kernels: the entire Krylov/smoother
             # loop runs in one kernel with all vectors VMEM-resident (one
@@ -1983,6 +2022,20 @@ class FireFoamSolver:
                 self.amg, dtot, m.lower, m.upper, b, p_rgh.i,
                 tol=tols[sel], rel_tol=rels[sel],
             )
+        elif self._p_rgh_fused():
+            # fused whole-solve Pallas CG: past ~50k cells the flat XLA
+            # CG's per-iteration dispatch latency dominates (190 us/iter
+            # measured at 500k vs ~50 us of HBM traffic); the fused kernel
+            # runs the entire solve VMEM-resident in ONE launch. Below the
+            # crossover the flat path stays (477 vs 265 M CUPS at 9k).
+            from ..solvers import pallas_cg
+
+            res = pallas_cg.dia_pcg(
+                dtot, m.upper, m.lower, b, p_rgh.i, g.offsets, g.n_cells,
+                tol=tols[sel], rel_tol=rels[sel],
+                max_iter=c0["maxIter"],
+                interpret=pallas_cg.interpret_mode(),
+            )
         else:
             # flat XLA diagonal-CG: measured FASTER than both the AMG
             # V-cycle (399 M CUPS) and the fused Pallas CG (265 M) for
@@ -2288,9 +2341,15 @@ class FireFoamSolver:
         out_tree = jax.tree.structure(
             jax.eval_shape(lambda st: self.step(st), example_state)
         )
-        # device-resident consts: numpy consts left as-is would be
-        # re-uploaded on every dispatch
-        consts = [jnp.asarray(c) for c in closed.consts]
+        # Device-resident consts on the DEFAULT-backend device, explicitly:
+        # solver setup runs under a CPU-staging context, so many consts are
+        # CPU-committed jax arrays — jnp.asarray keeps that commitment, and
+        # mixed-device jit args drag execution through the CPU PJRT client
+        # with a ~120 ms D2H dispatch per affected buffer per step
+        # (measured: 2.4 s/step of CPU-client time vs 122 ms of real TPU
+        # work at 500k cells). device_put pins everything together.
+        dev = jax.devices()[0]
+        consts = [jax.device_put(c, dev) for c in closed.consts]
         jaxpr = closed.jaxpr
 
         @jax.jit

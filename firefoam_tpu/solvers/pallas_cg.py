@@ -68,6 +68,14 @@ def _pad_lanes(n: int) -> int:
     return ((n + _LANES - 1) // _LANES) * _LANES
 
 
+def _tr(tol, rel_tol):
+    """(tolerance, relTol) as a runtime (2,) f32 array — accepts Python
+    floats or traced scalars (per-corrector controls under one jit body)."""
+    return jnp.stack(
+        [jnp.asarray(tol, jnp.float32), jnp.asarray(rel_tol, jnp.float32)]
+    )
+
+
 def _shift_up(x, o: int):
     """y[:, c] = x[:, c+o] (wrapped; wrapped lanes are coefficient-masked —
     DIA upper/lower coefficients are zero wherever the neighbour slot does
@@ -123,6 +131,39 @@ def _fold_shift_down(x, o: int):
     return jnp.where(col >= s, ar, br)
 
 
+def _store_scalars(res0_out, res_out, it_out, res0, res, it, grid: bool):
+    """Write the per-solve scalars. Non-grid: res0/res are VMEM (B,1)
+    blocks, it is SMEM (1,1). Grid: all three are whole SMEM (B,1) arrays
+    revisited by every program — each program stores its own row (mosaic
+    rejects (1,1) VMEM output blocks)."""
+    if grid:
+        pid = pl.program_id(0)
+        flat0 = res0.reshape(-1)
+        flatr = res.reshape(-1)
+        res0_out[pid, 0] = flat0[0]
+        res_out[pid, 0] = flatr[0]
+        it_out[pid, 0] = it
+    else:
+        res0_out[:] = res0.reshape(res0_out.shape)
+        res_out[:] = res.reshape(res_out.shape)
+        it_out[0, 0] = it
+
+
+def _make_mask(nc_ref, shape, dtype, folded: bool):
+    """Real-cell mask computed in-kernel from the cell count (SMEM scalar)
+    instead of loading a mask operand: saves one VMEM input block (plus its
+    pipeline double-buffer) per program — the margin that fits the 500k-cell
+    grid-over-batch solves under the 128 MiB physical VMEM."""
+    nc = nc_ref[0, 0]
+    if folded:
+        r = jax.lax.broadcasted_iota(jnp.int32, (1,) + shape[1:], 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (1,) + shape[1:], 2)
+        flat = r * _LANES + c
+    else:
+        flat = jax.lax.broadcasted_iota(jnp.int32, (1, shape[-1]), 1)
+    return (flat < nc).astype(dtype)
+
+
 def _layout_ops(folded: bool):
     """(shift_up, shift_down, masked-row-sum) for the vector layout.
 
@@ -159,22 +200,22 @@ def _dia_matvec(d, uppers, lowers, offsets, x, su=_shift_up, sd=_shift_down):
 
 def _pcg_kernel(
     nc_ref,  # SMEM (1,1) int32: number of real cells
+    tr_ref,  # SMEM (1,2) f32: [tolerance, relTol] (dynamic — per-corrector
+    #          controls enter as traced scalars so correctors share a body)
     d_ref,
     up_ref,
     lo_ref,
     b_ref,
     x0_ref,
-    mask_ref,
     x_out,
     res0_out,
     res_out,
     it_out,
     *,
     offsets: Tuple[int, ...],
-    tol: float,
-    rel_tol: float,
     max_iter: int,
     folded: bool = False,
+    grid: bool = False,
 ):
     dtype = x0_ref.dtype
     d = d_ref[:]
@@ -182,9 +223,9 @@ def _pcg_kernel(
     los = [lo_ref[k] for k in range(len(offsets))]
     b = b_ref[:]
     x0 = x0_ref[:]
-    mask = mask_ref[:]
+    mask = _make_mask(nc_ref, x0.shape, dtype, folded)
     su, sd, rsum = _layout_ops(folded)
-    n_real = rsum(mask)  # (B,1[,1])
+    n_real = rsum(mask)  # (1,1[,1])
 
     mv = lambda v: _dia_matvec(d, ups, los, offsets, v, su, sd)
 
@@ -199,9 +240,10 @@ def _pcg_kernel(
     r0 = b - Ax0
     res0 = rsum(jnp.abs(r0) * mask) / norm
     eff_tol = jnp.maximum(
-        jnp.asarray(tol, dtype), 100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype)
+        tr_ref[0, 0].astype(dtype),
+        100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype),
     )
-    stop = jnp.maximum(eff_tol, rel_tol * res0)
+    stop = jnp.maximum(eff_tol, tr_ref[0, 1].astype(dtype) * res0)
 
     rD = jnp.where(mask > 0, 1.0 / d, 0.0)
 
@@ -233,29 +275,26 @@ def _pcg_kernel(
     )
     x, r, p, rz, it, res = jax.lax.while_loop(cond, body, init)
     x_out[:] = x
-    res0_out[:] = res0.reshape(res0_out.shape)
-    res_out[:] = res.reshape(res_out.shape)
-    it_out[0, 0] = it
+    _store_scalars(res0_out, res_out, it_out, res0, res, it, grid)
 
 
 def _bicgstab_kernel(
     nc_ref,
+    tr_ref,
     d_ref,
     up_ref,
     lo_ref,
     b_ref,
     x0_ref,
-    mask_ref,
     x_out,
     res0_out,
     res_out,
     it_out,
     *,
     offsets: Tuple[int, ...],
-    tol: float,
-    rel_tol: float,
     max_iter: int,
     folded: bool = False,
+    grid: bool = False,
 ):
     """Jacobi-preconditioned BiCGStab (PBiCG/PBiCGStab role) with the restart
     semantics of linear.py:bicgstab, batched over rows."""
@@ -265,7 +304,7 @@ def _bicgstab_kernel(
     los = [lo_ref[k] for k in range(len(offsets))]
     b = b_ref[:]
     x0 = x0_ref[:]
-    mask = mask_ref[:]
+    mask = _make_mask(nc_ref, x0.shape, dtype, folded)
     su, sd, rsum = _layout_ops(folded)
     n_real = rsum(mask)
 
@@ -283,8 +322,10 @@ def _bicgstab_kernel(
     norm = rsum((jnp.abs(Ax0 - Aref) + jnp.abs(b - Aref)) * mask) + tiny6
     r0 = b - Ax0
     res0 = rsum(jnp.abs(r0) * mask) / norm
-    eff_tol = jnp.maximum(jnp.asarray(tol, dtype), 100.0 * jnp.asarray(fi.eps, dtype))
-    stop = jnp.maximum(eff_tol, rel_tol * res0)
+    eff_tol = jnp.maximum(
+        tr_ref[0, 0].astype(dtype), 100.0 * jnp.asarray(fi.eps, dtype)
+    )
+    stop = jnp.maximum(eff_tol, tr_ref[0, 1].astype(dtype) * res0)
     rD = jnp.where(mask > 0, 1.0 / d, 0.0)
 
     def dot(u, v):
@@ -330,31 +371,28 @@ def _bicgstab_kernel(
     )
     out = jax.lax.while_loop(cond, body, init)
     x_out[:] = out[0]
-    res0_out[:] = res0.reshape(res0_out.shape)
-    res_out[:] = out[-1].reshape(res_out.shape)
-    it_out[0, 0] = out[-2]
+    _store_scalars(res0_out, res_out, it_out, res0, out[-1], out[-2], grid)
 
 
 def _smooth_kernel(
     nc_ref,
+    tr_ref,
     d_ref,
     up_ref,
     lo_ref,
     b_ref,
     x0_ref,
-    mask_ref,
     x_out,
     res0_out,
     res_out,
     it_out,
     *,
     offsets: Tuple[int, ...],
-    tol: float,
-    rel_tol: float,
     max_iter: int,
     omega: float,
     check_every: int,
     folded: bool = False,
+    grid: bool = False,
 ):
     """Damped-Jacobi smoother (smoothSolver role, linear.py:jacobi_smooth
     semantics): sweeps of x += ω·(b − Mx)/d with residual checks every
@@ -365,7 +403,7 @@ def _smooth_kernel(
     los = [lo_ref[k] for k in range(len(offsets))]
     b = b_ref[:]
     x0 = x0_ref[:]
-    mask = mask_ref[:]
+    mask = _make_mask(nc_ref, x0.shape, dtype, folded)
     su, sd, rsum = _layout_ops(folded)
     n_real = rsum(mask)
 
@@ -380,9 +418,10 @@ def _smooth_kernel(
     )
     res0 = rsum(jnp.abs(b - Ax0) * mask) / norm
     eff_tol = jnp.maximum(
-        jnp.asarray(tol, dtype), 100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype)
+        tr_ref[0, 0].astype(dtype),
+        100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype),
     )
-    stop = jnp.maximum(eff_tol, rel_tol * res0)
+    stop = jnp.maximum(eff_tol, tr_ref[0, 1].astype(dtype) * res0)
     rD = jnp.where(mask > 0, omega / d, 0.0)
 
     def cond(state):
@@ -414,9 +453,7 @@ def _smooth_kernel(
         (x0, jnp.asarray(0, jnp.int32), res0, jnp.full_like(res0, jnp.inf)),
     )
     x_out[:] = x
-    res0_out[:] = res0.reshape(res0_out.shape)
-    res_out[:] = res.reshape(res_out.shape)
-    it_out[0, 0] = it
+    _store_scalars(res0_out, res_out, it_out, res0, res, it, grid)
 
 
 def _prep(diag, upper, lower, b, x0, offsets, n_cells, folded=False):
@@ -455,71 +492,128 @@ def _prep(diag, upper, lower, b, x0, offsets, n_cells, folded=False):
         return jnp.swapaxes(v, 0, 1)  # (K, B, nCp)
 
     uP, lP = faces(upper), faces(lower)
-    mask = jnp.pad(
-        jnp.ones((B, n_cells), dP.dtype), ((0, 0), (0, ncp - n_cells))
-    )
     if folded:
         R = ncp // _LANES
-        dP, bP, xP, mask = (
-            v.reshape(B, R, _LANES) for v in (dP, bP, xP, mask)
-        )
+        dP, bP, xP = (v.reshape(B, R, _LANES) for v in (dP, bP, xP))
         uP, lP = (v.reshape(K, B, R, _LANES) for v in (uP, lP))
-    return dP, uP, lP, bP, xP, mask, B, ncp
+    return dP, uP, lP, bP, xP, B, ncp
 
 
-def _run(kernel, diag, upper, lower, b, x0, offsets, n_cells, interpret, **kw):
-    # Fold only single-system solves: (a) batched flat operands already
-    # fill sublanes across batch rows (B=8 is a dense (8,128) tile — the
-    # 8x padding waste exists only at B=1), and (b) mosaic's layout
-    # inference aborts (layout_rank check) on the 4-D folded coefficient
-    # arrays that B>1 would need.
+def _run(kernel, diag, upper, lower, b, x0, tr, offsets, n_cells, interpret,
+         **kw):
+    # Layout choice per (B, nCells):
+    #   B=1 large → folded (R,128): dense tiles, whole Krylov state VMEM.
+    #   B>1 small → flat (B,nCp): batch rows fill the sublanes of one tile
+    #     set, all rows resident at once, one while_loop until all converge.
+    #   B>1 large → GRID-over-batch: grid=(B,), each program solves ONE
+    #     row folded in VMEM — per-program VMEM is the single-row budget,
+    #     so vmapped multi-RHS solves (UEqn×3, YEqn×nSpecies) keep the
+    #     fused path at meshes far beyond the all-rows-resident cap. The
+    #     programs run sequentially on the core but the whole batch is
+    #     still ONE kernel launch.
+    K = len(offsets)
     B_in = b.shape[0] if b.ndim == 2 else 1
-    folded = B_in == 1 and use_folded(n_cells)
-    dP, uP, lP, bP, xP, mask, B, ncp = _prep(
+    grid = (
+        B_in > 1
+        and use_folded(n_cells)
+        and B_in * n_cells > grid_threshold()
+    )
+    folded = grid or (B_in == 1 and use_folded(n_cells))
+    dP, uP, lP, bP, xP, B, ncp = _prep(
         diag, upper, lower, b, x0, offsets, n_cells, folded=folded
     )
     dtype = xP.dtype
     nc = jnp.asarray([[n_cells]], jnp.int32)
-    xshape = (B, ncp // _LANES, _LANES) if folded else (B, ncp)
+    tr = jnp.asarray(tr, jnp.float32).reshape(1, 2)
+    R = ncp // _LANES
+    xshape = (B, R, _LANES) if folded else (B, ncp)
     out_shapes = (
         jax.ShapeDtypeStruct(xshape, dtype),
         jax.ShapeDtypeStruct((B, 1), dtype),
         jax.ShapeDtypeStruct((B, 1), dtype),
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),
-    )
+        jax.ShapeDtypeStruct((B if grid else 1, 1), jnp.int32),
+    )  # grid mode: res0/res/it all live in SMEM, one row per program
     # Mosaic's default scoped-VMEM stack limit is 16 MiB; the whole-solve
     # kernel keeps the full Krylov state resident (~212 B/cell measured at
     # 500k cells on v5e). When the estimate exceeds the default, request
     # the near-physical 120 MiB cap (v5e VMEM = 128 MiB) — the limit only
     # permits, it does not reserve.
-    demand = _VMEM_BYTES_PER_CELL * ncp * max(B, 1)
+    demand = _VMEM_BYTES_PER_CELL * ncp * (1 if grid else max(B, 1))
     params = None
     if not interpret and demand > 16 * 2**20:
-        params = pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20)
-    fn = pl.pallas_call(
-        functools.partial(
-            kernel, offsets=tuple(int(o) for o in offsets), folded=folded, **kw
-        ),
-        compiler_params=params,
-        out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        interpret=interpret,
+        # grid mode additionally double-buffers the next program's input
+        # blocks while the current solve runs — allow up to the physical
+        # 128 MiB (the limit only permits, it does not reserve)
+        cap = 127 * 2**20 if grid else 120 * 2**20
+        params = pltpu.CompilerParams(vmem_limit_bytes=cap)
+    kfn = functools.partial(
+        kernel, offsets=tuple(int(o) for o in offsets), folded=folded,
+        grid=grid, **kw
     )
-    xs, res0, res, it = fn(nc, dP, uP, lP, bP, xP, mask)
+    if grid:
+        # b-major (B·K, R, 128) coefficient packing: block index b selects
+        # that row's K stencil slots as a contiguous 3-D block (mosaic's
+        # layout inference rejects the 4-D (K,B,R,128) blocks directly)
+        uG = jnp.swapaxes(uP, 0, 1).reshape(B * K, R, _LANES)
+        lG = jnp.swapaxes(lP, 0, 1).reshape(B * K, R, _LANES)
+        # every index map must return int32: under jax_enable_x64 the
+        # default/naive maps synthesize i64 indices, which mosaic's
+        # func.return legalization rejects
+        def _z():
+            return jnp.asarray(0, jnp.int32)
+
+        def _imap(i):
+            return jnp.asarray(i, jnp.int32), _z(), _z()
+
+        row = lambda: pl.BlockSpec((1, R, _LANES), _imap,
+                                   memory_space=pltpu.VMEM)
+        coef = lambda: pl.BlockSpec((K, R, _LANES), _imap,
+                                    memory_space=pltpu.VMEM)
+        # whole-array SMEM blocks revisited by every program (index 0,0)
+        smem = lambda shape: pl.BlockSpec(
+            shape, lambda i: (_z(),) * len(shape), memory_space=pltpu.SMEM
+        )
+        fn = pl.pallas_call(
+            kfn,
+            compiler_params=params,
+            grid=(B,),
+            out_shape=out_shapes,
+            in_specs=[
+                smem((1, 1)), smem((1, 2)),
+                row(), coef(), coef(), row(), row(),
+            ],
+            out_specs=(
+                row(), smem((B, 1)), smem((B, 1)), smem((B, 1)),
+            ),
+            interpret=interpret,
+        )
+        xs, res0, res, it = fn(nc, tr, dP, uG, lG, bP, xP)
+        # single count with vmapped-while semantics (max row = iterations
+        # until every row converged, matching the flat batched path)
+        it = jnp.max(it, axis=0, keepdims=True)
+    else:
+        fn = pl.pallas_call(
+            kfn,
+            compiler_params=params,
+            out_shape=out_shapes,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=interpret,
+        )
+        xs, res0, res, it = fn(nc, tr, dP, uP, lP, bP, xP)
     return xs.reshape(B, ncp), res0, res, it, B
 
 
@@ -540,10 +634,11 @@ def _batched_solver(kernel, offsets, n_cells, interpret, kw):
     solve iterates until every row converges (vmapped-while semantics)."""
 
     @jax.custom_batching.custom_vmap
-    def call(diag, upper, lower, b, x0):
+    def call(diag, upper, lower, b, x0, tr):
         squeeze = diag.ndim == 1 and b.ndim == 1 and x0.ndim == 1
         xs, res0, res, it, B = _run(
-            kernel, diag, upper, lower, b, x0, offsets, n_cells, interpret, **kw
+            kernel, diag, upper, lower, b, x0, tr, offsets, n_cells,
+            interpret, **kw
         )
         x = xs[:, :n_cells]
         r0 = res0[:, 0]
@@ -553,7 +648,7 @@ def _batched_solver(kernel, offsets, n_cells, interpret, kw):
         return x, r0, rf, it[0, 0]
 
     @call.def_vmap
-    def _rule(axis_size, in_batched, diag, upper, lower, b, x0):
+    def _rule(axis_size, in_batched, diag, upper, lower, b, x0, tr):
         def bc(v, batched):
             return v if batched else jnp.broadcast_to(v, (axis_size,) + v.shape)
 
@@ -561,6 +656,9 @@ def _batched_solver(kernel, offsets, n_cells, interpret, kw):
             bc(v, bt)
             for v, bt in zip((diag, upper, lower, b, x0), in_batched)
         ]
+        # the (tol, relTol) pair is shared across the batch — a batched tr
+        # (same controls vmapped along) collapses to its first row
+        args.append(tr[0] if in_batched[5] else tr)
         out = call(*args)
         return out, (True, True, True, False)
 
@@ -586,6 +684,15 @@ def use_folded(n_cells: int) -> bool:
     if v == "1":
         return True
     return n_cells > 2048
+
+
+def grid_threshold() -> int:
+    """Total batched cells (B·nCells) above which a B>1 solve switches from
+    the all-rows-resident flat layout to grid-over-batch (one folded row
+    per grid program). Below it the flat batch is a single dense tile set
+    and the one-while-loop-for-all-rows form is cheapest.
+    Override with FIREFOAM_TPU_PALLAS_GRID_CELLS."""
+    return int(os.environ.get("FIREFOAM_TPU_PALLAS_GRID_CELLS", "150000"))
 
 
 def max_cells() -> int:
@@ -659,9 +766,9 @@ def dia_bicgstab(
     """Whole-solve fused Jacobi-BiCGStab (PBiCG/PBiCGStab role)."""
     call = _batched_solver(
         _bicgstab_kernel, tuple(int(o) for o in offsets), n_cells, interpret,
-        dict(tol=float(tol), rel_tol=float(rel_tol), max_iter=int(max_iter)),
+        dict(max_iter=int(max_iter)),
     )
-    return SolverResult(*call(diag, upper, lower, b, x0))
+    return SolverResult(*call(diag, upper, lower, b, x0, _tr(tol, rel_tol)))
 
 
 def dia_pcg(
@@ -685,9 +792,9 @@ def dia_pcg(
     """
     call = _batched_solver(
         _pcg_kernel, tuple(int(o) for o in offsets), n_cells, interpret,
-        dict(tol=float(tol), rel_tol=float(rel_tol), max_iter=int(max_iter)),
+        dict(max_iter=int(max_iter)),
     )
-    return SolverResult(*call(diag, upper, lower, b, x0))
+    return SolverResult(*call(diag, upper, lower, b, x0, _tr(tol, rel_tol)))
 
 
 def dia_smooth(
@@ -708,7 +815,7 @@ def dia_smooth(
     """Whole-solve fused damped-Jacobi smoother (smoothSolver role)."""
     call = _batched_solver(
         _smooth_kernel, tuple(int(o) for o in offsets), n_cells, interpret,
-        dict(tol=float(tol), rel_tol=float(rel_tol), max_iter=int(max_iter),
+        dict(max_iter=int(max_iter),
              omega=float(omega), check_every=int(check_every)),
     )
-    return SolverResult(*call(diag, upper, lower, b, x0))
+    return SolverResult(*call(diag, upper, lower, b, x0, _tr(tol, rel_tol)))

@@ -167,3 +167,87 @@ def test_dia_pcg_under_vmap():
     for r in range(B):
         ref = pcg(mv, jnp.zeros(N), bb[r], d, tol=1e-10, max_iter=500)
         assert float(jnp.max(jnp.abs(ref.x - xs[r]))) < 1e-7
+
+
+def test_dia_pcg_grid_over_batch(monkeypatch):
+    """Grid-over-batch mode (B>1 past the grid threshold): each grid
+    program solves one folded row with only that row's Krylov state in
+    VMEM — the layout vmapped UEqn/YEqn solves take at large meshes."""
+    monkeypatch.setenv("FIREFOAM_TPU_PALLAS_GRID_CELLS", "100")
+    monkeypatch.setenv("FIREFOAM_TPU_PALLAS_FOLD", "1")
+    d, up, lo, b1, x0 = _dia_system(seed=10)
+    rng = np.random.RandomState(11)
+    B = 3
+    bb = jnp.asarray(rng.randn(B, N))
+    x00 = jnp.zeros((B, N))
+    pal = pallas_cg.dia_pcg(
+        jnp.broadcast_to(d, (B, N)),
+        jnp.broadcast_to(up, (B, len(OFFS) * N)),
+        jnp.broadcast_to(up, (B, len(OFFS) * N)),
+        bb,
+        x00,
+        OFFS,
+        N,
+        tol=1e-10,
+        max_iter=500,
+        interpret=True,
+    )
+    mv = _mv(d, up, up)
+    its = []
+    for r in range(B):
+        ref = pcg(mv, x00[r], bb[r], d, tol=1e-10, max_iter=500)
+        its.append(int(ref.n_iterations))
+        assert float(jnp.max(jnp.abs(ref.x - pal.x[r]))) < 1e-7
+        assert float(pal.initial_residual[r]) == pytest.approx(
+            float(ref.initial_residual), rel=1e-6
+        )
+    # vmapped-while semantics: reported count = max over rows
+    assert int(pal.n_iterations) == max(its)
+
+
+def test_dia_bicgstab_grid_over_batch(monkeypatch):
+    monkeypatch.setenv("FIREFOAM_TPU_PALLAS_GRID_CELLS", "100")
+    monkeypatch.setenv("FIREFOAM_TPU_PALLAS_FOLD", "1")
+    d, up, lo, b1, x0 = _dia_system(seed=12, asym=0.3)
+    rng = np.random.RandomState(13)
+    B = 4
+    bb = jnp.asarray(rng.randn(B, N))
+    x00 = jnp.zeros((B, N))
+    pal = pallas_cg.dia_bicgstab(
+        jnp.broadcast_to(d, (B, N)),
+        jnp.broadcast_to(up, (B, len(OFFS) * N)),
+        jnp.broadcast_to(lo, (B, len(OFFS) * N)),
+        bb,
+        x00,
+        OFFS,
+        N,
+        tol=1e-10,
+        max_iter=500,
+        interpret=True,
+    )
+    mv = _mv(d, up, lo)
+    for r in range(B):
+        ref = bicgstab(mv, x00[r], bb[r], d, tol=1e-10, max_iter=500)
+        assert float(jnp.max(jnp.abs(ref.x - pal.x[r]))) < 1e-6
+
+
+def test_dia_pcg_traced_tolerance(monkeypatch):
+    """Per-corrector (tol, relTol) enter as traced scalars under one jit
+    body (the p_rgh corrector pattern in models/firefoam.py)."""
+    d, up, lo, b, x0 = _dia_system(seed=14)
+
+    @jax.jit
+    def solve(sel):
+        tols = jnp.asarray([1e-4, 1e-10])
+        r = pallas_cg.dia_pcg(
+            d, up, up, b, x0, OFFS, N,
+            tol=tols[sel], rel_tol=0.0, max_iter=500, interpret=True,
+        )
+        return r.x, r.n_iterations
+
+    x_loose, it_loose = solve(0)
+    x_tight, it_tight = solve(1)
+    mv = _mv(d, up, up)
+    ref = pcg(mv, x0, b, d, tol=1e-10, max_iter=500)
+    assert float(jnp.max(jnp.abs(ref.x - x_tight))) < 1e-7
+    assert int(it_loose) < int(it_tight)

@@ -50,6 +50,7 @@ def cpu_staging():
 with cpu_staging():
     solver = FireFoamSolver(case)
     state = solver.initial_state()
+state = jax.device_put(state, jax.devices()[0])
 nC = solver.geom.n_cells
 print(f"built {nC} cells in {time.time()-t0:.0f}s; layout={solver.geom.layout} "
       f"amg={'on' if solver.amg is not None else 'off'} "
@@ -60,20 +61,22 @@ step = (
 )
 t0 = time.time()
 state, log = step(state)
-jax.block_until_ready(state["t"])
+float(state["t"])
 print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
 
 n_warm = int(os.environ.get("PROBE_WARMUP", "10"))
 for _ in range(n_warm):
     state, log = step(state)
-jax.block_until_ready(state["t"])
+float(state["t"])
 
 n = int(os.environ.get("PROBE_STEPS", "10"))
 ts = []
 for k in range(n):
     t0 = time.perf_counter()
     state, log = step(state)
-    jax.block_until_ready(state["t"])
+    # block_until_ready on a tunneled (axon) buffer can return before the
+    # remote executable finishes — a scalar device_get is a real sync
+    float(state["t"])
     ts.append(time.perf_counter() - t0)
 import statistics
 
