@@ -137,6 +137,10 @@ class FunctionObjects:
                 "probes": "probes.dat",
                 "faceZonesIntegration": "faceZonesIntegration.dat",
             }.get(fo.kind, fo.kind + ".dat")
+            from ..io.master import is_master
+
+            if not is_master():
+                return
             with open(os.path.join(d, fname), "w") as f:
                 f.write(f"# {fo.kind} {fo.name}: fields {' '.join(fo.fields)}\n")
                 for row in fo.rows:

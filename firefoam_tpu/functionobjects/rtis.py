@@ -124,6 +124,10 @@ class RtiProbes:
             return
         d = os.path.join(out_dir, "rtis", start_time)
         os.makedirs(d, exist_ok=True)
+        from ..io.master import is_master
+
+        if not is_master():  # rtis.C:292-309 master-only probe files
+            return
         with open(os.path.join(d, "rtis.dat"), "w") as f:
             f.write(f"# rtis: RTI={self.RTI} C={self.C} Tact={self.T_act}; "
                     f"columns: t Te[0..{self.n-1}] tAct[0..{self.n-1}]\n")

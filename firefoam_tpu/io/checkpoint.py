@@ -37,7 +37,14 @@ def _keystr(path) -> str:
 
 
 def save_checkpoint(path: str, state: Dict) -> str:
-    """Write the State pytree to `path` (npz). Returns the path."""
+    """Write the State pytree to `path` (npz). Returns the path.
+
+    Multi-host: process 0 only (the reference's master-gated
+    undecomposed writes — every field under jit is globally addressable)."""
+    from .master import is_master
+
+    if not is_master():
+        return path
     leaves = jax.tree_util.tree_flatten_with_path(state)[0]
     arrays = {}
     for kp, leaf in leaves:

@@ -177,5 +177,9 @@ def write_field_file(
         lines.append("    }")
     lines.append("}")
     os.makedirs(os.path.dirname(os.fspath(path)), exist_ok=True)
+    from .master import is_master
+
+    if not is_master():  # multi-host: field files from process 0 only
+        return
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

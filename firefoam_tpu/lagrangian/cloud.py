@@ -161,16 +161,14 @@ class ReactingCloud:
         comp = sub.get_dict("singlePhaseMixtureCoeffs", None)
         if comp is None:
             comp = sub.get_dict("singleMixtureFractionCoeffs", FoamDict())
-        liq_entries = []  # (name, fraction)
-        phases = comp.get_list("phases") if comp.found("phases") else []
-        for ph in phases:
-            if isinstance(ph, FoamDict):
-                for k in ph:
-                    try:
-                        frac = ph.get_scalar(k, 1.0)
-                    except Exception:
-                        frac = 1.0
-                    liq_entries.append((k, frac))
+        from .devolatilisation import (
+            Devolatilisation,
+            PhaseLedger,
+            parse_phases,
+        )
+
+        ph_map = parse_phases(comp)
+        liq_entries = list(ph_map.get("liquid", []))  # (name, fraction)
         if not liq_entries:
             liq_entries = [("H2O", 1.0)]
         if len(liq_entries) == 1:
@@ -195,6 +193,29 @@ class ReactingCloud:
         else:
             self.vapour_fracs = (1.0,) * len(self.vapour_indices)
         self.vapour_index = self.vapour_indices[0] if self.vapour_indices else gas.index("H2O")
+
+        # ---- n-phase ledger + devolatilisation (ReactingMultiphase) ----
+        # (reference phaseProperties gas/liquid/solid bookkeeping +
+        # DevolatilisationModel submodels; surfaceReactionModel ships only
+        # NoSurfaceReaction in the reference, so 'none' is the full surface)
+        self.ledger = PhaseLedger.from_phases(ph_map)
+        self.devol = Devolatilisation.from_dict(sub, cp, gas)
+        self.surface_reaction = sub.get_word("surfaceReactionModel", "none")
+        self._liq_frac0 = (
+            float(self.ledger.liquid_frac) if self.ledger is not None else 1.0
+        )
+        if self.devol is not None:
+            led = self.ledger
+            fr = []
+            for n in self.devol.names:
+                f = 0.0
+                if led is not None:
+                    for nm, ff in zip(led.gas_names, led.gas_fracs):
+                        if nm == n:
+                            f = float(ff)
+                fr.append(f)
+            # volatile fractions of TOTAL particle mass, volatileData order
+            self._vol_frac0 = np.asarray(fr)
 
         self.cfg = CloudConfig(
             active=sol.get_bool("active", True),
@@ -299,6 +320,13 @@ class ReactingCloud:
             self.suppression = SuppressionCollision.from_dict(sub)
         else:
             self.suppression = None
+
+        # deterministic DEM collisions (CollisionModel/PairCollision):
+        # spring-slider-dashpot pair + wall forces, parcel omega/records
+        # state under st["pc"] (single-partition — no shipped case uses it)
+        from .paircollision import PairCollision
+
+        self.pair_collision = PairCollision.from_dict(sub, cp, geom)
 
         # cloud function objects: ParticleCollectorFmg (lib/
         # additionalCloudFunctionObjects — SURVEY §2.10)
@@ -435,6 +463,20 @@ class ReactingCloud:
             "canCombust": jnp.ones((cap,), jnp.int32),
             "typeId": jnp.zeros((cap,), jnp.int32),
             "rng": jax.random.PRNGKey(seed),
+            # n-phase ledger lanes (per-PARTICLE volatile / solid masses)
+            **(
+                {
+                    "mv": jnp.zeros((cap, self.devol.n_vol), dtp),
+                    "mv0": jnp.zeros((cap, self.devol.n_vol), dtp),
+                }
+                if self.devol is not None
+                else {}
+            ),
+            **(
+                {"ms": jnp.zeros((cap,), dtp)}
+                if self.ledger is not None
+                else {}
+            ),
             "inj": [inj.init_state() for inj in self.injectors],
             "coll": [c.init_state(dtp) for c in self.collectors],
             "cfo": [
@@ -448,6 +490,8 @@ class ReactingCloud:
                 for f in self.cloud_functions
             ],
         }
+        if self.pair_collision is not None:
+            st["pc"] = self.pair_collision.init_state(cap, dtp)
         return st
 
     # ------------------------------------------------------------------
@@ -509,6 +553,22 @@ class ReactingCloud:
         st["typeId"] = st["typeId"].at[tgt].set(
             jnp.where(ok, 0, st["typeId"][tgt])
         )
+        # n-phase ledger: split the seeded particle mass by the composition
+        # phases' Y0 (the liquid core carries fraction _liq_frac0; volatile
+        # and solid content ride on top, constantVolume bookkeeping)
+        if self.devol is not None or self.ledger is not None:
+            m1l = _sphere_mass(rho_l, cand["d"])
+            lf = max(self._liq_frac0, 1e-12)
+            if self.devol is not None:
+                mv_new = m1l[:, None] * jnp.asarray(
+                    self._vol_frac0 / lf, self.dtype
+                )[None, :]
+                st["mv"] = put(st["mv"], mv_new)
+                st["mv0"] = put(st["mv0"], mv_new)
+            if self.ledger is not None:
+                st["ms"] = put(
+                    st["ms"], m1l * (self.ledger.solid_frac / lf)
+                )
         # relocalise injected parcels from their seed cell (sprinkler offset)
         x, U, cell, alive, hit, code = self.walk.walk(
             st["x"], st["U"], st["cell"], st["alive"], self.b_code, self.b_e,
@@ -579,6 +639,19 @@ class ReactingCloud:
         evap_all = m1_new * st["nP"] <= cfg.min_mass
         d_new = jnp.maximum((6.0 * m1_new / (_PI * rho_l)) ** (1.0 / 3.0), 1e-9)
 
+        # ---- devolatilisation (ReactingMultiphaseParcel calc chain) ------
+        # volatile ledger mass evolves into the carrier; suppression's
+        # canCombust == −1 inhibits it; all-volatiles-evolved flips the
+        # parcel combustion-ready (canCombust = 1)
+        dmv = None
+        dmv_tot = jnp.zeros_like(d)
+        if self.devol is not None:
+            gate = mask & (jnp.sum(st["mv0"], axis=1) > 0.0)
+            dmv, can_new = self.devol.calculate(
+                dt_sub, T_p, st["mv"], st["mv0"], st["canCombust"], gate
+            )
+            dmv_tot = jnp.sum(dmv, axis=1)
+
         # ---- particle radiative efficiencies + heating -------------------
         # (ThermoParcel::calcHeatTransfer radiation branch + ThermoCloud::
         # radCalc — s = kG/4 − σ·kEmm·T⁴ added to the analytic T solve)
@@ -636,6 +709,14 @@ class ReactingCloud:
             q_conv1 = (
                 m1_new * cp_l * (T_new - T_p) + dm1 * hl - s_rad * A * dt_sub
             )
+        if self.devol is not None and self.devol.L_devol != 0.0:
+            # latent heat of devolatilisation drawn from the particle
+            # (Sh −= dMassTot·LDevol/dt, ReactingMultiphaseParcel.C:566)
+            cp_here = cp_l if cfg.heat_transfer else self.cfg.cp0
+            T_new = T_new - dmv_tot * self.devol.L_devol / jnp.maximum(
+                m1_new * cp_here, small()
+            )
+            T_new = jnp.maximum(T_new, cfg.T_min)
         T_new = jnp.where(mask, T_new, T_p)
 
         # ---- momentum (particle force list, drag-implicit Euler) --------
@@ -669,6 +750,9 @@ class ReactingCloud:
                 )
             if (fr.pressure_gradient or fr.virtual_mass) and "DUDt" in gas:
                 su = su + fr.pgrad_su(gas["DUDt"][c], rho_c, rho_l, m1n)
+            if fr.has_body_forces():
+                hdgh = gas["HdotGradH"][c] if "HdotGradH" in gas else None
+                su = su + fr.body_su(st["x"], st["U"], m1n, rho_c, rho_l, hdgh)
             m_eff = m1n + fr.mass_add(m1n, rho_c, rho_l)
             if cfg.scheme_U.lower().startswith("anal"):
                 # Analytical.H: exact relaxation toward the effective bath
@@ -685,8 +769,19 @@ class ReactingCloud:
                     st["U"]
                     + dt_sub * (tau_inv[:, None] * U_c + su / jnp.maximum(m_eff, small())[:, None] + g_eff)
                 ) / (1.0 + dt_sub * tau_inv)[:, None]
-        elif cfg.gravity_on:
-            U_new = st["U"] + dt_sub * self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
+        elif cfg.gravity_on or self.forces.has_body_forces():
+            acc = (
+                self.g[None, :] * (1.0 - rho_c / rho_l)[:, None]
+                if cfg.gravity_on
+                else 0.0
+            )
+            if self.forces.has_body_forces():
+                m1n = _sphere_mass(rho_l, d_new)
+                hdgh = gas["HdotGradH"][c] if "HdotGradH" in gas else None
+                acc = acc + self.forces.body_su(
+                    st["x"], st["U"], m1n, rho_c, rho_l, hdgh
+                ) / jnp.maximum(m1n, small())[:, None]
+            U_new = st["U"] + dt_sub * acc
 
         # ---- source accumulation (per-cell segment sums) -----------------
         nP = st["nP"]
@@ -712,6 +807,23 @@ class ReactingCloud:
             hv = self.gas.hs_species(T_new)[:, self.vapour_index]
             q = -w * q_conv1 + dm * hv
             src["hsTrans"] = src["hsTrans"] + seg(q)
+            if dmv is not None:
+                # devolatilised mass → per-volatile carrier species, its
+                # momentum at the parcel velocity, its enthalpy at Tp
+                hs_all = self.gas.hs_species(T_new)
+                dv = w[:, None] * dmv  # parcel-level mass per volatile
+                dv_tot = w * dmv_tot
+                src["dvTrans"] = src["dvTrans"] + jnp.stack(
+                    [seg(dv[:, i]) for i in range(self.devol.n_vol)]
+                )
+                src["UTrans"] = src["UTrans"] + seg(
+                    dv_tot[:, None] * st["U"]
+                )
+                q_dv = sum(
+                    dv[:, i] * hs_all[:, si]
+                    for i, si in enumerate(self.devol.gas_indices)
+                )
+                src["hsTrans"] = src["hsTrans"] + seg(q_dv)
 
         # ---- spray radiation accumulators (ThermoCloud::radCalc:
         # radAreaP/radAreaPSc/radAreaPT4/radAreaPScAsy per band) ----------
@@ -735,6 +847,9 @@ class ReactingCloud:
 
         # ---- commit parcel updates --------------------------------------
         st = dict(st)
+        if dmv is not None:
+            st["mv"] = st["mv"] - dmv
+            st["canCombust"] = can_new
         st["T"] = jnp.where(mask, T_new, st["T"])
         st["U"] = jnp.where(mask[:, None], U_new, st["U"])
         st["d"] = jnp.where(mask, d_new, st["d"])
@@ -891,6 +1006,9 @@ class ReactingCloud:
             "filmEnthalpy": jnp.zeros(self.geom.n_boundary, dtp),
             "escapedMass": jnp.zeros((), dtp),
         }
+        if self.devol is not None:
+            # per-volatile devolatilised mass to the carrier [nVol, nC]
+            src["dvTrans"] = jnp.zeros((self.devol.n_vol, nC), dtp)
         if self.cfg.radiation:
             nb = self.cfg.n_bands
             for k in ("radAp", "radSigp", "radAsy", "radEpT4"):
@@ -919,7 +1037,21 @@ class ReactingCloud:
             mass_before = self._mass(st)
             hit_T = st["T"]
             x_pre = st["x"]
-            x = st["x"] + jnp.where(st["alive"][:, None], st["U"] * dt_sub, 0.0)
+            if self.pair_collision is not None:
+                # DEM sub-cycled contact forces + motion (PairCollision::
+                # collide); x advances inside the sub-cycles so the springs
+                # resolve — the ballistic pre-move is subsumed
+                stc, pc = self.pair_collision.collide(
+                    st, st["pc"], self.cfg.rho0, dt_sub
+                )
+                st = dict(st)
+                st.update({k: stc[k] for k in ("x", "U")})
+                st["pc"] = pc
+                x = st["x"]
+            else:
+                x = st["x"] + jnp.where(
+                    st["alive"][:, None], st["U"] * dt_sub, 0.0
+                )
             x, U, cell, alive, hit, code = self.walk.walk(
                 x, st["U"], st["cell"], st["alive"], self.b_code, self.b_e,
                 n_steps=self.cfg.walk_steps,
@@ -977,7 +1109,9 @@ class ReactingCloud:
                 hslot = jnp.maximum(st["cell"] - pi.n_own, 0)
                 dest = jnp.where(in_halo, pi.halo_owner[hslot], -1).astype(jnp.int32)
                 soa_keys = ("x", "U", "d", "T", "nP", "cell", "age",
-                            "canCombust", "typeId")
+                            "canCombust", "typeId") + tuple(
+                    k for k in ("mv", "mv0", "ms") if k in st
+                )
                 soa = {k: st[k] for k in soa_keys}
                 soa["cell"] = jnp.where(
                     in_halo, pi.halo_local[hslot], st["cell"]

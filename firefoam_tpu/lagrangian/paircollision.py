@@ -1,0 +1,310 @@
+"""PairCollision — deterministic DEM parcel-parcel / parcel-wall collisions.
+
+Re-implements the reference collision model
+(packages/lagrangian/intermediateNew/submodels/Kinematic/CollisionModel/
+PairCollision/) with its two force submodels:
+
+- PairSpringSliderDashpot (PairModel/PairSpringSliderDashpot/
+  PairSpringSliderDashpot.C:evaluatePair): Hertzian normal spring
+  kN = 4/3·√R*·E* with dashpot ηN = α·√(M·kN)·δ^0.25, optional cohesion
+  over the overlap area, and a tangential spring-slider
+  kT = 8·√(R*·δ)·G* with Coulomb slip cap μ·|fN| (slip clears the
+  accumulated tangential overlap), E* = E/(2(1−ν²)), G* = G/(2(2−ν)),
+  G = E/(2(1+ν)) (ctor, PairSpringSliderDashpot.C:~60-100).
+- WallSpringSliderDashpot (WallModel/WallSpringSliderDashpot/
+  WallSpringSliderDashpot.C:evaluateWall): the same law against wall
+  sites with kN = 4/3·√(R*)·E* (R* = pREff) and the parcel's full mass.
+
+TPU-native design instead of the reference's InteractionLists/
+referred-particle machinery:
+
+- candidate pairs are the DENSE [cap, cap] alive×alive matrix — a masked
+  O(N²) VPU computation with no gather-scatter irregularity. At the parcel
+  capacities DEM is used for (≤ ~16k simultaneous parcels) this is a few
+  GFLOP per sub-cycle, far below one fvMatrix solve; dense sprays beyond
+  that are what the MPPIC path (lagrangian/mppic.py) is for.
+- per-pair tangential-overlap history (the reference's collisionRecords)
+  is a fixed K-slot table per parcel [cap, K] holding the partner slot id
+  and the accumulated tangential vector, carried across steps by partner-id
+  matching over the current top-K overlapping partners; a separate single
+  wall record carries the wall tangential overlap. Sprinkler-spray contacts
+  are overwhelmingly binary, K defaults to 2.
+- parcels gain angular velocity `omega` [cap,3] when this model is active
+  (the reference's CollidingParcel torque integration, I = (2/5)·m·r²).
+- walls are the planar fits of the mesh's wall patches (site = projection
+  onto the plane), matching evaluateWall's site/normal contract for the
+  flat panels of the shipped geometries.
+
+No shipped reference case enables PairCollision (cases run none /
+SuppressionCollision); this implementation covers the reference surface
+with analytic two-ball and ball-wall behaviour tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.foamdict import FoamDict
+
+__all__ = ["PairCollision"]
+
+_PI = float(np.pi)
+
+
+def _overlap_area(rA, rB, dist):
+    """Area of the circle of intersection of two spheres (cohesion term,
+    PairSpringSliderDashpot.H:overlapArea)."""
+    d2 = jnp.maximum(dist * dist, 1e-30)
+    num = 4.0 * d2 * rA * rA - (d2 - rB * rB + rA * rA) ** 2
+    return _PI / 4.0 / d2 * jnp.maximum(num, 0.0)
+
+
+@dataclass
+class PairCollision:
+    E_star: float
+    G_star: float
+    alpha: float
+    b: float
+    mu: float
+    cohesion_density: float
+    use_equivalent_size: bool
+    volume_factor: float
+    sub_cycles: int
+    n_records: int
+    # wall planes [nW, 3] point / normal (outward INTO the domain)
+    wall_point: np.ndarray
+    wall_normal: np.ndarray
+    wall_E_star: float
+    wall_alpha: float
+    wall_b: float
+    wall_mu: float
+
+    @classmethod
+    def from_dict(cls, sub: FoamDict, cp: FoamDict, geom) -> Optional["PairCollision"]:
+        """sub = cloud subModels dict; cp = constantProperties (carries
+        youngsModulus/poissonsRatio like the reference constProps)."""
+        name = sub.get_word("collisionModel", "none")
+        if name in ("none", "noCollision"):
+            return None
+        c = sub.get_dict("pairCollisionCoeffs", FoamDict())
+        pair = c.get_dict("pairModelCoeffs", None) or c.get_dict(
+            "PairSpringSliderDashpotCoeffs", FoamDict()
+        )
+        wall = c.get_dict("wallModelCoeffs", None) or c.get_dict(
+            "WallSpringSliderDashpotCoeffs", FoamDict()
+        )
+        nu = cp.get_scalar("poissonsRatio", 0.35)
+        E = cp.get_scalar("youngsModulus", 1e8)
+        E_star = E / (2.0 * (1.0 - nu * nu))
+        G = E / (2.0 * (1.0 + nu))
+        G_star = G / (2.0 * (2.0 - nu))
+        # planar wall fits per wall patch
+        wp, wn = [], []
+        for pch in getattr(geom, "patches", []):
+            if "wall" not in (pch.ptype or "").lower():
+                continue
+            Sf = np.asarray(geom.b_Sf)[pch.slice]
+            Cf = np.asarray(geom.b_Cf)[pch.slice]
+            if Sf.shape[0] == 0:
+                continue
+            n = Sf.sum(0)
+            n /= max(np.linalg.norm(n), 1e-30)
+            wp.append(Cf.mean(0))
+            wn.append(-n)  # b_Sf points OUT of the domain; DEM needs inward
+        return cls(
+            E_star=E_star,
+            G_star=G_star,
+            alpha=pair.get_scalar("alpha", 0.12),
+            b=pair.get_scalar("b", 1.5),
+            mu=pair.get_scalar("mu", 0.52),
+            cohesion_density=pair.get_scalar("cohesionEnergyDensity", 0.0),
+            use_equivalent_size=pair.get_bool("useEquivalentSize", False),
+            volume_factor=pair.get_scalar("volumeFactor", 1.0),
+            sub_cycles=int(c.get_scalar("nSubCycles", 1)),
+            n_records=int(c.get_scalar("nPairRecords", 2)),
+            wall_point=np.asarray(wp if wp else np.zeros((0, 3))),
+            wall_normal=np.asarray(wn if wn else np.zeros((0, 3))),
+            wall_E_star=wall.get_scalar("Estar", E_star),
+            wall_alpha=wall.get_scalar("alpha", 0.12),
+            wall_b=wall.get_scalar("b", 1.5),
+            wall_mu=wall.get_scalar("mu", 0.43),
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, cap: int, dtype) -> Dict:
+        K = self.n_records
+        return {
+            "omega": jnp.zeros((cap, 3), dtype),
+            "rec_id": jnp.full((cap, K), -1, jnp.int32),
+            "rec_t": jnp.zeros((cap, K, 3), dtype),
+            "wrec_t": jnp.zeros((cap, 3), dtype),
+        }
+
+    # ------------------------------------------------------------------
+    def collide(self, st: Dict, cst: Dict, rho_p, dt) -> (Dict, Dict):
+        """One collision sub-cycled force/torque integration.
+
+        st: cloud SoA (x, U, d, nP, alive); cst: collision state from
+        init_state. Returns (st', cst') with updated U/omega/records."""
+        dt_c = dt / self.sub_cycles
+        x, U = st["x"], st["U"]
+        omega = cst["omega"]
+        d = st["d"]
+        alive = st["alive"]
+        dtp = U.dtype
+        dEff = d * (
+            jnp.cbrt(st["nP"] * self.volume_factor)
+            if self.use_equivalent_size
+            else 1.0
+        )
+        r = 0.5 * dEff
+        m = jnp.where(alive, rho_p * _PI / 6.0 * dEff**3, 1.0)
+        inv_I = 1.0 / jnp.maximum(0.4 * m * r * r, 1e-30)
+        K = self.n_records
+        rec_id, rec_t, wrec_t = cst["rec_id"], cst["rec_t"], cst["wrec_t"]
+
+        def sub(carry, _):
+            x, U, omega, rec_id, rec_t, wrec_t = carry
+            # ---- pair forces (dense alive×alive) ----------------------
+            dx = x[:, None, :] - x[None, :, :]  # [N,N,3] A−B
+            dist = jnp.sqrt(jnp.sum(dx * dx, -1) + 1e-30)
+            overlap = r[:, None] + r[None, :] - dist
+            N = x.shape[0]
+            eye = jnp.eye(N, dtype=bool)
+            touch = (
+                (overlap > 0.0)
+                & alive[:, None]
+                & alive[None, :]
+                & ~eye
+            )
+            nhat = dx / dist[..., None]  # rHat_AB
+            dU = U[:, None, :] - U[None, :, :]
+            Rstar = 0.5 * dEff[:, None] * dEff[None, :] / jnp.maximum(
+                dEff[:, None] + dEff[None, :], 1e-30
+            )
+            Mstar = m[:, None] * m[None, :] / jnp.maximum(
+                m[:, None] + m[None, :], 1e-30
+            )
+            ov = jnp.maximum(overlap, 0.0)
+            kN = (4.0 / 3.0) * jnp.sqrt(Rstar) * self.E_star
+            etaN = self.alpha * jnp.sqrt(Mstar * kN) * ov**0.25
+            Un = jnp.sum(dU * nhat, -1)
+            fN_mag = kN * ov**self.b - etaN * Un
+            fN = nhat * fN_mag[..., None]
+            if self.cohesion_density != 0.0:
+                fN = fN - self.cohesion_density * _overlap_area(
+                    r[:, None], r[None, :], dist
+                )[..., None] * nhat
+            fN = jnp.where(touch[..., None], fN, 0.0)
+            # ---- tangential (slider with K-slot history) --------------
+            slip = (
+                dU
+                - Un[..., None] * nhat
+                + jnp.cross(
+                    omega[:, None, :], -r[:, None, None] * nhat
+                )
+                - jnp.cross(omega[None, :, :], r[None, :, None] * nhat)
+            )
+            # carry forward matched history: top-K current partners
+            ov_sel = jnp.where(touch, ov, -1.0)
+            top_ov, top_id = jax.lax.top_k(ov_sel, K)  # [N,K]
+            valid = top_ov > 0.0
+            # previous tangential vector for each current partner (0 if new)
+            match = rec_id[:, None, :] == top_id[:, :, None]  # [N,K,Kold]
+            prev_t = jnp.einsum("nko,nod->nkd", match.astype(dtp), rec_t)
+            gk = jnp.take_along_axis(
+                slip, top_id[..., None], axis=1
+            )  # [N,K,3] slip vs selected partners
+            new_t = prev_t + gk * dt_c
+            kT = (
+                8.0
+                * jnp.sqrt(
+                    jnp.take_along_axis(Rstar, top_id, 1)
+                    * jnp.maximum(top_ov, 0.0)
+                )
+                * self.G_star
+            )
+            etaT = jnp.take_along_axis(etaN, top_id, 1)
+            fN_sel = jnp.take_along_axis(fN_mag, top_id, 1)
+            tmag = jnp.sqrt(jnp.sum(new_t**2, -1) + 1e-30)
+            slipping = kT * tmag > self.mu * jnp.abs(fN_sel)
+            smag = jnp.sqrt(jnp.sum(gk**2, -1) + 1e-30)
+            fT_slip = -self.mu * jnp.abs(fN_sel)[..., None] * gk / smag[..., None]
+            fT_stick = -kT[..., None] * new_t - etaT[..., None] * gk
+            fT = jnp.where(slipping[..., None], fT_slip, fT_stick)
+            fT = jnp.where(valid[..., None], fT, 0.0)
+            new_t = jnp.where(
+                (slipping | ~valid)[..., None], jnp.zeros_like(new_t), new_t
+            )
+            # ---- wall forces ------------------------------------------
+            fW = jnp.zeros_like(U)
+            tqW = jnp.zeros_like(U)
+            wt_new = wrec_t
+            if self.wall_point.shape[0] > 0:
+                WP = jnp.asarray(self.wall_point, dtp)
+                WN = jnp.asarray(self.wall_normal, dtp)
+                gap = jnp.einsum(
+                    "nd,wd->nw", x, WN
+                ) - jnp.einsum("wd,wd->w", WP, WN)[None, :]
+                ovw = jnp.maximum(r[:, None] - gap, 0.0)
+                wsel = jnp.argmax(ovw, axis=1)
+                ovw1 = jnp.take_along_axis(ovw, wsel[:, None], 1)[:, 0]
+                nw = WN[wsel]  # rHat_PW (plane → parcel)
+                kNw = (4.0 / 3.0) * jnp.sqrt(r) * self.wall_E_star
+                etaNw = self.wall_alpha * jnp.sqrt(m * kNw) * ovw1**0.25
+                Unw = jnp.sum(U * nw, -1)
+                fNw_mag = kNw * ovw1**self.wall_b - etaNw * Unw
+                touch_w = (ovw1 > 0.0) & alive
+                fNw = jnp.where(touch_w[..., None], nw * fNw_mag[..., None], 0.0)
+                slw = U - Unw[..., None] * nw + jnp.cross(
+                    omega, -r[:, None] * nw
+                )
+                wt = jnp.where(touch_w[..., None], wrec_t + slw * dt_c, 0.0)
+                kTw = 8.0 * jnp.sqrt(r * ovw1) * self.G_star
+                wtmag = jnp.sqrt(jnp.sum(wt**2, -1) + 1e-30)
+                wslip = kTw * wtmag > self.wall_mu * jnp.abs(fNw_mag)
+                wsmag = jnp.sqrt(jnp.sum(slw**2, -1) + 1e-30)
+                fTw = jnp.where(
+                    wslip[..., None],
+                    -self.wall_mu * jnp.abs(fNw_mag)[..., None] * slw
+                    / wsmag[..., None],
+                    -kTw[..., None] * wt - etaNw[..., None] * slw,
+                )
+                fTw = jnp.where(touch_w[..., None], fTw, 0.0)
+                wt_new = jnp.where(wslip[..., None], jnp.zeros_like(wt), wt)
+                fW = fNw + fTw
+                tqW = jnp.cross(-r[:, None] * nw, fTw)
+            # ---- integrate --------------------------------------------
+            f = jnp.sum(fN, axis=1) + jnp.sum(fT, axis=1) + fW
+            tq = (
+                jnp.sum(
+                    jnp.cross(
+                        -jnp.take_along_axis(
+                            nhat, top_id[..., None], 1
+                        ) * r[:, None, None],
+                        fT,
+                    ),
+                    axis=1,
+                )
+                + tqW
+            )
+            U2 = U + dt_c * f / m[:, None]
+            om2 = omega + dt_c * tq * inv_I[:, None]
+            x2 = x + dt_c * jnp.where(alive[:, None], U2, 0.0)
+            rec_id2 = jnp.where(valid, top_id, -1)
+            return (x2, U2, om2, rec_id2, new_t, wt_new), None
+
+        (x, U, omega, rec_id, rec_t, wrec_t), _ = jax.lax.scan(
+            sub, (x, U, omega, rec_id, rec_t, wrec_t), None,
+            length=self.sub_cycles,
+        )
+        st = dict(st)
+        st["x"], st["U"] = x, U
+        cst = dict(cst)
+        cst.update(omega=omega, rec_id=rec_id, rec_t=rec_t, wrec_t=wrec_t)
+        return st, cst

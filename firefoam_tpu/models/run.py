@@ -155,11 +155,14 @@ def run_case(
             fh_path = _os.path.join(
                 output_dir, f"outFlameHeight_{solver.t0:.6g}"
             )
-            with open(fh_path, "a") as fh:
-                fh.write(
-                    f"{float(state['t'])}  {float(log['flameHeight'])}  "
-                    f"{float(log['flameHeight2'])}  \n"
-                )
+            from ..io.master import is_master
+
+            if is_master():  # master-only probe/log files (rtis.C:292-309)
+                with open(fh_path, "a") as fh:
+                    fh.write(
+                        f"{float(state['t'])}  {float(log['flameHeight'])}  "
+                        f"{float(log['flameHeight2'])}  \n"
+                    )
         if solver.rtis is not None and "rtis" in state:
             solver.rtis.record(float(state["t"]), state["rtis"])
         if write_fields and float(state["t"]) + 1e-9 >= next_write:

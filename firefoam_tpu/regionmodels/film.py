@@ -263,6 +263,19 @@ class ThermoSingleLayerFilm:
         # film mass is deleted every step (massToInject = availableMass,
         # availableMass = 0) — a sink, not a parcel source
         self.remove_inj = "removeInjection" in inj
+        # exfoliationInjection (exfoliationInjection.C::correct — present in
+        # the reference tree but commented OUT of its build, Make/files:36,
+        # since its film.Yv() dependency is deprecated): where the film's
+        # solvent fraction Yv drops below expelThreshold, expel
+        # expelFraction of the local film mass as parcels (roll-paper
+        # flake delamination). Yv is taken from the step input `Yv_film`
+        # when a commodity variant provides one; a pure-liquid film has
+        # Yv ≡ 1 and never exfoliates — exactly the reference's (inert)
+        # shipped state.
+        self.exfoliation = "exfoliationInjection" in inj
+        ec = coeffs.get_dict("exfoliationInjectionCoeffs", FoamDict())
+        self.exf_threshold = ec.get_scalar("expelThreshold", 0.5)
+        self.exf_fraction = ec.get_scalar("expelFraction", 0.1)
 
         g = np.asarray(g_vec, float)
         n = np.asarray(fm.n_hat)
@@ -671,6 +684,21 @@ class ThermoSingleLayerFilm:
             drip = drip + jnp.where(
                 separate, delta / jnp.maximum(dt_sub, small()), 0.0
             )
+
+        # ---- exfoliationInjection: dried-out film (Yv < expelThreshold)
+        # flakes off — expelFraction of the local film mass becomes parcels
+        # (exfoliationInjection.C::correct massDrip loop)
+        if self.exfoliation:
+            Yv_f = inp.get("Yv_film")
+            if Yv_f is not None:
+                dry = Yv_f < self.exf_threshold
+                drip = drip + jnp.where(
+                    dry,
+                    self.exf_fraction
+                    * jnp.maximum(delta, 0.0)
+                    / jnp.maximum(dt_sub, small()),
+                    0.0,
+                )
 
         # ---- removeInjection: the whole available film is deleted this
         # substep (removeInjection.C::correct: massToInject = availableMass)

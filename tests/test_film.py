@@ -249,3 +249,38 @@ def test_fmpanel_qrad_window():
     st2, _ = film.evolve(st2, 0.05, {"t": jnp.asarray(1000.0)})
     assert float(np.abs(np.asarray(st2["T"])[heated] - T0[heated]).max()) < \
         float(np.abs(T1[heated] - T0[heated]).max())
+
+
+def test_exfoliation_injection():
+    """exfoliationInjection (exfoliationInjection.C::correct — shipped in
+    the reference tree but commented out of its build): dried film faces
+    (Yv < expelThreshold) expel expelFraction of their mass as drops;
+    wet faces don't."""
+    from firefoam_tpu.io.foamdict import parse_string
+
+    mesh, faces = wall_mesh((1, 4, 4))
+    fm = FilmMesh.from_faces(mesh, faces)
+    props = parse_string(
+        """
+surfaceFilmModel thermoSingleLayer;
+thermoSingleLayerCoeffs
+{
+    injectionModels ( exfoliationInjection );
+    exfoliationInjectionCoeffs
+    { expelThreshold 0.5; expelFraction 0.25; }
+}
+"""
+    )
+    film = ThermoSingleLayerFilm(fm, props, G)
+    assert film.exfoliation
+    st = film.initial_state(delta0=2e-4, T0=298.15)
+    nF = fm.n_faces
+    Yv = jnp.where(jnp.arange(nF) < 8, 0.1, 0.9)  # first half dried out
+    st2, out = film.evolve(st, jnp.asarray(1e-3), {"Yv_film": Yv})
+    drip = np.asarray(out["drip"])
+    # baseline: no dryness input → the model is inert (pure-liquid film);
+    # any remaining drip is ordinary rim-edge run-off
+    _, out0 = film.evolve(st, jnp.asarray(1e-3), {})
+    drip0 = np.asarray(out0["drip"])
+    assert np.all(drip[:8] > drip0[:8])  # dried faces flake off extra mass
+    np.testing.assert_allclose(drip[8:], drip0[8:], atol=1e-14)  # wet: same

@@ -136,3 +136,57 @@ def test_inert_models_accepted():
     f = _forces("sphereDrag;\ngravity;\nparamagnetic\n{\n    magneticSusceptibility 1e-5;\n}\nSRF;")
     assert "paramagnetic" in f.inert and "SRF" in f.inert
     assert f.drag_model == "sphereDrag"
+
+
+def test_srf_centrifugal_coriolis():
+    """SRFForce.C:calcNonCoupled — Su = m(1−ρc/ρp)(2(U×ω) + ω×(r×ω))."""
+    f = _forces("SRF\n{\n    omega (0 0 2.0);\n    origin (0 0 0);\n}")
+    assert f.srf is not None
+    x = jnp.asarray([[1.0, 0.0, 0.0]])
+    U = jnp.zeros((1, 3))
+    m = jnp.asarray([2.0])
+    su = np.asarray(f.body_su(x, U, m, jnp.asarray([1.0]), jnp.asarray([1000.0])))
+    # centrifugal: ω×(r×ω) = ω²·r_perp = 4·x̂, buoyancy factor (1−1e-3)
+    np.testing.assert_allclose(su[0], [2.0 * (1 - 1e-3) * 4.0, 0.0, 0.0],
+                               rtol=1e-12)
+    # Coriolis: U = +ŷ, 2(U×ω) = 2·(ŷ×2ẑ) = 4x̂
+    su2 = np.asarray(
+        f.body_su(x, jnp.asarray([[0.0, 1.0, 0.0]]), m,
+                  jnp.asarray([1.0]), jnp.asarray([1000.0]))
+    )
+    np.testing.assert_allclose(
+        su2[0, 0], 2.0 * (1 - 1e-3) * (4.0 + 4.0), rtol=1e-12
+    )
+
+
+def test_non_inertial_frame_linear_acceleration():
+    """NonInertialFrameForce.C — Su = m(−W + r×ω̇ + 2(U×ω) + ω×(r×ω))."""
+    f = _forces(
+        "nonInertialFrame\n{\n    linearAcceleration (0 5 0);\n"
+        "    angularVelocity (0 0 0);\n    angularAcceleration (0 0 0);\n"
+        "    centreOfRotation (0 0 0);\n}"
+    )
+    assert f.nif is not None
+    su = np.asarray(
+        f.body_su(jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.asarray([3.0]),
+                  jnp.asarray([1.0]), jnp.asarray([1000.0]))
+    )
+    np.testing.assert_allclose(su[0], [0.0, -15.0, 0.0], rtol=1e-12)
+
+
+def test_paramagnetic_force():
+    """ParamagneticForce.C — Su = m·3μ0/ρp·χ/(χ+3)·(H·∇H)."""
+    chi = 1e-5
+    f = _forces(
+        "paramagnetic\n{\n    magneticSusceptibility %g;\n}" % chi
+    )
+    assert f.para is not None and f.para["chi"] == pytest.approx(chi)
+    hdgh = jnp.asarray([[1e8, 0.0, 0.0]])
+    m = jnp.asarray([2.0])
+    su = np.asarray(
+        f.body_su(jnp.zeros((1, 3)), jnp.zeros((1, 3)), m,
+                  jnp.asarray([1.0]), jnp.asarray([500.0]), hdgh)
+    )
+    mu0 = 4e-7 * np.pi
+    expect = 2.0 * 3.0 * mu0 / 500.0 * chi / (chi + 3.0) * 1e8
+    np.testing.assert_allclose(su[0], [expect, 0.0, 0.0], rtol=1e-12)
