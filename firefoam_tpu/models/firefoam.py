@@ -2004,6 +2004,33 @@ class FireFoamSolver:
         # same stated tolerance kills exactly those modes and produces a
         # quieter — different — flow field, so AMG is the perf path only.
         if (
+            os.environ.get("FIREFOAM_TPU_P64_PRGH") == "1"
+            and self.dtype != jnp.float64
+        ):
+            # mixed precision: the p_rgh solve (the step's stiffest system,
+            # condition grows with 1/dt·psi vs laplacian contrast) in f64
+            # while the rest of the step stays f32 — the candidate policy
+            # for tight-tolerance runs (docs/PERF.md precision policy)
+            f8 = jnp.float64
+            up64 = m.upper.astype(f8)
+            lo64 = m.lower.astype(f8)
+            d64 = dtot.astype(f8)
+
+            def mv64(x):
+                x = g.sync(x)
+                y = d64 * x
+                y = y + g.face_to_own_sum(up64 * g.gather_nei(x))
+                y = y + g.face_to_nei_sum(lo64 * g.gather_own(x))
+                return y
+
+            sfn, dfn, mfn = g.solver_reducers()
+            res = pcg(
+                mv64, p_rgh.i.astype(f8), b.astype(f8), d64,
+                tol=tols[sel].astype(f8), rel_tol=rels[sel].astype(f8),
+                sum_fn=sfn, dot_fn=dfn, mean_fn=mfn,
+            )
+            res = res._replace(x=g.sync(res.x).astype(self.dtype))
+        elif (
             self._ldu is not None
             and c0["solver"] == "PCG"
             and c0["preconditioner"] == "DIC"

@@ -102,6 +102,10 @@ class MeshGeometry:
     n_internal_real: int = 0
     _b_onehot: Optional[jnp.ndarray] = None  # [nC,nB] one-hot scatter matrix
     face_perm: Optional[np.ndarray] = None  # host map: original face → slot
+    # [maxK, nC] boundary-face id owned by each cell (nB = pad slot):
+    # turns the boundary scatter-add into maxK gathers — scatters serialize
+    # on the TPU (measured 1.84 ms per 40k→500k scatter-add), gathers don't
+    _b_gather: Optional[jnp.ndarray] = None
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -121,21 +125,33 @@ class MeshGeometry:
         )
 
         # ---- try the DIA (offset-stencil) layout ----
+        # "banded" = the generalized multi-offset DIA of an RCM-renumbered
+        # unstructured mesh (mesh/renumber.py — the TPU-native SELL-C-σ):
+        # same packing, larger offset budget (VPU shift work and VMEM
+        # coefficient demand scale with the count)
         if layout is None:
             layout = os.environ.get("FIREFOAM_TPU_LAYOUT", "auto")
+        max_offs = (
+            int(os.environ.get("FIREFOAM_TPU_BANDED_MAX_OFFSETS", "64"))
+            if layout == "banded"
+            else _MAX_OFFSETS
+        )
         use_dia = False
         offs = ()
-        if layout in ("auto", "dia") and n_int > 0:
+        if layout in ("auto", "dia", "banded") and n_int > 0:
             d = nei - own
             uniq = np.unique(d)
-            if (uniq > 0).all() and len(uniq) <= _MAX_OFFSETS:
+            if (uniq > 0).all() and len(uniq) <= max_offs:
                 o_idx = np.searchsorted(uniq, d)
                 key = o_idx.astype(np.int64) * nC + own
                 if len(np.unique(key)) == n_int:
                     use_dia = True
                     offs = tuple(int(o) for o in uniq)
-        if layout == "dia" and not use_dia:
-            raise ValueError("mesh is not DIA-compatible (offset stencil)")
+        if layout in ("dia", "banded") and not use_dia:
+            raise ValueError(
+                "mesh is not DIA-compatible (offset stencil)"
+                + (" — renumber first (mesh/renumber.py)" if layout == "banded" else "")
+            )
 
         r = lambda a: jnp.asarray(a, dtype=dtype)
 
@@ -193,6 +209,7 @@ class MeshGeometry:
         # boundary one-hot scatter matrix (TPU fast path)
         nB = mesh.n_boundary_faces
         b_own = mesh.owner[n_int:]
+        bg = None  # see boundary_to_cell_sum: gather tables measured slower
         onehot = None
         if (
             jax.default_backend() == "tpu"
@@ -219,6 +236,7 @@ class MeshGeometry:
             coupled=_find_coupled(mesh),
             n_internal_real=n_int,
             _b_onehot=onehot,
+            _b_gather=bg,
             **geo,
         )
         # materialise the reconstruct tensor inverse NOW (outside any
@@ -310,6 +328,10 @@ class MeshGeometry:
             if bv.ndim == 2:
                 return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
             return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
+        # note: a maxK-gather formulation (padded[bf_of_cell_k]) was tried
+        # and measured 8x SLOWER at 500k cells — XLA:TPU lowers large
+        # arbitrary-index gathers as serialized loops too; segment_sum's
+        # sorted scatter (~1.8 ms per 40k→500k) is the faster of the two
         return jax.ops.segment_sum(bv, self.b_own, num_segments=self.n_cells)
 
     # ------------------------------------------------------ scatter helpers
