@@ -1522,8 +1522,7 @@ class FireFoamSolver:
         ctl = _solver_controls(self.fv_solution, "Ux", "U")
         fn = self._lin_fn(ctl, n_comp=3)
 
-        dtot = m_solve.diag_total()
-        b = m_solve.rhs_total()
+        dtot, b = m_solve.totals()
 
         def solve_c(x0, d, bb):
             return fn(lambda x: m_solve.matvec(x, d), x0, bb, d, m_solve)
@@ -1754,8 +1753,7 @@ class FireFoamSolver:
             m = m.add_source(src)
             if relax_f is not None:
                 m = m.relax(relax_f)  # YiEqn.relax() (YEEqn.H:56)
-            dtot = m.diag_total()
-            b = m.rhs_total()
+            dtot, b = m.totals()
             return fn(lambda x: m.matvec(x, dtot), ys_i, b, dtot, m)
 
         res = jax.vmap(assemble_solve)(Yi_s, Yb_s, rv_s, rg_s, f_s, src_s)
@@ -1994,8 +1992,7 @@ class FireFoamSolver:
         sel = int(final) if isinstance(final, bool) else final
         from ..solvers.linear import pcg
 
-        dtot = m.diag_total()
-        b = m.rhs_total()
+        dtot, b = m.totals()
         # solver priority: the OpenFOAM-exact DIC-PCG comes FIRST on the
         # f64 fidelity path. The stopping rule (relTol 0.01) leaves a
         # smooth-mode pressure error ~κ× the residual; that leftover acts

@@ -113,10 +113,12 @@ def sn_grad_corrected(
 
 
 def surface_sum(geom: MeshGeometry, sf: SurfaceField) -> jnp.ndarray:
-    """Σ_faces of signed (outward) face values per cell."""
-    if sf.i.ndim == 2:
-        cols = [geom.surface_sum(sf.i[:, c], sf.b[:, c]) for c in range(sf.i.shape[1])]
-        return jnp.stack(cols, axis=1)
+    """Σ_faces of signed (outward) face values per cell.
+
+    Multi-component fields go through ONE batched scatter (segment_sum
+    handles trailing dims): XLA:TPU boundary scatters serialize per CALL
+    (~0.5 ms each at 40k boundary faces), so per-column loops here were a
+    top-3 step cost at 500k cells."""
     return geom.surface_sum(sf.i, sf.b)
 
 
@@ -151,15 +153,11 @@ def grad(geom: MeshGeometry, f: VolField) -> jnp.ndarray:
     if not f.is_vector:
         return grad_scalar(geom, f)
     pf = interpolate(geom, f)
-    # outer product Sf ⊗ u_f
-    gi = geom.Sf[:, :, None] * pf.i[:, None, :]
-    gb = geom.b_Sf[:, :, None] * pf.b[:, None, :]
-    cols = [
-        geom.surface_sum(gi[:, a, b_], gb[:, a, b_])
-        for a in range(3)
-        for b_ in range(3)
-    ]
-    g = jnp.stack(cols, axis=1).reshape(-1, 3, 3)
+    # outer product Sf ⊗ u_f, summed through ONE batched scatter (a
+    # per-component loop costs 9 serialized boundary scatters)
+    gi = (geom.Sf[:, :, None] * pf.i[:, None, :]).reshape(-1, 9)
+    gb = (geom.b_Sf[:, :, None] * pf.b[:, None, :]).reshape(-1, 9)
+    g = geom.surface_sum(gi, gb).reshape(-1, 3, 3)
     return g / geom.V[:, None, None]
 
 
@@ -204,15 +202,10 @@ def reconstruct(geom: MeshGeometry, phi: SurfaceField) -> jnp.ndarray:
     # padded DIA slots have magSf=0; guard with a dtype-representable tiny
     # (small() underflows to 0 in float32 → 0/0 NaN at pad slots)
     msf = jnp.maximum(geom.magSf, jnp.finfo(geom.magSf.dtype).tiny * 1e6)
-    rhs = jnp.stack(
-        [
-            geom.cell_sum_unsigned(
-                geom.Sf[:, a] / msf * phi.i, geom.b_Sf[:, a] / geom.b_magSf * phi.b
-            )
-            for a in range(3)
-        ],
-        axis=1,
-    )
+    rhs = geom.cell_sum_unsigned(
+        geom.Sf / msf[:, None] * phi.i[:, None],
+        geom.b_Sf / geom.b_magSf[:, None] * phi.b[:, None],
+    )  # one batched scatter for all 3 components
     # the geometric tensor inverse is precomputed once (geom.recon_inv);
     # the hot path is a fused per-cell 3x3 matvec, not an LU solve
     return jnp.einsum("cab,cb->ca", geom.recon_inv, rhs)

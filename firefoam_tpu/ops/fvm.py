@@ -19,7 +19,7 @@ solver/YEEqn.H:39-66,84-118, solver/pEqn.H:27-39, radiativeIntensityRay.C:290.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -113,6 +113,19 @@ class FvMatrix:
         g = self.geom
         return self.source + g.boundary_to_cell_sum(self.boundary_coeffs)
 
+    def totals(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(diag_total, rhs_total) through ONE batched boundary scatter
+        (each XLA:TPU scatter call serializes — pairs of these run at
+        every solve)."""
+        g = self.geom
+        ic, bc = self.internal_coeffs, self.boundary_coeffs
+        if ic.ndim == 2:
+            d = ic.shape[1]
+            both = g.boundary_to_cell_sum(jnp.concatenate([ic, bc], axis=1))
+            return self.diag[:, None] + both[:, :d], self.source + both[:, d:]
+        both = g.boundary_to_cell_sum(jnp.stack([ic, bc], axis=1))
+        return self.diag + both[:, 0], self.source + both[:, 1]
+
     def matvec(self, x: jnp.ndarray, diag_total: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """M·x for a scalar component (x: [nC]). Under SPMD the Krylov
         iterate's halo slots are stale (only owned slots are updated each
@@ -137,23 +150,26 @@ class FvMatrix:
         return dt / self.geom.V
 
     def H(self) -> jnp.ndarray:
-        """fvMatrix::H: (−offdiag·psi + source + boundary_coeffs)/V."""
+        """fvMatrix::H: (−offdiag·psi + source + boundary_coeffs)/V.
+
+        Vector psi: the boundary part goes through ONE batched scatter
+        (XLA:TPU serializes scatters per call — a per-component loop here
+        cost 3 at every UEqn H() evaluation)."""
         g = self.geom
         x = self.psi.i
+        b = g.boundary_to_cell_sum(self.boundary_coeffs)
         if x.ndim == 2:
-            cols = [self._H_cmpt(x[:, c], c) for c in range(x.shape[1])]
-            return jnp.stack(cols, axis=1)
-        return self._H_cmpt(x, None)
+            cols = [self._H_off(x[:, c]) for c in range(x.shape[1])]
+            off = jnp.stack(cols, axis=1)
+        else:
+            off = self._H_off(x)
+        return (-off + self.source + b) / _bcol(g.V, x)
 
-    def _H_cmpt(self, x, c):
+    def _H_off(self, x):
         g = self.geom
-        off = g.face_to_own_sum(self.upper * g.gather_nei(x)) + g.face_to_nei_sum(
+        return g.face_to_own_sum(self.upper * g.gather_nei(x)) + g.face_to_nei_sum(
             self.lower * g.gather_own(x)
         )
-        src = self.source if c is None else self.source[:, c]
-        bc = self.boundary_coeffs if c is None else self.boundary_coeffs[:, c]
-        b = g.boundary_to_cell_sum(bc)
-        return (-off + src + b) / g.V
 
     def flux(self) -> SurfaceField:
         """fvMatrix::flux: internal upper·x_nei − lower·x_own per face, plus

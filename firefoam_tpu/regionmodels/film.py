@@ -453,7 +453,11 @@ class ThermoSingleLayerFilm:
         fm = self.fm
         dtp = self.dtype
         delta, U, T = st["delta"], st["U"], st["T"]
-        p = 101325.0
+        # liquid properties at the LOCAL gas pressure (thermoSingleLayer
+        # uses the primary-region pressure field, not a constant)
+        p = inp.get("p_gas")
+        if p is None:
+            p = jnp.full_like(T, 101325.0)
         rho = self.liquid.rho(p, T)
         mu = self._viscosity(p, T, st.get("lambda"))
         cp = self.liquid.cp(p, T)
@@ -479,7 +483,15 @@ class ThermoSingleLayerFilm:
             m_imp = jnp.zeros_like(delta)
         h_imp = inp.get("h_imp")  # enthalpy flux of impinging mass [W/m²]
         if h_imp is None:
-            h_imp = m_imp * cp * (298.15 - 298.15)
+            # standalone default: impinging mass arrives at an optionally
+            # given temperature T_imp, else at the local film T. The energy
+            # equation advances δ·T, so added mass must carry cp·T_imp —
+            # the old zero default entered the continuity but not the
+            # energy, artificially chilling the film toward 0 K. The
+            # coupled solver always provides the parcels' true enthalpy
+            # flux (srcs["filmEnthalpy"]) instead.
+            T_imp = inp.get("T_imp", T)
+            h_imp = m_imp * cp * T_imp
         T_wall = inp.get("T_wall")
         if T_wall is None:
             T_wall = jnp.full_like(T, 298.15)

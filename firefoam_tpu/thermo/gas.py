@@ -160,20 +160,25 @@ class GasThermo:
         return self.kappa(T, Y) / self.cp(T, Y)
 
     def T_from_hs(
-        self, hs: jnp.ndarray, Y: jnp.ndarray, T_guess: jnp.ndarray, n_iter: int = 8
+        self, hs: jnp.ndarray, Y: jnp.ndarray, T_guess: jnp.ndarray,
+        n_iter: int = None,
     ) -> jnp.ndarray:
         """Invert hs(T) by Newton iteration (hePsiThermo T solve).
 
-        OpenFOAM iterates to TTol=1e-4·Tstd with damping; 8 full Newton steps
-        on smooth JANAF polynomials reach f64 roundoff for combustion-range
-        temperatures."""
-
-        def body(_, T):
+        OpenFOAM iterates to TTol=1e-4·Tstd with damping; with the previous
+        step's T as the guess, 8 full Newton steps on smooth JANAF
+        polynomials reach f64 roundoff (quadratic convergence), and 5
+        already exceed f32 resolution — the f32 fast path stops there.
+        Unrolled (a fori_loop's per-iteration bookkeeping showed up in the
+        500k-cell device profile)."""
+        if n_iter is None:
+            n_iter = 8 if T_guess.dtype == jnp.float64 else 5
+        T = T_guess
+        for _ in range(int(n_iter)):
             f = self.hs(T, Y) - hs
             dfdT = self.cp(T, Y)
             Tn = T - f / dfdT
             # OpenFOAM limits the per-iteration change to T/2
             dT = jnp.clip(Tn - T, -T / 2, T / 2)
-            return jnp.clip(T + dT, 100.0, 6000.0)
-
-        return jax.lax.fori_loop(0, n_iter, body, T_guess)
+            T = jnp.clip(T + dT, 100.0, 6000.0)
+        return T

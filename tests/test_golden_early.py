@@ -134,3 +134,43 @@ def test_tighter_than_the_references_own_build(early):
             f"step {k}: our drift {d_ours:.2f} K vs golden must beat the "
             f"dev-2017 build's own drift {d_dev:.2f} K"
         )
+
+
+@pytest.fixture(scope="module")
+def early_flat():
+    """The DEPLOYED solver configuration (flat Krylov — what entry(),
+    dryrun_multichip and bench run, FIREFOAM_TPU_EXACT_SOLVERS=0) on the
+    same golden window."""
+    import os
+
+    os.environ["FIREFOAM_TPU_EXACT_SOLVERS"] = "0"
+    try:
+        case = reference_case("steckler")
+        solver, state, logs = run_case(
+            case, end_time=1.0, verbose=False, max_steps=12
+        )
+    finally:
+        os.environ.pop("FIREFOAM_TPU_EXACT_SOLVERS", None)
+    return solver, logs
+
+
+def test_flat_krylov_path_matches_golden(early_flat):
+    """VERDICT r3 item 8 (exact-solver/SPMD split): the flat-Krylov path —
+    the numerics entry()/dryrun/bench deploy — reproduces the exact
+    DIC-PCG path's early-step golden agreement, so the fidelity claims and
+    the deployed configuration are the same numerics. Measured drift vs
+    the designated golden (CPU f64, flat CG/BiCGStab):
+    ΔT_max = +0.01/+0.01/+0.02/+1.08/−0.25/−0.30/−0.05/+0.29/+3.42/+2.47/
+    +3.79 K over t ≤ 1.0; Courant within 6.3 %. Bounds are double the
+    measured drift (same margin policy as the exact-path test)."""
+    solver, logs = early_flat
+    assert len(logs) >= 11
+    for k in range(11):
+        assert float(logs[k]["t"]) == pytest.approx(GOLD_T[k], rel=1e-4)
+        t = float(logs[k]["T_max"])
+        assert t == pytest.approx(GOLD_TMAX[k], abs=GOLD_TMAX_TOL[k]), (
+            f"step {k}: flat-path T_max {t} vs golden {GOLD_TMAX[k]}"
+        )
+    for k in range(1, 11):
+        tol = 0.05 if k < 4 else 0.13
+        assert float(logs[k]["CoNum"]) == pytest.approx(GOLD_CO[k], rel=tol)
