@@ -137,22 +137,22 @@ def main():
                     st_l = s_l.initial_state()
                 st_l = jax.device_put(st_l, jax.devices()[0])
                 nc_l = s_l.geom.n_cells
-                step_l = (
-                    s_l.make_step_hoisted(st_l)
-                    if nc_l > 100_000
-                    else s_l.make_step()
-                )
-                st_l, _ = step_l(st_l)
-                for _ in range(5):
-                    st_l, _ = step_l(st_l)
+                # like-for-like with the headline: n steps fused into ONE
+                # scanned jit call (hoisted consts — plain jit embeds ~900 MB
+                # of MLIR literals at 500k cells), so the scale rows measure
+                # the same deployment hot loop, not per-dispatch tunnel
+                # latency (VERDICT r3 item 1 methodology fix)
+                n_chunk = 10
+                chunk_l = s_l.make_chunk_hoisted(n_chunk, st_l)
+                st_l, _ = chunk_l(st_l)  # compile + warm
                 float(st_l["t"])  # tunnel-safe sync (block can return early)
                 ts_l = []
-                for _ in range(8):
+                for _ in range(4):
                     t0 = time.perf_counter()
-                    st_l, _ = step_l(st_l)
+                    st_l, _ = chunk_l(st_l)
                     float(st_l["t"])
                     ts_l.append(time.perf_counter() - t0)
-                cups_l = nc_l / _st.median(ts_l)
+                cups_l = nc_l * n_chunk / _st.median(ts_l)
                 result[f"scale_{label}_cups"] = round(cups_l, 1)
                 result[f"scale_{label}_vs_baseline"] = round(
                     cups_l / baseline_16core, 2

@@ -2417,7 +2417,12 @@ class FireFoamSolver:
 
         closed = jax.make_jaxpr(chunk)(example_state)
         out_tree = jax.tree.structure(jax.eval_shape(chunk, example_state))
-        consts = [jnp.asarray(c) for c in closed.consts]
+        # device_put, NOT jnp.asarray: setup runs under CPU staging, so the
+        # consts are CPU-committed — asarray keeps that commitment and every
+        # chunk call pays a CPU-client dispatch per buffer (measured 315 ms
+        # vs 136 ms per step at 500k cells). Same fix as make_step_hoisted.
+        dev = jax.devices()[0]
+        consts = [jax.device_put(c, dev) for c in closed.consts]
         jaxpr = closed.jaxpr
 
         @jax.jit

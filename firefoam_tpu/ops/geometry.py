@@ -43,6 +43,102 @@ __all__ = ["PatchInfo", "MeshGeometry"]
 
 _MAX_OFFSETS = 16
 _ONEHOT_BUDGET = int(2e8)  # max nC·nB entries for the dense boundary scatter
+_MAX_LATTICE_BLOCKS = 160  # boundary-scatter lattice decomposition budget
+
+
+def _lattice_blocks(idx: np.ndarray, n_cells: int, max_blocks: int = _MAX_LATTICE_BLOCKS):
+    """Decompose a boundary-face owner-index array into 2-D lattice blocks.
+
+    blockMesh emits each patch's faces in lexicographic order, so the owner
+    cells of each patch (sub-)rectangle form `base + b_pitch·i + s·j`
+    (0≤i<rows, 0≤j<c), with the VALUES of row i starting at `v0 + v_pitch·i`
+    (v_pitch ≠ c when several rectangles interleave row-by-row, e.g. the
+    floor patch split left/right of a burner). Expressed that way, the
+    boundary→cell scatter-add becomes a handful of STATIC pad/reshape/
+    slice-add ops — no scatter instruction at all. TPU scatter-adds
+    serialise (measured 1.84 ms per 40k→500k segment_sum = 47% of the
+    whole 500k-cell step); the lattice form runs at VPU/HBM speed.
+
+    Two passes: (1) split idx into maximal arithmetic runs; (2) chain runs
+    of identical (stride, count) at constant value-pitch and base-pitch
+    into blocks. Returns (blocks, cell_pad, val_pad) where each block is
+    (v0, v_pitch, base, b_pitch, rows, s, c); None when the structure
+    doesn't fit (unstructured/snappy patches fall back to segment_sum).
+    """
+    n = len(idx)
+    idx = np.asarray(idx, np.int64)
+    if n == 0:
+        return None
+    # ---- pass 1: maximal arithmetic runs (v0, base, s, c) ----
+    runs = []
+    pos = 0
+    while pos < n:
+        base = int(idx[pos])
+        if pos == n - 1:
+            runs.append((pos, base, 1, 1))
+            break
+        s = int(idx[pos + 1] - idx[pos])
+        if s <= 0:
+            runs.append((pos, base, 1, 1))
+            pos += 1
+            continue
+        c = 2
+        while pos + c < n and int(idx[pos + c] - idx[pos + c - 1]) == s:
+            c += 1
+        runs.append((pos, base, s, c))
+        pos += c
+    if len(runs) > 65536:  # irregular (snappy-type) boundary: not lattice
+        return None
+    # ---- pass 2: chain runs with equal (s, c), constant pitches ----
+    by_v0 = {r[0]: k for k, r in enumerate(runs)}
+    used = [False] * len(runs)
+    blocks = []
+    for k, (v0, base, s, c) in enumerate(runs):
+        if used[k]:
+            continue
+        used[k] = True
+        rows, v_pitch, b_pitch = 1, 0, 0
+        # the first unused SAME-SHAPE run sets the pitches (different-shape
+        # runs in between are fine — interleaved rectangles alternate);
+        # then chain strictly at those pitches
+        for j in range(k + 1, min(k + 65, len(runs))):
+            if used[j]:
+                continue
+            vj, bj, sj, cj = runs[j]
+            if sj != s or cj != c:
+                continue
+            v_pitch, b_pitch = vj - v0, bj - base
+            break
+        if v_pitch > 0 and b_pitch > 0 and s * (c - 1) < b_pitch:
+            while True:
+                nxt = by_v0.get(v0 + rows * v_pitch)
+                if nxt is None or used[nxt]:
+                    break
+                rv, rb, rs, rc = runs[nxt]
+                if (rs, rc) != (s, c) or rb != base + rows * b_pitch:
+                    break
+                used[nxt] = True
+                rows += 1
+        blocks.append((v0, max(v_pitch, c), base, max(b_pitch, s * c), rows, s, c))
+        if len(blocks) > max_blocks:
+            return None
+    # verify the decomposition reproduces idx exactly
+    rebuilt = np.full(n, -1, np.int64)
+    for (v0, vp, base, bp, rows, s, c) in blocks:
+        vs = (v0 + vp * np.arange(rows)[:, None] + np.arange(c)[None, :]).reshape(-1)
+        cs = (base + bp * np.arange(rows)[:, None] + s * np.arange(c)[None, :]).reshape(-1)
+        if (rebuilt[vs] != -1).any():
+            return None
+        rebuilt[vs] = cs
+    if (rebuilt != idx).any():
+        return None
+    cell_pad = max(
+        [0] + [base + bp * (rows - 1) + s * c - n_cells for (_, _, base, bp, rows, s, c) in blocks]
+    )
+    val_pad = max(
+        [0] + [v0 + vp * (rows - 1) + vp - n for (v0, vp, _, _, rows, _, _) in blocks]
+    )
+    return tuple(blocks), int(cell_pad), int(val_pad)
 
 
 @dataclass(frozen=True)
@@ -106,6 +202,11 @@ class MeshGeometry:
     # turns the boundary scatter-add into maxK gathers — scatters serialize
     # on the TPU (measured 1.84 ms per 40k→500k scatter-add), gathers don't
     _b_gather: Optional[jnp.ndarray] = None
+    # lattice decomposition of b_own (static python ints): boundary scatter
+    # as pad/reshape/slice-adds — see _lattice_blocks
+    _b_blocks: Optional[Tuple] = None
+    _b_blocks_pad: int = 0  # flat-overrun padding past n_cells
+    _b_blocks_vpad: int = 0  # value-side padding past n_boundary
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -206,13 +307,22 @@ class MeshGeometry:
                 offsets=(),
             )
 
-        # boundary one-hot scatter matrix (TPU fast path)
+        # boundary scatter fast paths (cost ranking measured on v5e):
+        #   1. lattice slice-adds (any size, any dtype, ~HBM speed)
+        #   2. one-hot f32 matmul (small meshes)
+        #   3. segment_sum (serialises: 1.84 ms per 40k→500k)
         nB = mesh.n_boundary_faces
         b_own = mesh.owner[n_int:]
         bg = None  # see boundary_to_cell_sum: gather tables measured slower
+        blocks, bpad, vpad = None, 0, 0
+        if nB > 0 and os.environ.get("FIREFOAM_TPU_LATTICE_BC", "1") == "1":
+            fit = _lattice_blocks(b_own, nC)
+            if fit is not None:
+                blocks, bpad, vpad = fit
         onehot = None
         if (
-            jax.default_backend() == "tpu"
+            blocks is None
+            and jax.default_backend() == "tpu"
             and nB > 0
             and nC * nB <= _ONEHOT_BUDGET
             and dtype != jnp.float64
@@ -237,6 +347,9 @@ class MeshGeometry:
             n_internal_real=n_int,
             _b_onehot=onehot,
             _b_gather=bg,
+            _b_blocks=blocks,
+            _b_blocks_pad=bpad,
+            _b_blocks_vpad=vpad,
             **geo,
         )
         # materialise the reconstruct tensor inverse NOW (outside any
@@ -324,6 +437,8 @@ class MeshGeometry:
 
     def boundary_to_cell_sum(self, bv: jnp.ndarray) -> jnp.ndarray:
         """Σ of boundary-face values into their owner cells."""
+        if self._b_blocks is not None:
+            return self._lattice_scatter(bv)
         if self._b_onehot is not None and bv.dtype != jnp.float64:
             if bv.ndim == 2:
                 return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
@@ -333,6 +448,44 @@ class MeshGeometry:
         # arbitrary-index gathers as serialized loops too; segment_sum's
         # sorted scatter (~1.8 ms per 40k→500k) is the faster of the two
         return jax.ops.segment_sum(bv, self.b_own, num_segments=self.n_cells)
+
+    def _lattice_scatter(self, bv: jnp.ndarray) -> jnp.ndarray:
+        """Boundary→cell scatter-add as static lattice slice-adds.
+
+        Each block (v0, v_pitch, base, b_pitch, rows, s, c) places the
+        values bv[v0 + v_pitch·i + j] at cells base + b_pitch·i + s·j.
+        The strided cell pattern is materialised by zero-padding each
+        row's values to the stride pitch and reshaping flat — every op is
+        a static pad/reshape/slice, so XLA lowers the whole thing to
+        vectorised pad+add fusions (measured ~60x faster than segment_sum
+        at 500k cells). Duplicate cells ACROSS blocks accumulate through
+        the sequential slice-add chain; within a block indices are unique
+        by construction (verified at build)."""
+        nC = self.n_cells
+        feat = bv.shape[1:]
+        fpad = ((0, 0),) * len(feat)
+        if self._b_blocks_vpad:
+            bv = jnp.pad(bv, ((0, self._b_blocks_vpad),) + fpad)
+        out = jnp.zeros((nC + self._b_blocks_pad,) + feat, bv.dtype)
+        for (v0, vp, base, bp, rows, s, c) in self._b_blocks:
+            w = (c - 1) * s + 1  # exact strided span of one row
+            if rows == 1:
+                v = jax.lax.slice_in_dim(bv, v0, v0 + c, axis=0)
+            else:
+                v = jax.lax.slice_in_dim(bv, v0, v0 + rows * vp, axis=0)
+                v = v.reshape((rows, vp) + feat)[:, :c]
+            u = v.reshape((rows, c, 1) + feat)
+            if s > 1:
+                u = jnp.pad(u, ((0, 0), (0, 0), (0, s - 1)) + fpad)
+            u = u.reshape((rows, c * s) + feat)[:, :w]
+            if rows > 1 and bp > w:
+                u = jnp.pad(u, ((0, 0), (0, bp - w)) + fpad)
+            ln = (rows - 1) * bp + w
+            upd = u.reshape((rows * max(bp, w) if rows > 1 else w,) + feat)
+            upd = jax.lax.slice_in_dim(upd, 0, ln, axis=0)
+            seg = jax.lax.slice_in_dim(out, base, base + ln, axis=0)
+            out = jax.lax.dynamic_update_slice_in_dim(out, seg + upd, base, 0)
+        return out[:nC] if self._b_blocks_pad else out
 
     # ------------------------------------------------------ scatter helpers
     def cell_sum_internal(self, face_vals: jnp.ndarray) -> jnp.ndarray:

@@ -221,3 +221,28 @@ def test_symmetry_bc_vector_projection():
     assert float(jnp.abs(ub[:, 1]).max()) == 0.0
     assert float(jnp.abs(ub[:, 0] - 1.0).max()) < 1e-12
     assert float(jnp.abs(ub[:, 2] - 3.0).max()) < 1e-12
+
+
+def test_lattice_boundary_scatter_matches_segment_sum():
+    """The structured-mesh boundary->cell scatter fast path (lattice
+    slice-adds, ops/geometry.py:_lattice_blocks) must agree exactly with
+    the segment_sum reference for scalar and vector boundary values.
+    Role: the reference's boundary-coefficient contributions folded into
+    every fvMatrix diag/source (OpenFOAM fvMatrix boundaryCoeffs)."""
+    g = cube_geom((7, 5, 6))
+    assert g._b_blocks is not None, "cube mesh should fit the lattice path"
+    rng = np.random.default_rng(42)
+    for shape in [(g.n_boundary,), (g.n_boundary, 3)]:
+        bv = jnp.asarray(rng.normal(size=shape))
+        ref = jax.ops.segment_sum(bv, g.b_own, num_segments=g.n_cells)
+        got = g._lattice_scatter(bv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-13)
+
+
+def test_lattice_blocks_irregular_returns_none():
+    """Non-lattice owner sequences must fall back (snappy-type meshes)."""
+    from firefoam_tpu.ops.geometry import _lattice_blocks
+
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(5000)[:1200]
+    assert _lattice_blocks(idx, 5000) is None
