@@ -157,7 +157,7 @@ def main():
                 result[f"scale_{label}_vs_baseline"] = round(
                     cups_l / baseline_16core, 2
                 )
-                del s_l, st_l, step_l
+                del s_l, st_l, chunk_l
         except Exception as e:
             result["scale_error"] = str(e)[:200]
 
@@ -196,8 +196,46 @@ def main():
             drift = float(np.max(np.abs(T32 - T64) / np.maximum(T64, 1.0)))
             result["f32_T_drift_vs_f64"] = round(drift, 6)
             result["f32_validated_steps"] = n_val
+            from firefoam_tpu.solvers.linear import _floor_factor
+
+            result["tol_floor_eps"] = _floor_factor()
             if drift > 0.05:
                 result["warning"] = "f32 drift exceeds 5% after validation window"
+
+            # ---- mixed-precision p_rgh policy row (VERDICT r3 item 2):
+            # same 10-step window with FIREFOAM_TPU_P64_PRGH=1 (the
+            # step's stiffest solve in f64, rest f32) — drift AND cost.
+            try:
+                import time as _t
+
+                os.environ["FIREFOAM_TPU_P64_PRGH"] = "1"
+                with _cpu_staging():
+                    sp64 = FireFoamSolver(case)
+                    stp64 = sp64.initial_state()
+                step_p64 = sp64.make_step()
+                t0 = _t.perf_counter()
+                for _ in range(n_val):
+                    stp64, _ = step_p64(stp64)
+                jax.block_until_ready(stp64["t"])
+                el64 = _t.perf_counter() - t0
+                Tp64 = np.asarray(
+                    jax.device_get(stp64["T"].i), dtype=np.float64
+                )
+                result["p64_prgh_T_drift_vs_f64"] = round(
+                    float(np.max(np.abs(Tp64 - T64) / np.maximum(T64, 1.0))),
+                    6,
+                )
+                # cost relative to the default path over the same window
+                t0 = _t.perf_counter()
+                for _ in range(n_val):
+                    st32, _ = step32(st32)
+                jax.block_until_ready(st32["t"])
+                el32 = _t.perf_counter() - t0
+                result["p64_prgh_step_cost_ratio"] = round(
+                    el64 / max(el32, 1e-9), 3
+                )
+            finally:
+                os.environ.pop("FIREFOAM_TPU_P64_PRGH", None)
         except Exception as e:  # validation must never sink the bench number
             result["f32_validation_error"] = str(e)[:200]
 

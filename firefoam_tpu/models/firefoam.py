@@ -313,6 +313,21 @@ class FireFoamSolver:
                 _nw[o] = True
         self._near_wall_mask = jnp.asarray(_nw)
 
+        # lattice geometric multigrid (the GAMG role on structured DIA
+        # meshes): mesh-independent p_rgh iterations — 14 vs 124 diag-CG
+        # at 500k cells. Auto above the small-mesh crossover where the
+        # flat/fused CG's fewer-kernels-per-iteration still wins.
+        self.gmg = None
+        gmg_env = os.environ.get("FIREFOAM_TPU_GMG", "auto")
+        if (
+            gmg_env != "0"
+            and local is None
+            and getattr(g, "layout", "seg") == "dia"
+            and (gmg_env == "1" or g.n_cells >= 50000)
+        ):
+            from ..solvers.gmg import LatticeMG
+
+            self.gmg = LatticeMG.build(g.offsets, g.n_cells)
         self.amg = None
         try:
             _pc = _solver_controls(self.fv_solution, "p_rgh")
@@ -342,7 +357,7 @@ class FireFoamSolver:
             )
         except KeyError:
             want_amg = False
-        if local is not None:
+        if local is not None or self.gmg is not None:
             want_amg = False
         if want_amg:
             from ..solvers.amg import AMGHierarchy
@@ -717,7 +732,7 @@ class FireFoamSolver:
                 rel_tol=ctl["relTol"], sched=self._ldu,
                 preconditioner=ctl["preconditioner"],
             )
-            ph_b = f * 0.0 + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
+            ph_b = f * 0.0 + (1.0 - f) * (g.cell_to_boundary(res.x) + rg / g.b_dc)
             ph = VolField(res.x, ph_b)
             p = VolField(
                 ph.i + rho.i * self.gh + self.p_ref,
@@ -1791,7 +1806,7 @@ class FireFoamSolver:
         hs_ref = self.gas.hs(jnp.maximum(rvT, 10.0), Y_new.b)
         cp_b = self.gas.cp(state["T"].b, Y_new.b)
         hs_w = self.gas.hs(state["T"].b, Y_new.b)
-        hs_c = self.gas.hs(state["T"].i[g.b_own], Y_new.b)
+        hs_c = self.gas.hs(g.cell_to_boundary(state["T"].i), Y_new.b)
         rg = cp_b * rgT + g.b_dc * (hs_w - hs_c)
         return hs_ref, rg, fT
 
@@ -1853,7 +1868,7 @@ class FireFoamSolver:
 
         # thermo.correct(): T(hs), boundary values, transport props
         T_i = self.gas.T_from_hs(res.x, Y_new.i, state["T"].i)
-        hs_b = f * rv + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
+        hs_b = f * rv + (1.0 - f) * (g.cell_to_boundary(res.x) + rg / g.b_dc)
         T_b = self.gas.T_from_hs(hs_b, Y_new.b, state["T"].b)
         T_new = VolField(T_i, T_b)
         hs_new = VolField(res.x, hs_b)
@@ -1873,7 +1888,7 @@ class FireFoamSolver:
         rho = VolField(psi.i * state["p"].i, psi.b * state["p"].b)  # thermo.rho()
 
         rAU = 1.0 / u_matrix.A()
-        rho_rAU_f = fvc.interpolate(g, VolField(rho.i * rAU, rho.b * rAU[g.b_own]))
+        rho_rAU_f = fvc.interpolate(g, VolField(rho.i * rAU, rho.b * g.cell_to_boundary(rAU)))
         # pEqn.H is re-included per corrector, so UEqn.H() is evaluated with
         # the CURRENT U (post-predictor for corrector 1, post-corrector after)
         # — re-bind the matrix psi to this corrector's U before taking H
@@ -2039,6 +2054,16 @@ class FireFoamSolver:
                 p_rgh.i, tol=tols[sel], rel_tol=rels[sel],
                 max_iter=c0["maxIter"],
             )
+        elif self.gmg is not None:
+            # lattice geometric multigrid (solvers/gmg.py): the GAMG-role
+            # preconditioner — mesh-independent iterations (14 vs 124
+            # diag-CG at 500k), reduction-free Chebyshev V-cycle
+            from ..solvers.gmg import gmg_pcg
+
+            res = gmg_pcg(
+                self.gmg, dtot, m.lower, m.upper, b, p_rgh.i,
+                tol=tols[sel], rel_tol=rels[sel],
+            )
         elif self.amg is not None:
             from ..solvers.amg import amg_pcg
 
@@ -2078,7 +2103,7 @@ class FireFoamSolver:
             info["dbg_Uy_hbya"] = HbyA.i[:, 1]
 
         # boundary update + flux reconstruction
-        p_rgh_b = f * rv + (1.0 - f) * (res.x[g.b_own] + rg / g.b_dc)
+        p_rgh_b = f * rv + (1.0 - f) * (g.cell_to_boundary(res.x) + rg / g.b_dc)
         p_rgh_new = VolField(res.x, p_rgh_b)
         lap_flux = fvm.FvMatrix(
             g, m_lap.diag, m_lap.lower, m_lap.upper, m_lap.source,

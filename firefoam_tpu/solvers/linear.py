@@ -47,15 +47,36 @@ def _norm_factor(matvec, x, b, sum_fn=jnp.sum, mean_fn=jnp.mean):
 
 
 
+_TOL_FLOOR_EPS = None
+
+
+def _floor_factor():
+    """Stopping-floor multiplier on eps(dtype). 100 (r3 default) floors f32
+    tolerances at ~1.2e-5 — measured to cost 1.9e-2 relative T drift over
+    10 steckler steps vs the f64 reference (the r3 bench regression);
+    25 recovers most of the drift at a modest iteration cost (see
+    docs/PERF.md precision policy). Env: FIREFOAM_TPU_TOL_FLOOR_EPS."""
+    global _TOL_FLOOR_EPS
+    if _TOL_FLOOR_EPS is None:
+        import os
+
+        _TOL_FLOOR_EPS = float(
+            os.environ.get("FIREFOAM_TPU_TOL_FLOOR_EPS", "25")
+        )
+    return _TOL_FLOOR_EPS
+
+
 def _tol_floor(tol, dtype):
     """Precision-aware stopping floor: OpenFOAM dict tolerances (1e-6..1e-12
     normalised) are written for double precision; in float32 the normalised
     residual stagnates around ~100·eps and an unreachable tolerance burns
     the full maxIter in every while_loop — measured 800 Jacobi sweeps per
     h/Yi/k solve on the TPU bench (3x whole-step slowdown). Floor the
-    tolerance at 100·eps(dtype): a no-op in float64 (2.2e-14, below every
-    dict tolerance), ~1.2e-5 in float32."""
-    return jnp.maximum(jnp.asarray(tol, dtype), 100.0 * jnp.finfo(dtype).eps)
+    tolerance at k·eps(dtype) (k = _floor_factor()): a no-op in float64,
+    ~3e-6 in float32 at the default k=25."""
+    return jnp.maximum(
+        jnp.asarray(tol, dtype), _floor_factor() * jnp.finfo(dtype).eps
+    )
 
 
 def pcg(matvec, x0, b, diag, tol=1e-6, rel_tol=0.0, max_iter=1000,

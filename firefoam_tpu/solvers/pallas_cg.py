@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .linear import SolverResult
+from .linear import SolverResult, _floor_factor
 
 try:  # pallas is TPU/interpret only; import lazily-guarded
     from jax.experimental import pallas as pl
@@ -241,7 +241,7 @@ def _pcg_kernel(
     res0 = rsum(jnp.abs(r0) * mask) / norm
     eff_tol = jnp.maximum(
         tr_ref[0, 0].astype(dtype),
-        100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype),
+        _floor_factor() * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype),
     )
     stop = jnp.maximum(eff_tol, tr_ref[0, 1].astype(dtype) * res0)
 
@@ -323,7 +323,7 @@ def _bicgstab_kernel(
     r0 = b - Ax0
     res0 = rsum(jnp.abs(r0) * mask) / norm
     eff_tol = jnp.maximum(
-        tr_ref[0, 0].astype(dtype), 100.0 * jnp.asarray(fi.eps, dtype)
+        tr_ref[0, 0].astype(dtype), _floor_factor() * jnp.asarray(fi.eps, dtype)
     )
     stop = jnp.maximum(eff_tol, tr_ref[0, 1].astype(dtype) * res0)
     rD = jnp.where(mask > 0, 1.0 / d, 0.0)
@@ -419,7 +419,7 @@ def _smooth_kernel(
     res0 = rsum(jnp.abs(b - Ax0) * mask) / norm
     eff_tol = jnp.maximum(
         tr_ref[0, 0].astype(dtype),
-        100.0 * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype),
+        _floor_factor() * jnp.asarray(np.finfo(np.dtype(dtype.name)).eps, dtype),
     )
     stop = jnp.maximum(eff_tol, tr_ref[0, 1].astype(dtype) * res0)
     rD = jnp.where(mask > 0, omega / d, 0.0)
