@@ -157,7 +157,7 @@ class InfoFields:
         g = s.geom
         T = state["T"]
         cp_b = s.gas.cp(T.b, state["Y"].b)
-        sg = (T.b - T.i[g.b_own]) * g.b_dc
+        sg = (T.b - g.cell_to_boundary(T.i)) * g.b_dc
         return -state["alpha"].b * cp_b * sg
 
     # ------------------------------------------------------------------
@@ -176,7 +176,7 @@ class InfoFields:
 
         def sn_grad(col_i, col_b):
             sgi = (col_i[g.nei] - col_i[g.own]) * g.dc
-            sgb = (col_b - col_i[g.b_own]) * g.b_dc
+            sgb = (col_b - g.cell_to_boundary(col_i)) * g.b_dc
             return SurfaceField(sgi, sgb)
 
         def adv_diff(col_i, col_b):
@@ -196,7 +196,7 @@ class InfoFields:
         grad_fu = fvc.grad_scalar(g, VolField(fu_i, fu_b))
         af_grad = a_eff.i[:, None] * grad_fu
         af_f = fvc.interpolate(
-            g, VolField(af_grad, a_eff.b[:, None] * grad_fu[g.b_own])
+            g, VolField(af_grad, a_eff.b[:, None] * g.cell_to_boundary(grad_fu))
         )
         ci = interp_mv(fu_i, fu_b)
         out["HRR_fu"] = SurfaceField(

@@ -268,7 +268,7 @@ class MPPIC:
             from ..ops import fvc
             from ..ops.fields import VolField
 
-            tau_f = VolField(tau_c, tau_c[geom.b_own])
+            tau_f = VolField(tau_c, geom.cell_to_boundary(tau_c))
             grad_tau = fvc.grad_scalar(geom, tau_f)
             alpha_p = jnp.maximum(av["alpha"][c], 1e-8)
             dU = -dt * grad_tau[c] / (self.rho_p * alpha_p)[:, None]

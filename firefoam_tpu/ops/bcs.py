@@ -396,7 +396,7 @@ def apply_coeffs(geom: MeshGeometry, psi: VolField, rv, rg, f) -> VolField:
     OpenFOAM updates BC coefficients ONCE per step (updateCoeffs guarded by
     updated_); later correctBoundaryConditions calls re-evaluate with the
     SAME coefficients — use this to reproduce that timing."""
-    own_vals = psi.i[geom.b_own]
+    own_vals = geom.cell_to_boundary(psi.i)
     dc = geom.b_dc[:, None] if own_vals.ndim == 2 else geom.b_dc
     b = f * rv + (1.0 - f) * (own_vals + rg / dc)
     return VolField(psi.i, b)

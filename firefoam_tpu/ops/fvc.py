@@ -61,7 +61,7 @@ def sn_grad(geom: MeshGeometry, f: VolField, b_grad: jnp.ndarray = None) -> Surf
     dc*(b_value - cell_value); pass b_grad to override (fixedGradient BCs)."""
     gi = _wmul(geom.dc, geom.gather_nei(f.i) - geom.gather_own(f.i))
     if b_grad is None:
-        b_grad = _wmul(geom.b_dc, f.b - f.i[geom.b_own])
+        b_grad = _wmul(geom.b_dc, f.b - geom.cell_to_boundary(f.i))
     return SurfaceField(gi, b_grad)
 
 
@@ -108,7 +108,7 @@ def sn_grad_corrected(
     gi = _wmul(geom.nodc, geom.gather_nei(f.i) - geom.gather_own(f.i))
     gi = gi + non_orth_correction(geom, f, grad_i, limiter)
     if b_grad is None:
-        b_grad = _wmul(geom.b_dc, f.b - f.i[geom.b_own])
+        b_grad = _wmul(geom.b_dc, f.b - geom.cell_to_boundary(f.i))
     return SurfaceField(gi, b_grad)
 
 

@@ -177,7 +177,7 @@ class FvMatrix:
         g = self.geom
         x = self.psi.i
         fi = self.upper * g.gather_nei(x) - self.lower * g.gather_own(x)
-        fb = self.internal_coeffs * x[g.b_own] - self.boundary_coeffs
+        fb = self.internal_coeffs * g.cell_to_boundary(x) - self.boundary_coeffs
         return SurfaceField(fi, fb)
 
     def relax(self, alpha: float) -> "FvMatrix":

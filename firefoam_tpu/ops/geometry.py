@@ -487,6 +487,53 @@ class MeshGeometry:
             out = jax.lax.dynamic_update_slice_in_dim(out, seg + upd, base, 0)
         return out[:nC] if self._b_blocks_pad else out
 
+    def cell_to_boundary(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x[b_own] ([nC(,d)] → [nB(,d)]) without a gather instruction.
+
+        XLA:TPU lowers arbitrary-index gathers as serialized loops just
+        like scatters (measured ~1.7 ms per 500k→40k gather — one each in
+        UEqn/kEqn/YEqn/pEqn per step); on lattice boundaries the inverse
+        of _lattice_scatter expresses it as static slice/reshape ops at
+        HBM speed. Falls back to the gather on non-lattice boundaries."""
+        if self._b_blocks is None:
+            return x[self.b_own]
+        feat = x.shape[1:]
+        fpad = ((0, 0),) * len(feat)
+        if self._b_blocks_pad:
+            x = jnp.pad(x, ((0, self._b_blocks_pad),) + fpad)
+        out = jnp.zeros(
+            (self.n_boundary + self._b_blocks_vpad,) + feat, x.dtype
+        )
+        for (v0, vp, base, bp, rows, s, c) in self._b_blocks:
+            w = (c - 1) * s + 1  # strided span of one row in cell space
+            ln = (rows - 1) * bp + w
+            seg = jax.lax.slice_in_dim(x, base, base + ln, axis=0)
+            if rows > 1:
+                if rows * bp > ln:
+                    seg = jnp.pad(seg, ((0, rows * bp - ln),) + fpad)
+                seg = seg.reshape((rows, bp) + feat)[:, :w]
+            else:
+                seg = seg.reshape((1, w) + feat)
+            if s > 1:  # de-stride: pad row to c·s, reshape, take phase 0
+                seg = jnp.pad(seg, ((0, 0), (0, c * s - w)) + fpad)
+                seg = seg.reshape((rows, c, s) + feat)[:, :, 0]
+            else:
+                seg = seg.reshape((rows, c) + feat)
+            lnv = (rows - 1) * vp + c
+            if rows > 1 and vp > c:
+                seg = jnp.pad(seg, ((0, 0), (0, vp - c)) + fpad)
+            segf = seg.reshape(
+                (rows * max(vp, c) if rows > 1 else c,) + feat
+            )
+            segf = jax.lax.slice_in_dim(segf, 0, lnv, axis=0)
+            # slice-ADD (not overwrite): vp > c leaves gap slots belonging
+            # to interleaved blocks; this block contributes zeros there
+            cur = jax.lax.slice_in_dim(out, v0, v0 + lnv, axis=0)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, cur + segf, v0, 0
+            )
+        return out[: self.n_boundary] if self._b_blocks_vpad else out
+
     # ------------------------------------------------------ scatter helpers
     def cell_sum_internal(self, face_vals: jnp.ndarray) -> jnp.ndarray:
         """Σ over internal faces, signed outward per cell (owner +, nei −)."""

@@ -180,7 +180,7 @@ class P1:
             tol=self.tol, rel_tol=0.0, max_iter=1000,
         )
         G = jnp.maximum(res.x, 0.0)
-        G_b = f * ref_v + (1.0 - f) * G[g.b_own]
+        G_b = f * ref_v + (1.0 - f) * g.cell_to_boundary(G)
         return {
             "G": G,
             "G_b": G_b,
@@ -227,7 +227,7 @@ class P1:
     def qr_boundary(self, rad) -> jnp.ndarray:
         """qr = −gamma·snGrad(G) at boundary faces (P1.C:246-257)."""
         g = self.geom
-        return -rad["gamma_b"] * (rad["G_b"] - rad["G"][g.b_own]) * g.b_dc
+        return -rad["gamma_b"] * (rad["G_b"] - g.cell_to_boundary(rad["G"])) * g.b_dc
 
     def qin_boundary(self, rad) -> jnp.ndarray:
         """Incident flux at walls under the P1 closure: qin ≈ G_w/4."""

@@ -153,7 +153,7 @@ class KEqnLES:
 
     def nut_b(self, k_b: jnp.ndarray) -> jnp.ndarray:
         """Boundary nut: filter width taken from the owner cell."""
-        return self.Ck * jnp.sqrt(jnp.maximum(k_b, 0.0)) * self.delta[self.geom.b_own]
+        return self.Ck * jnp.sqrt(jnp.maximum(k_b, 0.0)) * self.geom.cell_to_boundary(self.delta)
 
     def epsilon(self, k: jnp.ndarray) -> jnp.ndarray:
         return self.Ce * jnp.maximum(k, 0.0) ** 1.5 / self.delta
@@ -281,7 +281,7 @@ class KEqnLES:
             "f,fij->fij", g.w, g.gather_own(tau)
         ) + jnp.einsum("f,fij->fij", 1.0 - g.w, g.gather_nei(tau))
         # boundary: one-sided (owner) value
-        tau_b = mu_eff.b[:, None, None] * dev2[g.b_own]
+        tau_b = mu_eff.b[:, None, None] * g.cell_to_boundary(dev2)
         flux_i = jnp.einsum("fi,fij->fj", g.Sf, tau_f)
         flux_b = jnp.einsum("fi,fij->fj", g.b_Sf, tau_b)
         div_tau = fvc.surface_sum(g, SurfaceField(flux_i, flux_b)) / g.V[:, None]
