@@ -532,7 +532,12 @@ class ReactingCloud:
         ok = cand["valid"] & slot_free
         tgt = free
 
-        rho_l = self.liquid.rho(101325.0, jnp.full((m,), self.cfg.T0, self.dtype))
+        # per-parcel injection temperature: the thermo/reacting
+        # LookupTableInjection variants supply T per table row
+        # (thermoParcelInjectionData.H:75, set in setParcelProperties);
+        # every other injector seeds the cloud's T0
+        T_new = cand.get("T", jnp.full((m,), self.cfg.T0, self.dtype))
+        rho_l = self.liquid.rho(101325.0, T_new)
         nP = cand["mass"] / jnp.maximum(_sphere_mass(rho_l, cand["d"]), small())
 
         def put(a, v):
@@ -542,7 +547,7 @@ class ReactingCloud:
         st["x"] = put(st["x"], cand["x"])
         st["U"] = put(st["U"], cand["U"])
         st["d"] = put(st["d"], cand["d"])
-        st["T"] = put(st["T"], jnp.full((m,), self.cfg.T0, self.dtype))
+        st["T"] = put(st["T"], T_new)
         st["nP"] = put(st["nP"], nP)
         st["cell"] = st["cell"].at[tgt].set(jnp.where(ok, cand["cell"], st["cell"][tgt]))
         st["alive"] = st["alive"].at[tgt].set(ok | st["alive"][tgt])
@@ -559,16 +564,50 @@ class ReactingCloud:
         if self.devol is not None or self.ledger is not None:
             m1l = _sphere_mass(rho_l, cand["d"])
             lf = max(self._liq_frac0, 1e-12)
-            if self.devol is not None:
-                mv_new = m1l[:, None] * jnp.asarray(
-                    self._vol_frac0 / lf, self.dtype
-                )[None, :]
-                st["mv"] = put(st["mv"], mv_new)
-                st["mv0"] = put(st["mv0"], mv_new)
-            if self.ledger is not None:
-                st["ms"] = put(
-                    st["ms"], m1l * (self.ledger.solid_frac / lf)
-                )
+            # per-parcel phase split: the reacting LookupTableInjection
+            # variants supply Yphase (phase-mixture fractions in the
+            # composition's gas/liquid/solid order,
+            # reactingParcelInjectionData.H Y_) and optionally YGas
+            # (within-gas-phase split). The ledger lanes carry volatile
+            # and solid mass RELATIVE to the liquid sphere mass m1l.
+            yph = cand.get("Yphase")
+            if yph is not None and self.ledger is not None:
+                ng = len(self.ledger.gas_names)
+                # phase column order mirrors the composition dict: gas
+                # (when declared), liquid, solid
+                col_gas = 0 if ng else None
+                col_liq = 1 if ng else 0
+                col_sol = col_liq + 1
+                W = yph.shape[1]
+                ygas = yph[:, col_gas] if (ng and W > col_gas) else jnp.zeros(m, self.dtype)
+                yliq = yph[:, col_liq] if W > col_liq else jnp.ones(m, self.dtype)
+                ysol = yph[:, col_sol] if W > col_sol else jnp.zeros(m, self.dtype)
+                yliq = jnp.maximum(yliq, 1e-12)
+                if self.devol is not None:
+                    within = cand.get("YGas")
+                    if within is None:
+                        gf = np.asarray(self.ledger.gas_fracs, float)
+                        within = jnp.asarray(
+                            gf / max(gf.sum(), 1e-300), self.dtype
+                        )[None, :]
+                    mv_new = (
+                        m1l[:, None] * (ygas / yliq)[:, None]
+                        * within[:, : self.devol.n_vol]
+                    )
+                    st["mv"] = put(st["mv"], mv_new)
+                    st["mv0"] = put(st["mv0"], mv_new)
+                st["ms"] = put(st["ms"], m1l * ysol / yliq)
+            else:
+                if self.devol is not None:
+                    mv_new = m1l[:, None] * jnp.asarray(
+                        self._vol_frac0 / lf, self.dtype
+                    )[None, :]
+                    st["mv"] = put(st["mv"], mv_new)
+                    st["mv0"] = put(st["mv0"], mv_new)
+                if self.ledger is not None:
+                    st["ms"] = put(
+                        st["ms"], m1l * (self.ledger.solid_frac / lf)
+                    )
         # relocalise injected parcels from their seed cell (sprinkler offset)
         x, U, cell, alive, hit, code = self.walk.walk(
             st["x"], st["U"], st["cell"], st["alive"], self.b_code, self.b_e,

@@ -651,8 +651,10 @@ def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None,
         return ConeInjection(name, d, walk, dtype)
     if kind in (
         "manualInjection", "cellZoneInjection", "fieldActivatedInjection",
-        "kinematicLookupTableInjection", "coneNozzleInjection", "none",
-        "noInjection", "inflationInjection",
+        "kinematicLookupTableInjection", "thermoLookupTableInjection",
+        "reactingLookupTableInjection",
+        "reactingMultiphaseLookupTableInjection", "coneNozzleInjection",
+        "none", "noInjection", "inflationInjection",
     ):
         from . import injection_stock as stk
 
@@ -666,6 +668,14 @@ def make_injector(name: str, d: FoamDict, walk, case, dtype, geom=None,
             return stk.FieldActivatedInjection(name, d, walk, case, dtype)
         if kind == "kinematicLookupTableInjection":
             return stk.KinematicLookupTableInjection(name, d, walk, case, dtype)
+        if kind == "thermoLookupTableInjection":
+            return stk.ThermoLookupTableInjection(name, d, walk, case, dtype)
+        if kind == "reactingLookupTableInjection":
+            return stk.ReactingLookupTableInjection(name, d, walk, case, dtype)
+        if kind == "reactingMultiphaseLookupTableInjection":
+            return stk.ReactingMultiphaseLookupTableInjection(
+                name, d, walk, case, dtype
+            )
         if kind == "coneNozzleInjection":
             return stk.ConeNozzleInjection(name, d, walk, dtype)
         if kind == "inflationInjection":

@@ -284,6 +284,205 @@ class KinematicLookupTableInjection(InjectorBase):
         return st, cand
 
 
+def _parse_nested(path: str):
+    """Parse an OpenFOAM parcel-injection-data file into nested float
+    lists (comments/FoamFile headers stripped, list-size counts dropped)."""
+    txt = open(path).read()
+    txt = re.sub(r"/\*.*?\*/", "", txt, flags=re.S)
+    txt = re.sub(r"//.*", "", txt)
+    txt = re.sub(r"FoamFile\s*\{[^}]*\}", "", txt)
+    stack = [[]]
+    for tok in re.findall(r"[()]|[^\s();]+", txt):
+        if tok == "(":
+            stack.append([])
+        elif tok == ")":
+            v = stack.pop()
+            stack[-1].append(v)
+        else:
+            try:
+                stack[-1].append(float(tok))
+            except ValueError:
+                pass  # words (class names, identifiers)
+    return stack[0]
+
+
+def _find_rows(tree, min_scalars: int):
+    """Locate injection rows: lists starting with two 3-vectors followed
+    by >= min_scalars scalars ((x y z) (ux uy uz) d rho mDot [T cp] ...)."""
+
+    def is_vec3(v):
+        return isinstance(v, list) and len(v) == 3 and all(
+            isinstance(e, float) for e in v
+        )
+
+    rows = []
+
+    def visit(node):
+        if not isinstance(node, list):
+            return
+        if (
+            len(node) >= 2 + min_scalars
+            and is_vec3(node[0])
+            and is_vec3(node[1])
+            and all(isinstance(e, float) for e in node[2 : 2 + min_scalars])
+        ):
+            rows.append(node)
+            return
+        for e in node:
+            visit(e)
+
+    visit(tree)
+    return rows
+
+
+class ThermoLookupTableInjection(KinematicLookupTableInjection):
+    """ThermoLookupTableInjection.H:33-45: kinematic lookup-table rows
+    extended with per-parcel T and cp
+    (thermoParcelInjectionDataIO.C: ((x) (U) d rho mDot T cp)). T seeds
+    the injected parcel temperature (reference setParcelProperties); cp
+    is parsed for parity but the parcel heat capacity follows the liquid
+    property law cp(T) thereafter (cloud.py thermo integration)."""
+
+    @staticmethod
+    def _read_table(path: str):
+        rows = [
+            r
+            for r in _find_rows(_parse_nested(path), 5)
+            if len(r) >= 7
+            and isinstance(r[5], float)
+            and isinstance(r[6], float)
+        ]
+        if not rows:
+            raise ValueError(f"no thermoParcelInjectionData rows in {path}")
+        return [(r[0], r[1], r[2], r[3], r[4], r[5], r[6]) for r in rows]
+
+    def __init__(self, name: str, d: FoamDict, walk, case, dtype):
+        super().__init__(name, d, walk, case, dtype)
+        import os
+
+        fname = str(d.lookup("inputFile"))
+        rows = self._read_table(os.path.join(case.root, "constant", fname))
+        self.T_rows = np.asarray([r[5] for r in rows])
+        self.cp_rows = np.asarray([r[6] for r in rows])
+
+    def inject(self, st, key, t, dt, gas):
+        st, cand = super().inject(st, key, t, dt, gas)
+        # reconstruct the row indices the parent drew (it already advanced
+        # n_inj by the number of valid candidates)
+        idx = jnp.arange(cand["valid"].shape[0], dtype=INT_DTYPE)
+        row = (st["n_inj"] - jnp.sum(cand["valid"].astype(INT_DTYPE)) + idx) % self.n_pos
+        cand = dict(cand)
+        cand["T"] = jnp.asarray(self.T_rows, self.dtype)[row]
+        return st, cand
+
+
+class ReactingLookupTableInjection(ThermoLookupTableInjection):
+    """ReactingLookupTableInjection.H:33-45: thermo rows + a per-parcel
+    composition list (reactingParcelInjectionDataIO.C:
+    ((x) (U) d rho mDot T cp (Y...))). Y is the phase-mixture split in
+    the composition dict's phase order (gas, liquid, solid — filtered to
+    the phases present); the cloud seeds the per-parcel n-phase ledger
+    (mv/ms lanes, lagrangian/devolatilisation.py) from it."""
+
+    @staticmethod
+    def _read_table(path: str):
+        rows = [
+            r
+            for r in _find_rows(_parse_nested(path), 5)
+            if len(r) >= 8
+            and isinstance(r[5], float)
+            and isinstance(r[6], float)
+        ]
+        if not rows:
+            raise ValueError(
+                f"no reactingParcelInjectionData rows in {path}"
+            )
+        out = []
+        for r in rows:
+            lists = [e for e in r[7:] if isinstance(e, list)]
+            Y = lists[0] if lists else [1.0]
+            out.append((r[0], r[1], r[2], r[3], r[4], r[5], r[6], Y))
+        return out
+
+    def __init__(self, name: str, d: FoamDict, walk, case, dtype):
+        super().__init__(name, d, walk, case, dtype)
+        import os
+
+        fname = str(d.lookup("inputFile"))
+        rows = self._read_table(os.path.join(case.root, "constant", fname))
+        nY = max(len(r[7]) for r in rows)
+        Y = np.zeros((len(rows), nY))
+        for i, r in enumerate(rows):
+            Y[i, : len(r[7])] = r[7]
+        s = Y.sum(1, keepdims=True)
+        self.Y_rows = Y / np.maximum(s, 1e-300)
+
+    def inject(self, st, key, t, dt, gas):
+        st, cand = super().inject(st, key, t, dt, gas)
+        idx = jnp.arange(cand["valid"].shape[0], dtype=INT_DTYPE)
+        row = (st["n_inj"] - jnp.sum(cand["valid"].astype(INT_DTYPE)) + idx) % self.n_pos
+        cand = dict(cand)
+        cand["Yphase"] = jnp.asarray(self.Y_rows, self.dtype)[row]
+        return st, cand
+
+
+class ReactingMultiphaseLookupTableInjection(ReactingLookupTableInjection):
+    """ReactingMultiphaseLookupTableInjection.H:33-45: reacting rows +
+    within-phase component splits
+    (reactingMultiphaseParcelInjectionDataIO.C:
+    ((x) (U) d rho mDot T cp (Y) (YGas) (YLiquid) (YSolid)))."""
+
+    @staticmethod
+    def _read_table(path: str):
+        rows = [
+            r
+            for r in _find_rows(_parse_nested(path), 5)
+            if len(r) >= 8
+            and isinstance(r[5], float)
+            and isinstance(r[6], float)
+        ]
+        if not rows:
+            raise ValueError(
+                f"no reactingMultiphaseParcelInjectionData rows in {path}"
+            )
+        out = []
+        for r in rows:
+            lists = [e for e in r[7:] if isinstance(e, list)]
+            while len(lists) < 4:
+                lists.append([1.0])
+            out.append(tuple(r[:7]) + tuple(lists[:4]))
+        return out
+
+    def __init__(self, name: str, d: FoamDict, walk, case, dtype):
+        super().__init__(name, d, walk, case, dtype)
+        import os
+
+        fname = str(d.lookup("inputFile"))
+        rows = self._read_table(os.path.join(case.root, "constant", fname))
+
+        def pack(col):
+            nW = max(len(r[col]) for r in rows)
+            M = np.zeros((len(rows), nW))
+            for i, r in enumerate(rows):
+                M[i, : len(r[col])] = r[col]
+            s = M.sum(1, keepdims=True)
+            return M / np.maximum(s, 1e-300)
+
+        self.Ygas_rows = pack(8)
+        self.Yliq_rows = pack(9)
+        self.Ysol_rows = pack(10)
+
+    def inject(self, st, key, t, dt, gas):
+        st, cand = super().inject(st, key, t, dt, gas)
+        idx = jnp.arange(cand["valid"].shape[0], dtype=INT_DTYPE)
+        row = (st["n_inj"] - jnp.sum(cand["valid"].astype(INT_DTYPE)) + idx) % self.n_pos
+        cand = dict(cand)
+        cand["YGas"] = jnp.asarray(self.Ygas_rows, self.dtype)[row]
+        cand["YLiquid"] = jnp.asarray(self.Yliq_rows, self.dtype)[row]
+        cand["YSolid"] = jnp.asarray(self.Ysol_rows, self.dtype)[row]
+        return st, cand
+
+
 class ConeNozzleInjection(ConeInjection):
     """ConeNozzleInjection.H:33-57: cone spray from a disc nozzle — like
     ConeInjection but a single position with disc-sampled start points

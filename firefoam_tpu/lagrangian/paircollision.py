@@ -14,6 +14,12 @@ PairCollision/) with its two force submodels:
 - WallSpringSliderDashpot (WallModel/WallSpringSliderDashpot/
   WallSpringSliderDashpot.C:evaluateWall): the same law against wall
   sites with kN = 4/3·√(R*)·E* (R* = pREff) and the parcel's full mass.
+- WallLocalSpringSliderDashpot (WallModel/WallLocalSpringSliderDashpot/
+  WallLocalSpringSliderDashpot.C:230-275): per-wall-patch properties —
+  coeff subdicts keyed by patch name supply youngsModulus/poissonsRatio/
+  alpha/b/mu per patch, combined with the parcel constProps into
+  per-patch E*/G*; here stored as [nW] arrays gathered at the contact
+  patch (wallModel wallLocalSpringSliderDashpot selects it).
 
 TPU-native design instead of the reference's InteractionLists/
 referred-particle machinery:
@@ -76,13 +82,19 @@ class PairCollision:
     volume_factor: float
     sub_cycles: int
     n_records: int
-    # wall planes [nW, 3] point / normal (outward INTO the domain)
+    # wall planes [nW, 3] point / normal (outward INTO the domain);
+    # properties are PER-WALL [nW] arrays: the wallSpringSliderDashpot
+    # model broadcasts one value, wallLocalSpringSliderDashpot
+    # (WallLocalSpringSliderDashpot.C:230-275 — per-patch subdicts keyed by
+    # patch name, Estar/Gstar combined with the parcel constProps) fills
+    # them per patch
     wall_point: np.ndarray
     wall_normal: np.ndarray
-    wall_E_star: float
-    wall_alpha: float
-    wall_b: float
-    wall_mu: float
+    wall_E_star: np.ndarray
+    wall_G_star: np.ndarray
+    wall_alpha: np.ndarray
+    wall_b: np.ndarray
+    wall_mu: np.ndarray
 
     @classmethod
     def from_dict(cls, sub: FoamDict, cp: FoamDict, geom) -> Optional["PairCollision"]:
@@ -95,16 +107,35 @@ class PairCollision:
         pair = c.get_dict("pairModelCoeffs", None) or c.get_dict(
             "PairSpringSliderDashpotCoeffs", FoamDict()
         )
-        wall = c.get_dict("wallModelCoeffs", None) or c.get_dict(
-            "WallSpringSliderDashpotCoeffs", FoamDict()
+        wall_model = c.get_word("wallModel", "wallSpringSliderDashpot")
+        wall = (
+            c.get_dict("wallModelCoeffs", None)
+            or c.get_dict("WallSpringSliderDashpotCoeffs", None)
+            or c.get_dict("wallSpringSliderDashpotCoeffs", None)
+            or c.get_dict("WallLocalSpringSliderDashpotCoeffs", None)
+            or c.get_dict("wallLocalSpringSliderDashpotCoeffs", None)
+            or FoamDict()
         )
         nu = cp.get_scalar("poissonsRatio", 0.35)
         E = cp.get_scalar("youngsModulus", 1e8)
         E_star = E / (2.0 * (1.0 - nu * nu))
         G = E / (2.0 * (1.0 + nu))
         G_star = G / (2.0 * (2.0 - nu))
-        # planar wall fits per wall patch
-        wp, wn = [], []
+
+        def _star_pair(nu_w, E_w):
+            """Combined parcel-wall moduli (WallSpringSliderDashpot.C:
+            201-204): E* = 1/((1−νp²)/Ep + (1−νw²)/Ew),
+            G* = 1/(2((2+νp−νp²)/Ep + (2+νw−νw²)/Ew))."""
+            es = 1.0 / ((1.0 - nu * nu) / E + (1.0 - nu_w * nu_w) / E_w)
+            gs = 1.0 / (
+                2.0
+                * ((2.0 + nu - nu * nu) / E + (2.0 + nu_w - nu_w * nu_w) / E_w)
+            )
+            return es, gs
+
+        # planar wall fits per wall patch (+ per-patch properties)
+        wp, wn, wes, wgs, wal, wb, wmu = [], [], [], [], [], [], []
+        local = "local" in wall_model.lower()
         for pch in getattr(geom, "patches", []):
             if "wall" not in (pch.ptype or "").lower():
                 continue
@@ -116,6 +147,21 @@ class PairCollision:
             n /= max(np.linalg.norm(n), 1e-30)
             wp.append(Cf.mean(0))
             wn.append(-n)  # b_Sf points OUT of the domain; DEM needs inward
+            pd = wall.get_dict(pch.name, None) if local else None
+            src = pd if pd is not None else wall
+            if src.found("youngsModulus"):
+                es, gs = _star_pair(
+                    src.get_scalar("poissonsRatio", nu),
+                    src.get_scalar("youngsModulus"),
+                )
+            else:
+                es = src.get_scalar("Estar", E_star)
+                gs = src.get_scalar("Gstar", G_star)
+            wes.append(es)
+            wgs.append(gs)
+            wal.append(src.get_scalar("alpha", 0.12))
+            wb.append(src.get_scalar("b", 1.5))
+            wmu.append(src.get_scalar("mu", 0.43))
         return cls(
             E_star=E_star,
             G_star=G_star,
@@ -129,10 +175,11 @@ class PairCollision:
             n_records=int(c.get_scalar("nPairRecords", 2)),
             wall_point=np.asarray(wp if wp else np.zeros((0, 3))),
             wall_normal=np.asarray(wn if wn else np.zeros((0, 3))),
-            wall_E_star=wall.get_scalar("Estar", E_star),
-            wall_alpha=wall.get_scalar("alpha", 0.12),
-            wall_b=wall.get_scalar("b", 1.5),
-            wall_mu=wall.get_scalar("mu", 0.43),
+            wall_E_star=np.asarray(wes, float),
+            wall_G_star=np.asarray(wgs, float),
+            wall_alpha=np.asarray(wal, float),
+            wall_b=np.asarray(wb, float),
+            wall_mu=np.asarray(wmu, float),
         )
 
     # ------------------------------------------------------------------
@@ -255,23 +302,30 @@ class PairCollision:
                 wsel = jnp.argmax(ovw, axis=1)
                 ovw1 = jnp.take_along_axis(ovw, wsel[:, None], 1)[:, 0]
                 nw = WN[wsel]  # rHat_PW (plane → parcel)
-                kNw = (4.0 / 3.0) * jnp.sqrt(r) * self.wall_E_star
-                etaNw = self.wall_alpha * jnp.sqrt(m * kNw) * ovw1**0.25
+                # per-wall properties gathered at the contact patch
+                # (wallLocal: per-patch values; global model: broadcast)
+                Ew = jnp.asarray(self.wall_E_star, dtp)[wsel]
+                Gw = jnp.asarray(self.wall_G_star, dtp)[wsel]
+                aw = jnp.asarray(self.wall_alpha, dtp)[wsel]
+                bw = jnp.asarray(self.wall_b, dtp)[wsel]
+                muw = jnp.asarray(self.wall_mu, dtp)[wsel]
+                kNw = (4.0 / 3.0) * jnp.sqrt(r) * Ew
+                etaNw = aw * jnp.sqrt(m * kNw) * ovw1**0.25
                 Unw = jnp.sum(U * nw, -1)
-                fNw_mag = kNw * ovw1**self.wall_b - etaNw * Unw
+                fNw_mag = kNw * ovw1**bw - etaNw * Unw
                 touch_w = (ovw1 > 0.0) & alive
                 fNw = jnp.where(touch_w[..., None], nw * fNw_mag[..., None], 0.0)
                 slw = U - Unw[..., None] * nw + jnp.cross(
                     omega, -r[:, None] * nw
                 )
                 wt = jnp.where(touch_w[..., None], wrec_t + slw * dt_c, 0.0)
-                kTw = 8.0 * jnp.sqrt(r * ovw1) * self.G_star
+                kTw = 8.0 * jnp.sqrt(r * ovw1) * Gw
                 wtmag = jnp.sqrt(jnp.sum(wt**2, -1) + 1e-30)
-                wslip = kTw * wtmag > self.wall_mu * jnp.abs(fNw_mag)
+                wslip = kTw * wtmag > muw * jnp.abs(fNw_mag)
                 wsmag = jnp.sqrt(jnp.sum(slw**2, -1) + 1e-30)
                 fTw = jnp.where(
                     wslip[..., None],
-                    -self.wall_mu * jnp.abs(fNw_mag)[..., None] * slw
+                    -(muw * jnp.abs(fNw_mag))[..., None] * slw
                     / wsmag[..., None],
                     -kTw[..., None] * wt - etaNw[..., None] * slw,
                 )
