@@ -202,6 +202,36 @@ def main():
             if drift > 0.05:
                 result["warning"] = "f32 drift exceeds 5% after validation window"
 
+            # ---- f32 chaos floor of the SAME window (root cause of the
+            # r3 "drift regression", docs/PERF.md): spread between two f32
+            # runs differing by a 1e-6 relative T seed. Drift at or below
+            # this floor is amplified roundoff, not solver error.
+            try:
+                from firefoam_tpu.ops import VolField
+
+                with _cpu_staging():
+                    sAB = FireFoamSolver(case)
+                    stA0 = sAB.initial_state()
+                stepAB = sAB.make_step()
+                pert = 1.0 + 1e-6 * np.random.RandomState(0).randn(
+                    sAB.geom.n_cells
+                )
+                stB = dict(stA0)
+                stB["T"] = VolField(
+                    stA0["T"].i * jnp.asarray(pert, stA0["T"].i.dtype),
+                    stA0["T"].b,
+                )
+                for _ in range(n_val):
+                    stB, _ = stepAB(stB)
+                TB = np.asarray(
+                    jax.device_get(stB["T"].i), dtype=np.float64
+                )
+                result["f32_chaos_floor"] = round(
+                    float(np.max(np.abs(T32 - TB) / np.maximum(TB, 1.0))), 6
+                )
+            except Exception as e:
+                result["f32_chaos_floor_error"] = str(e)[:120]
+
             # ---- mixed-precision p_rgh policy row (VERDICT r3 item 2):
             # same 10-step window with FIREFOAM_TPU_P64_PRGH=1 (the
             # step's stiffest solve in f64, rest f32) — drift AND cost.

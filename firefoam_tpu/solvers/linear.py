@@ -51,17 +51,18 @@ _TOL_FLOOR_EPS = None
 
 
 def _floor_factor():
-    """Stopping-floor multiplier on eps(dtype). 100 (r3 default) floors f32
-    tolerances at ~1.2e-5 — measured to cost 1.9e-2 relative T drift over
-    10 steckler steps vs the f64 reference (the r3 bench regression);
-    25 recovers most of the drift at a modest iteration cost (see
-    docs/PERF.md precision policy). Env: FIREFOAM_TPU_TOL_FLOOR_EPS."""
+    """Stopping-floor multiplier on eps(dtype), default 100 (~1.2e-5 in
+    f32). Measured round 4 (docs/PERF.md precision policy): tightening to
+    25 eps only moves the 10-step f32-vs-f64 steckler drift 1.96e-2 ->
+    1.59e-2 while costing iterations everywhere, because the drift IS the
+    window's f32 chaos floor (two f32 runs seeded 1e-6 apart spread
+    1.39e-2 over the same window). Env: FIREFOAM_TPU_TOL_FLOOR_EPS."""
     global _TOL_FLOOR_EPS
     if _TOL_FLOOR_EPS is None:
         import os
 
         _TOL_FLOOR_EPS = float(
-            os.environ.get("FIREFOAM_TPU_TOL_FLOOR_EPS", "25")
+            os.environ.get("FIREFOAM_TPU_TOL_FLOOR_EPS", "100")
         )
     return _TOL_FLOOR_EPS
 
