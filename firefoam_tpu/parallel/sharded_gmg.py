@@ -1,0 +1,295 @@
+"""Sharded lattice multigrid — the GAMG role UNDER SPMD partitioning.
+
+The reference's production p_rgh solver is GAMG under MPI domain
+decomposition (cases/steckler/system/fvSolution:63-71 + decomposePar):
+multigrid is what keeps pressure iterations mesh-independent at pod
+scale, where flat diagonal-CG pays O(sqrt n) latency-bound iterations
+(VERDICT r3: the explicit-SPMD path's remaining iteration cliff).
+
+TPU-native SPMD design (runs inside shard_map over a 1-D device axis):
+
+  * the lattice is decomposed in contiguous Z-SLABS (x fastest, z
+    outermost — each shard owns [nz_p, ny, nx]); slab decomposition makes
+    every restriction/prolongation SHARD-LOCAL when coarsening is
+    restricted to the x/y axes (semi-coarsening): zero communication in
+    the entire grid-transfer hierarchy;
+  * the only halo traffic is one (ny_l, nx_l) plane per z-neighbour per
+    matvec — a ring ppermute pair, the same schedule the full SPMD step
+    uses for its face halos (parallel/sharded.py); global-boundary wrap
+    values are killed by the zero z-coupling coefficients at the lattice
+    ends, so the ring needs no edge special-casing;
+  * smoothing is Chebyshev-Jacobi (reduction-free — no psum inside the
+    V-cycle body); the eigenvalue bound is one Gershgorin max + pmax at
+    prepare time;
+  * the coarsest x/y level keeps the full z extent; it is all-gathered
+    (nz × ny_c × nx_c total cells) and solved REDUNDANTLY on every shard
+    by a dense inverse — identical bitwise on all shards, so no
+    broadcast is needed.
+
+CG wrapper uses psum reductions with OpenFOAM normFactor semantics, so
+iteration counts remain comparable with the single-device
+solvers.gmg.gmg_pcg (tests pin near-identity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solvers.gmg import (
+    _coarsen_axis,
+    _prolong,
+    _restrict,
+    _shift_m,
+    _shift_p,
+)
+from ..solvers.linear import SolverResult, _tol_floor
+
+__all__ = ["ShardedLatticeMG", "sharded_gmg_pcg"]
+
+
+def _ring_perms(n: int):
+    """(recv-from-next, recv-from-prev) ppermute schedules."""
+    fwd = [(i, (i - 1) % n) for i in range(n)]  # i's data lands on i-1
+    bwd = [(i, (i + 1) % n) for i in range(n)]
+    return fwd, bwd
+
+
+def _matvec3_slab(d, offd, x, axis_name: str, n_dev: int):
+    """DIA matvec on the local z-slab [nz_p, ny, nx]; x/y terms are local
+    shifts, z terms exchange ONE plane with each ring neighbour."""
+    ux, uy, uz = offd["u2"], offd["u1"], offd["u0"]
+    lx, ly, lz = offd["l2"], offd["l1"], offd["l0"]
+    y = d * x
+    y = y + ux * _shift_m(x, 2) + _shift_p(lx * x, 2)
+    y = y + uy * _shift_m(x, 1) + _shift_p(ly * x, 1)
+    fwd, bwd = _ring_perms(n_dev)
+    # x_{k+1}: local planes 1.. plus the NEXT shard's first plane
+    nxt0 = jax.lax.ppermute(x[0], axis_name, perm=fwd)
+    x_up = jnp.concatenate([x[1:], nxt0[None]], axis=0)
+    y = y + uz * x_up
+    # (lz·x)_{k-1}: previous shard's last plane enters plane 0
+    lzx = lz * x
+    prevL = jax.lax.ppermute(lzx[-1], axis_name, perm=bwd)
+    y = y + jnp.concatenate([prevL[None], lzx[:-1]], axis=0)
+    return y
+
+
+def _rowsum_off_slab(offd, axis_name: str, n_dev: int):
+    s = jnp.zeros_like(offd["u0"])
+    for a in (1, 2):
+        s = s + jnp.abs(offd["u%d" % a]) + _shift_p(jnp.abs(offd["l%d" % a]), a)
+    s = s + jnp.abs(offd["u0"])
+    lz = jnp.abs(offd["l0"])
+    fwd, bwd = _ring_perms(n_dev)
+    prevL = jax.lax.ppermute(lz[-1], axis_name, perm=bwd)
+    s = s + jnp.concatenate([prevL[None], lz[:-1]], axis=0)
+    return s
+
+
+class _ChebySlab:
+    def __init__(self, mats, lmax, axis_name, n_dev, degree=2, ratio=0.30):
+        self.mats = mats
+        self.lmax = lmax
+        self.axis_name = axis_name
+        self.n_dev = n_dev
+        self.degree = degree
+        self.ratio = ratio
+
+    def __call__(self, x, b):
+        d, offd = self.mats
+        rD = 1.0 / d
+        beta = 1.1 * self.lmax
+        alpha = self.ratio * self.lmax
+        theta = 0.5 * (beta + alpha)
+        delta = 0.5 * (beta - alpha)
+
+        def mv(v):
+            return _matvec3_slab(d, offd, v, self.axis_name, self.n_dev)
+
+        r = b - mv(x)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        z = rD * r / theta
+        x = x + z
+        for _ in range(self.degree - 1):
+            r = b - mv(x)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            z = rho_new * rho * z + (2.0 * rho_new / delta) * (rD * r)
+            x = x + z
+            rho = rho_new
+        return x
+
+
+@dataclass
+class ShardedLatticeMG:
+    """Static plan for the z-slab-sharded hierarchy. dims = (nx, ny, nz)
+    GLOBAL; n_dev must divide nz. Coarsening acts on the x/y axes only
+    (axes 2 and 1 of the [z, y, x] view) — z stays at full resolution so
+    every transfer is shard-local."""
+
+    dims: Tuple[int, int, int]
+    n_dev: int
+    axis_name: str
+    shapes: List[Tuple[int, int, int]]  # LOCAL (nz_p, ny_l, nx_l)
+    axes: List[Tuple[int, ...]]
+    pre_degree: int = 2
+    cheby_ratio: float = 0.30
+
+    @classmethod
+    def build(cls, dims, n_dev, axis_name="cells", n_coarsest_xy: int = 16,
+              max_levels: int = 12):
+        nx, ny, nz = dims
+        if nz % n_dev:
+            return None
+        nz_p = nz // n_dev
+        shapes = [(nz_p, ny, nx)]
+        axes: List[Tuple[int, ...]] = []
+        cur = (nz_p, ny, nx)
+        while cur[1] * cur[2] > n_coarsest_xy and len(axes) < max_levels:
+            act = tuple(a for a in (1, 2) if cur[a] > 2)
+            if not act:
+                break
+            nxt = (
+                cur[0],
+                (cur[1] + 1) // 2 if 1 in act else cur[1],
+                (cur[2] + 1) // 2 if 2 in act else cur[2],
+            )
+            axes.append(act)
+            shapes.append(nxt)
+            cur = nxt
+        if not axes:
+            return None
+        return cls(
+            dims=dims, n_dev=n_dev, axis_name=axis_name, shapes=shapes,
+            axes=axes,
+        )
+
+    # ---------------- device-side (inside shard_map) ------------------
+    def prepare(self, d3, offd):
+        """Coarsen the LOCAL slab through every level (shard-local: only
+        x/y axes coarsen) and build the redundant dense coarsest."""
+        mats = [(d3, offd)]
+        for act in self.axes:
+            cur = mats[-1]
+            for ax in act:
+                cur = _coarsen_axis(cur, ax)
+            mats.append(cur)
+        smooths = []
+        for dl, od in mats:
+            lam_loc = jnp.max(_rowsum_off_slab(od, self.axis_name, self.n_dev) / dl)
+            lam = jnp.minimum(
+                jax.lax.pmax(lam_loc, self.axis_name) + 1.0,
+                jnp.asarray(2.2, dl.dtype),
+            )
+            smooths.append(
+                _ChebySlab(
+                    (dl, od), lam, self.axis_name, self.n_dev,
+                    self.pre_degree, self.cheby_ratio,
+                )
+            )
+        # redundant dense coarsest over the full z extent
+        dc, odc = mats[-1]
+        nz_p, nyc, nxc = dc.shape
+        gat = lambda a: jax.lax.all_gather(a, self.axis_name).reshape(
+            (self.n_dev * nz_p, nyc, nxc)
+        )
+        dg = gat(dc)
+        og = {k: gat(v) for k, v in odc.items()}
+        nzg = self.n_dev * nz_p
+        n = nzg * nyc * nxc
+        A = jnp.zeros((n, n), dg.dtype)
+        idx = jnp.arange(n)
+        A = A.at[idx, idx].set(dg.reshape(-1))
+        strides = {2: 1, 1: nxc, 0: nyc * nxc}
+        for ax, st in strides.items():
+            if (nzg, nyc, nxc)[ax] <= 1:
+                continue
+            u = og["u%d" % ax].reshape(-1)
+            l = og["l%d" % ax].reshape(-1)
+            src = idx[: n - st]
+            A = A.at[src, src + st].add(u[: n - st])
+            A = A.at[src + st, src].add(l[: n - st])
+        return mats, smooths, jnp.linalg.inv(A)
+
+    def vcycle(self, mats, smooths, A_inv, b3):
+        def level(i, b_i):
+            d, od = mats[i]
+            sm = smooths[i]
+            if i == len(mats) - 1:
+                # gather → redundant dense solve → take the local slab
+                nz_p, nyc, nxc = b_i.shape
+                bg = jax.lax.all_gather(b_i, self.axis_name).reshape(-1)
+                eg = (A_inv @ bg.astype(A_inv.dtype)).astype(b_i.dtype)
+                eg = eg.reshape((self.n_dev, nz_p, nyc, nxc))
+                pid = jax.lax.axis_index(self.axis_name)
+                return jax.lax.dynamic_index_in_dim(
+                    eg, pid, axis=0, keepdims=False
+                )
+            x = sm(jnp.zeros_like(b_i), b_i)
+            r = b_i - _matvec3_slab(d, od, x, self.axis_name, self.n_dev)
+            bc = _restrict(r, self.axes[i])
+            ec = level(i + 1, bc)
+            x = x + _prolong(ec, self.axes[i], b_i.shape)
+            return sm(x, b_i)
+
+        return level(0, b3)
+
+
+def sharded_gmg_pcg(
+    mg: ShardedLatticeMG, d3, offd, b3, x03,
+    tol=1e-6, rel_tol=0.0, max_iter=200,
+):
+    """psum-CG preconditioned by the sharded V-cycle; OpenFOAM normFactor
+    convergence semantics (all reductions global). Call INSIDE shard_map;
+    all operands are local z-slab [nz_p, ny, nx] views."""
+    ax = mg.axis_name
+    mats, smooths, A_inv = mg.prepare(d3, offd)
+
+    def gsum(v):
+        return jax.lax.psum(jnp.sum(v), ax)
+
+    def gdot(a, b):
+        return jax.lax.psum(jnp.vdot(a, b), ax)
+
+    n_glob = mg.dims[0] * mg.dims[1] * mg.dims[2]
+
+    def matvec(x):
+        return _matvec3_slab(d3, offd, x, ax, mg.n_dev)
+
+    xref = gsum(x03) / n_glob
+    Aref = matvec(jnp.full_like(x03, xref))
+    Ax0 = matvec(x03)
+    norm = gsum(jnp.abs(Ax0 - Aref) + jnp.abs(b3 - Aref)) + jnp.finfo(
+        x03.dtype
+    ).tiny * 1e6
+    r0 = b3 - Ax0
+    res0 = gsum(jnp.abs(r0)) / norm
+    tol = _tol_floor(tol, x03.dtype)
+
+    def cond(state):
+        x, r, p, rz_old, it, res = state
+        return (res > jnp.maximum(tol, rel_tol * res0)) & (it < max_iter)
+
+    def body(state):
+        x, r, p, rz_old, it, _ = state
+        z = mg.vcycle(mats, smooths, A_inv, r)
+        rz = gdot(r, z)
+        beta = jnp.where(it == 0, 0.0, rz / rz_old)
+        p = z + beta * p
+        Ap = matvec(p)
+        alpha = rz / gdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        res = gsum(jnp.abs(r)) / norm
+        return x, r, p, rz, it + 1, res
+
+    init = (
+        x03, r0, jnp.zeros_like(x03), jnp.asarray(1.0, x03.dtype),
+        jnp.asarray(0, jnp.int32), res0,
+    )
+    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, init)
+    return SolverResult(x, res0, res, it)

@@ -18,6 +18,8 @@ import pytest
 from conftest import reference_case
 from firefoam_tpu.models.run import run_case
 
+pytestmark = pytest.mark.slow
+
 # designated golden (original/log.fireFoam): Time / deltaT / max Courant /
 # min-max(T) / species, steps 0-10 (t = 0 → 1.0 s).  dt trajectory: both
 # builds produce 0.0666667 then 0.093333 over the first 10 steps.

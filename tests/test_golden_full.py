@@ -1,0 +1,104 @@
+"""Full 2-s steckler arc vs the designated golden (VERDICT r3 item 5).
+
+The reference's regression protocol diffs a full run against
+cases/steckler/original/log.fireFoam (23 steps to t = 2 s,
+cases/steckler/testFiles:1). test_golden_early.py pins the deterministic
+t <= 1.0 window per-step; this module test-enforces the rest of the
+docs/FIDELITY.md full-arc table: 23/23 step alignment including the
+dt = 0.1 landing at k = 11 and the Courant-driven dt halving near
+t = 1.85, plus the statistical T_max level at t = 2 (chaotic regime —
+the reference's own two builds differ ~13 % there, FIDELITY.md).
+
+Slow (CPU f64, ~23 jitted adaptive-dt steps): runs when this file is
+named explicitly or under FIREFOAM_TPU_SLOW_TESTS=1.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import reference_case
+from firefoam_tpu.models.run import run_case
+
+pytestmark = pytest.mark.slow
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.fixture(scope="module")
+def full_arc():
+    case = reference_case("steckler")
+    solver, state, logs = run_case(
+        case, end_time=2.0, verbose=False, max_steps=40
+    )
+    return solver, logs
+
+
+@pytest.fixture(scope="module")
+def golden():
+    from tools.golden_compare import parse_golden
+
+    return [s for s in parse_golden() if "t" in s]
+
+
+def test_step_alignment_23_of_23(full_arc, golden):
+    """Same adaptive-dt trajectory as the golden: 23 steps to t = 2.0,
+    per-step times aligned. The dt controller (multi-region Courant
+    setMultiRegionDeltaT semantics) is what this pins — a mis-set maxCo
+    or dt clamp changes the count immediately."""
+    solver, logs = full_arc
+    assert len(golden) == 23
+    assert len(logs) == len(golden), (
+        f"{len(logs)} steps vs golden {len(golden)}"
+    )
+    for k, (g, o) in enumerate(zip(golden, logs)):
+        assert float(o["t"]) == pytest.approx(g["t"], abs=2e-3), (
+            f"step {k}: t {float(o['t'])} vs {g['t']}"
+        )
+
+
+def test_dt_trajectory_with_halving(full_arc, golden):
+    """dt per step, including the ramp 0.0667 -> 0.0933 -> 0.1 (landing at
+    k = 11, FIDELITY.md) and the Courant-driven halving near t = 1.85.
+    Deterministic window (k <= 17): tight; chaotic tail: 5 %."""
+    solver, logs = full_arc
+    for k, (g, o) in enumerate(zip(golden, logs)):
+        rel = 1e-3 if k <= 17 else 0.05
+        assert float(o["dt"]) == pytest.approx(g["dt"], rel=rel), (
+            f"step {k}: dt {float(o['dt'])} vs {g['dt']}"
+        )
+    # the dt=0.1 cap lands at k=11 exactly as the golden's controller does
+    assert float(logs[11]["dt"]) == pytest.approx(0.1, rel=1e-6)
+    assert float(logs[10]["dt"]) < 0.1
+    # Courant growth forces dt back down before the end (t ~ 1.85)
+    assert float(logs[-1]["dt"]) < 0.08
+
+
+def test_tmax_statistical_level_at_t2(full_arc, golden):
+    """t = 2 is fully chaotic (FIDELITY.md: zero-seed ensemble spread
+    reaches O(10 K) there; the reference's own dev-2017 build lands ~13 %
+    above the 2.4.x golden). Assert the statistical level: our measured
+    +7.6 % with margin to +/-15 %, and monotone plume growth."""
+    solver, logs = full_arc
+    T_end = float(logs[-1]["T_max"])
+    T_gold = golden[-1]["T_max"]  # 621.33
+    assert T_gold == pytest.approx(621.33, abs=0.1)
+    ratio = T_end / T_gold
+    assert 0.85 < ratio < 1.15, f"T_max(t=2) {T_end} vs golden {T_gold}"
+    T_mid = float(logs[10]["T_max"])
+    assert T_end > T_mid > 400.0
+
+
+def test_species_closure_at_t2(full_arc):
+    """Conservation at the end of the arc: mass fractions closed to f64
+    roundoff and the fuel/O2 inventories physically sensible (combustion
+    consumed O2 below ambient, produced H2O/CO2)."""
+    solver, logs = full_arc
+    end = logs[-1]
+    ysum_err = abs(float(end.get("Y_sum_max", 1.0)) - 1.0)
+    if "Y_sum_max" in end:
+        assert ysum_err < 1e-9
+    assert float(end["Y_O2_min"]) < 0.20
+    assert float(end["Y_H2O_max"]) > 0.01

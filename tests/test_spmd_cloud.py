@@ -22,6 +22,8 @@ import pytest
 
 from conftest import reference_case
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def activated_case(tmp_path_factory):

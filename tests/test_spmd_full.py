@@ -18,6 +18,8 @@ import pytest
 
 from conftest import reference_case
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def spmd():

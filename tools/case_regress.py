@@ -168,7 +168,42 @@ CASES = {
         extract=metrics_sprinkler, stride=1, default_steps=100,
         final=final_sprinkler,
     ),
+    # quarter-resolution variant of the same case (the author's own coarse
+    # mesh, blockMeshDict:41 commented "(15 10 15)") — cheap enough that
+    # the DEFAULT suite re-runs the live spray path against committed
+    # numbers every time (VERDICT r3 item 6); the 144k baseline stays the
+    # full-case record
+    "detailedSprinklerCoarse": dict(
+        extract=metrics_sprinkler, stride=1, default_steps=10,
+        final=final_sprinkler,
+    ),
 }
+
+
+def make_coarse_sprinkler(dst_root: str) -> str:
+    """Copy detailedSprinklerInjection to dst_root with the blockMesh
+    coarsened to the dict's own commented quarter resolution (15 10 15 =
+    2250 cells; every original gridline multiple survives, so the
+    createPatch/topoSet planes still align)."""
+    import shutil
+    import stat
+
+    src = os.path.join(REFERENCE_CASES, "detailedSprinklerInjection")
+    shutil.copytree(src, dst_root, symlinks=True)
+    for root, dirs, files in os.walk(dst_root):
+        for d in dirs:
+            os.chmod(os.path.join(root, d), 0o755)
+        for f in files:
+            p = os.path.join(root, f)
+            if not os.path.islink(p):
+                os.chmod(p, 0o644)
+    bmd = os.path.join(dst_root, "constant", "polyMesh", "blockMeshDict")
+    txt = open(bmd).read()
+    assert "(60 40 60)" in txt
+    txt = txt.replace("hex (0 1 2 3 4 5 6 7) (60 40 60)",
+                      "hex (0 1 2 3 4 5 6 7) (15 10 15)")
+    open(bmd, "w").write(txt)
+    return dst_root
 
 
 def run(case_name: str, n_steps: int, case_dir: str | None = None):
