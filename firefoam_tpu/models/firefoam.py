@@ -566,7 +566,7 @@ class FireFoamSolver:
             if pch.name in tfrad_patches:
                 # every specie (inert included) → cell mixture, so the face
                 # stays a normalised air composition
-                Yb = Yb.at[pch.slice, :].set(Y.i[g.b_own[pch.slice], :])
+                Yb = Yb.at[pch.slice, :].set(g.cell_to_boundary(Y.i)[pch.slice, :])
         Y = VolField(Y.i, Yb)
 
         psi_i = self.gas.psi(T.i, Y.i)
@@ -1172,7 +1172,7 @@ class FireFoamSolver:
             sl = p.slice
             cp_w = self.gas.cp(T.b[sl], Y.b[sl])
             alpha_w = state["alpha"].b[sl]
-            grad_tw = g.b_dc[sl] * (T.b[sl] - T.i[g.b_own[sl]])
+            grad_tw = g.b_dc[sl] * (T.b[sl] - g.cell_to_boundary(T.i)[sl])
             qwl = -alpha_w * cp_w * grad_tw
             fmf = -state["phi"].b[sl] / g.b_magSf[sl] * 2.5 * 1000.0
             qc_flame = float(bc.params.get("QcFlame", 20000.0))
@@ -1229,7 +1229,7 @@ class FireFoamSolver:
             nuw = mu.b[sl] / rho.b[sl]
             y = 1.0 / g.b_dc[sl]
             if bc.kind == "nutkWallFunction":
-                yp = cmu25 * jnp.sqrt(jnp.maximum(k_new.i[g.b_own[sl]], 0.0)) * y / nuw
+                yp = cmu25 * jnp.sqrt(jnp.maximum(g.cell_to_boundary(k_new.i)[sl], 0.0)) * y / nuw
                 val = jnp.where(
                     yp > ypl,
                     nuw * (yp * kappa / jnp.log(jnp.maximum(E * yp, 1.0 + 1e-12)) - 1.0),
@@ -1240,7 +1240,7 @@ class FireFoamSolver:
                     state["alpha"].b[sl], tiny
                 )
             else:  # nutUSpalding[Blowing]
-                du = U.i[g.b_own[sl]] - U.b[sl]
+                du = g.cell_to_boundary(U.i)[sl] - U.b[sl]
                 mag_up = jnp.linalg.norm(du, axis=1)
                 mag_grad = mag_up * g.b_dc[sl]
                 ut = spalding_utau(mag_up, mag_grad, nuw, y, kappa, E)
@@ -1276,8 +1276,7 @@ class FireFoamSolver:
         kappa_k = float(bc.params.get("kappa", 0.41))
         Prt = float(bc.params.get("Prt", 0.85))
         yplus_crit = float(bc.params.get("yPlusCrit", 11.05))
-        own = g.b_own[sl]
-        k_c = state["k"].i[own]
+        k_c = g.cell_to_boundary(state["k"].i)[sl]
         rho_w = state["rho"].b[sl]
         mu_w = state["mu"].b[sl]
         alpha_w = state["alpha"].b[sl]

@@ -9,7 +9,7 @@ the psum/ppermute semantics change nothing but reduction order), (c) the
 V-cycle hierarchy is shard-local except the per-matvec z-plane ring.
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +24,7 @@ from firefoam_tpu.parallel.sharded_gmg import (
 from firefoam_tpu.solvers.gmg import LatticeMG, gmg_pcg
 from firefoam_tpu.solvers.linear import pcg
 
-try:
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # newer jax
-    from jax.sharding import shard_map
+from firefoam_tpu.parallel.sharded import shard_map_compat
 
 
 def _poisson3(nx, ny, nz, seed=0, shift=0.03):
@@ -83,18 +80,19 @@ def test_sharded_gmg_matches_single_device(dims):
     to3 = lambda a: jnp.asarray(a).reshape(nz, ny, nx)
     u3 = u.reshape(3, nz, ny, nx)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("cells"),) * 9,
-        out_specs=(P("cells"), P(), P()),
-    )
-    def solve(d3, ux, uy, uz, lx, ly, lz, b3, x03):
+    def _solve(d3, ux, uy, uz, lx, ly, lz, b3, x03):
         offd = {"u2": ux, "u1": uy, "u0": uz,
                 "l2": lx, "l1": ly, "l0": lz}
         res = sharded_gmg_pcg(mg, d3, offd, b3, x03, tol=1e-10,
                               max_iter=200)
         return res.x, res.final_residual, res.n_iterations
+
+    solve = shard_map_compat(
+        _solve,
+        mesh=mesh,
+        in_specs=(P("cells"),) * 9,
+        out_specs=(P("cells"), P(), P()),
+    )
 
     x_sh, fres, iters = solve(
         to3(d), to3(u3[0].reshape(-1)), to3(u3[1].reshape(-1)),
