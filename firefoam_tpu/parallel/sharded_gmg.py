@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from ..solvers.gmg import (
     _coarsen_axis,
+    _inv_newton_schulz,
     _prolong,
     _restrict,
     _shift_m,
@@ -213,7 +214,9 @@ class ShardedLatticeMG:
             src = idx[: n - st]
             A = A.at[src, src + st].add(u[: n - st])
             A = A.at[src + st, src].add(l[: n - st])
-        return mats, smooths, jnp.linalg.inv(A)
+        # matmul-only Newton-Schulz inverse (see solvers/gmg.py) —
+        # computed redundantly and bitwise-identically on every shard
+        return mats, smooths, _inv_newton_schulz(A)
 
     def vcycle(self, mats, smooths, A_inv, b3):
         def level(i, b_i):

@@ -155,6 +155,20 @@ def _rowsum_off(offd):
     return s
 
 
+def _inv_newton_schulz(A, iters: int = 30):
+    """A^-1 for small SPD A via Newton-Schulz (matmul-only — MXU-friendly,
+    no sequential LU). X0 = A / (||A||_1 ||A||_inf) guarantees
+    ||I - X0 A|| < 1 for SPD A; each step squares the error."""
+    n = A.shape[0]
+    norm1 = jnp.max(jnp.sum(jnp.abs(A), axis=0))
+    norminf = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    X = A.T / (norm1 * norminf)
+    I2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+    for _ in range(iters):
+        X = X @ (I2 - A @ X)
+    return X
+
+
 class _Cheby:
     """Chebyshev-Jacobi smoother over [lmax*ratio, lmax] (hypre-style
     three-term recurrence). No reductions inside — the eigenvalue bound
@@ -304,10 +318,14 @@ class LatticeMG:
             A = A.at[src, src + st].add(u[: n - st])
             A = A.at[src + st, src].add(l[: n - st])
         # explicit inverse: the coarsest apply becomes ONE small MXU matmul
-        # per V-cycle instead of a sequential LU custom-call (n <= 512, SPD
-        # and diagonally dominant — inversion is benign, and preconditioner
-        # accuracy only affects CG iteration count, not the solution)
-        return mats, smooths, jnp.linalg.inv(A)
+        # per V-cycle. The inverse itself is built by Newton-Schulz
+        # iteration (X <- X(2I - AX), 30 unrolled steps) — pure MXU
+        # matmuls, no LU: jnp.linalg.inv lowers to sequential while-loop
+        # factorizations on TPU (~ms per solve at n~200). Seeded with
+        # X0 = A/(||A||_1 ||A||_inf) (SPD A), quadratic convergence;
+        # preconditioner accuracy only affects CG iteration count, not
+        # the solution.
+        return mats, smooths, _inv_newton_schulz(A)
 
     def vcycle(self, mats, smooths, A_coarse, b3):
         """One V(pre, post) cycle approximating M^-1 b (zero initial
