@@ -224,7 +224,7 @@ class LatticeMG:
     n_coarsest_max: int = 512
 
     @classmethod
-    def build(cls, offsets, n_cells, n_coarsest: int = 512,
+    def build(cls, offsets, n_cells, n_coarsest: int = 64,
               max_levels: int = 12) -> Optional["LatticeMG"]:
         dims = lattice_dims(offsets, n_cells)
         if dims is None:
