@@ -466,13 +466,7 @@ class MeshGeometry:
         fpad = ((0, 0),) * len(feat)
         if self._b_blocks_vpad:
             bv = jnp.pad(bv, ((0, self._b_blocks_vpad),) + fpad)
-        total = nC + self._b_blocks_pad
-        # each block becomes a FULL-LENGTH padded array and the result is
-        # their sum: one fused elementwise pass over the output instead of
-        # a sequential read-modify-write dynamic_update_slice chain (the
-        # chain measured 203 x ~48 us anonymous DUS ops per 500k-cell
-        # step — ~18% of the whole step; the summed form fuses)
-        out = None
+        out = jnp.zeros((nC + self._b_blocks_pad,) + feat, bv.dtype)
         for (v0, vp, base, bp, rows, s, c) in self._b_blocks:
             w = (c - 1) * s + 1  # exact strided span of one row
             if rows == 1:
@@ -489,8 +483,8 @@ class MeshGeometry:
             ln = (rows - 1) * bp + w
             upd = u.reshape((rows * max(bp, w) if rows > 1 else w,) + feat)
             upd = jax.lax.slice_in_dim(upd, 0, ln, axis=0)
-            full = jnp.pad(upd, ((base, total - base - ln),) + fpad)
-            out = full if out is None else out + full
+            seg = jax.lax.slice_in_dim(out, base, base + ln, axis=0)
+            out = jax.lax.dynamic_update_slice_in_dim(out, seg + upd, base, 0)
         return out[:nC] if self._b_blocks_pad else out
 
     def cell_to_boundary(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -507,12 +501,9 @@ class MeshGeometry:
         fpad = ((0, 0),) * len(feat)
         if self._b_blocks_pad:
             x = jnp.pad(x, ((0, self._b_blocks_pad),) + fpad)
-        totv = self.n_boundary + self._b_blocks_vpad
-        # sum-of-padded-blocks form: one fused elementwise pass (see the
-        # matching note in _lattice_scatter) — block value ranges are
-        # disjoint, and gap slots of interleaved blocks carry zeros, so
-        # the sum IS the placement
-        out = None
+        out = jnp.zeros(
+            (self.n_boundary + self._b_blocks_vpad,) + feat, x.dtype
+        )
         for (v0, vp, base, bp, rows, s, c) in self._b_blocks:
             w = (c - 1) * s + 1  # strided span of one row in cell space
             ln = (rows - 1) * bp + w
@@ -535,8 +526,12 @@ class MeshGeometry:
                 (rows * max(vp, c) if rows > 1 else c,) + feat
             )
             segf = jax.lax.slice_in_dim(segf, 0, lnv, axis=0)
-            full = jnp.pad(segf, ((v0, totv - v0 - lnv),) + fpad)
-            out = full if out is None else out + full
+            # slice-ADD (not overwrite): vp > c leaves gap slots belonging
+            # to interleaved blocks; this block contributes zeros there
+            cur = jax.lax.slice_in_dim(out, v0, v0 + lnv, axis=0)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, cur + segf, v0, 0
+            )
         return out[: self.n_boundary] if self._b_blocks_vpad else out
 
     # ------------------------------------------------------ scatter helpers
