@@ -2350,11 +2350,16 @@ class FireFoamSolver:
             log.update(flame_heights(self, state))
         # golden-log diffables: species min/gAverage/max (YEEqn.H:72-77),
         # the dt used this step and the post-increment time
+        # one batched reduction per statistic instead of 3·nSpecies
+        # slice+reduce kernels (dynamic-slice_reduce fusions measured in
+        # the 500k profile)
+        y_min = g.rminc(state["Y"].i)
+        y_ave = g.rmeanc(state["Y"].i)
+        y_max = g.rmaxc(state["Y"].i)
         for s, sp in enumerate(self.species):
-            col = state["Y"].i[:, s]
-            log[f"Y_{sp}_min"] = g.rmin(col)
-            log[f"Y_{sp}_ave"] = g.rmean(col)
-            log[f"Y_{sp}_max"] = g.rmax(col)
+            log[f"Y_{sp}_min"] = y_min[s]
+            log[f"Y_{sp}_ave"] = y_ave[s]
+            log[f"Y_{sp}_max"] = y_max[s]
         log["t"] = state["t"]
         log["dt"] = dt
         log.update(self.function_objects.compute(state))

@@ -42,15 +42,39 @@ def _wmul(w, x):
     return w * x
 
 
+def _dia_faces(geom: MeshGeometry, fn) -> jnp.ndarray:
+    """Per-offset face-array builder for DIA layouts: fn(k, x_nei_k) maps
+    one offset's [nC(,d)] part; the ONLY [K·nC] materialisation is the
+    final concat (the gather-concat forms materialise every gathered
+    input — measured ~10 ms/step of anonymous dynamic-update-slices at
+    500k cells)."""
+    import jax.numpy as _jnp
+
+    return _jnp.concatenate(
+        [fn(k, o) for k, o in enumerate(geom.offsets)]
+    )
+
+
+def _is_dia(geom) -> bool:
+    return getattr(geom, "layout", "seg") == "dia"
+
+
 def interpolate(geom: MeshGeometry, f: VolField) -> SurfaceField:
     """Linear (central) interpolation to faces; boundary = patch values."""
-    xo = geom.gather_own(f.i)
-    xn = geom.gather_nei(f.i)
-    return SurfaceField(_wmul(geom.w, xo) + _wmul(1.0 - geom.w, xn), f.b)
+    return interpolate_weighted(geom, f, geom.w)
 
 
 def interpolate_weighted(geom: MeshGeometry, f: VolField, w: jnp.ndarray) -> SurfaceField:
     """Interpolation with caller-supplied internal-face weights (schemes)."""
+    if _is_dia(geom):
+        nC = geom.n_cells
+        w2 = w.reshape((len(geom.offsets), nC) + w.shape[1:])
+
+        def part(k, o):
+            wk = w2[k]
+            return _wmul(wk, f.i) + _wmul(1.0 - wk, jnp.roll(f.i, -o, axis=0))
+
+        return SurfaceField(_dia_faces(geom, part), f.b)
     xo = geom.gather_own(f.i)
     xn = geom.gather_nei(f.i)
     return SurfaceField(_wmul(w, xo) + _wmul(1.0 - w, xn), f.b)
@@ -59,7 +83,15 @@ def interpolate_weighted(geom: MeshGeometry, f: VolField, w: jnp.ndarray) -> Sur
 def sn_grad(geom: MeshGeometry, f: VolField, b_grad: jnp.ndarray = None) -> SurfaceField:
     """Surface-normal gradient (uncorrected). Boundary snGrad defaults to
     dc*(b_value - cell_value); pass b_grad to override (fixedGradient BCs)."""
-    gi = _wmul(geom.dc, geom.gather_nei(f.i) - geom.gather_own(f.i))
+    if _is_dia(geom):
+        nC = geom.n_cells
+        dc2 = geom.dc.reshape(len(geom.offsets), nC)
+        gi = _dia_faces(
+            geom,
+            lambda k, o: _wmul(dc2[k], jnp.roll(f.i, -o, axis=0) - f.i),
+        )
+    else:
+        gi = _wmul(geom.dc, geom.gather_nei(f.i) - geom.gather_own(f.i))
     if b_grad is None:
         b_grad = _wmul(geom.b_dc, f.b - geom.cell_to_boundary(f.i))
     return SurfaceField(gi, b_grad)

@@ -136,8 +136,7 @@ class FvMatrix:
         x = g.sync(x)
         d = self.diag if diag_total is None else diag_total
         y = d * x
-        y = y + g.face_to_own_sum(self.upper * g.gather_nei(x))
-        y = y + g.face_to_nei_sum(self.lower * g.gather_own(x))
+        y = y + self._H_off(x)
         return y
 
     # ------------------------------------------------- OpenFOAM-style ops
@@ -166,7 +165,21 @@ class FvMatrix:
         return (-off + self.source + b) / _bcol(g.V, x)
 
     def _H_off(self, x):
+        """Off-diagonal apply Σ_f upper·x_N (to own) + lower·x_P (to nei).
+        DIA: per-offset rolls/shifts with no [K·nC] temporaries (the
+        gather-concat forms materialise ~5 face-sized buffers each)."""
         g = self.geom
+        if getattr(g, "layout", "seg") == "dia" and self.upper.ndim == 1:
+            nC = g.n_cells
+            K = len(g.offsets)
+            up = self.upper.reshape(K, nC)
+            lo = self.lower.reshape(K, nC)
+            y = jnp.zeros_like(x)
+            for k, o in enumerate(g.offsets):
+                y = y + up[k] * jnp.roll(x, -o, axis=0)
+                lx = lo[k] * x
+                y = y + jnp.concatenate([jnp.zeros((o,), x.dtype), lx[:-o]])
+            return y
         return g.face_to_own_sum(self.upper * g.gather_nei(x)) + g.face_to_nei_sum(
             self.lower * g.gather_own(x)
         )
@@ -176,7 +189,18 @@ class FvMatrix:
         boundary internal_coeffs·x_own − boundary_coeffs (scalar psi only)."""
         g = self.geom
         x = self.psi.i
-        fi = self.upper * g.gather_nei(x) - self.lower * g.gather_own(x)
+        if getattr(g, "layout", "seg") == "dia" and self.upper.ndim == 1:
+            # per-offset: the only [K·nC] buffer is the output itself
+            nC = g.n_cells
+            K = len(g.offsets)
+            up = self.upper.reshape(K, nC)
+            lo = self.lower.reshape(K, nC)
+            fi = jnp.concatenate([
+                up[k] * jnp.roll(x, -o, axis=0) - lo[k] * x
+                for k, o in enumerate(g.offsets)
+            ])
+        else:
+            fi = self.upper * g.gather_nei(x) - self.lower * g.gather_own(x)
         fb = self.internal_coeffs * g.cell_to_boundary(x) - self.boundary_coeffs
         return SurfaceField(fi, fb)
 
@@ -254,6 +278,15 @@ def upwind_weights(geom: MeshGeometry, phi_i: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(phi_i >= 0.0, 1.0, 0.0).astype(phi_i.dtype)
 
 
+def _d_face(geom):
+    """Static C_N - C_P per face (cached device const on MeshGeometry;
+    recomputed in-graph only for geometries without the cache)."""
+    d = getattr(geom, "d_face", None)
+    if d is None:
+        d = geom.gather_nei(geom.C) - geom.gather_own(geom.C)
+    return d
+
+
 def limited_linear_limiter(
     geom: MeshGeometry, phi_i: jnp.ndarray, psi: VolField, k: float = 1.0,
     bound01: bool = False,
@@ -271,33 +304,52 @@ def limited_linear_limiter(
     from . import fvc
 
     g = fvc.grad_scalar(geom, psi)
-    g_own = geom.gather_own(g)
-    g_nei = geom.gather_nei(g)
-    d = geom.gather_nei(geom.C) - geom.gather_own(geom.C)
-    psi_own = geom.gather_own(psi.i)
-    psi_nei = geom.gather_nei(psi.i)
-    gradf = psi_nei - psi_own
-    up_own = phi_i >= 0
-    gradcf = jnp.where(
-        up_own,
-        jnp.einsum("fd,fd->f", d, g_own),
-        jnp.einsum("fd,fd->f", d, g_nei),
-    )
-    big = jnp.abs(gradcf) >= 1000.0 * jnp.abs(gradf)
-    safe = jnp.where(gradf == 0.0, 1.0, gradf)
-    r = jnp.where(
-        big,
-        2.0 * 1000.0 * jnp.sign(gradcf) * jnp.sign(gradf) - 1.0,
-        2.0 * gradcf / safe - 1.0,
-    )
-    lim = jnp.clip(2.0 / k * r, 0.0, 1.0)
-    if bound01:
-        out = (
-            (jnp.maximum(psi_own, psi_nei) > 1.0)
-            | (jnp.minimum(psi_own, psi_nei) < 0.0)
+    d = _d_face(geom)
+
+    def limiter_of(psi_o, psi_n, d_k, g_o, g_n, up_own):
+        gradf = psi_n - psi_o
+        gradcf = jnp.where(
+            up_own,
+            jnp.einsum("fd,fd->f", d_k, g_o),
+            jnp.einsum("fd,fd->f", d_k, g_n),
         )
-        lim = jnp.where(out, 0.0, lim)
-    return lim
+        big = jnp.abs(gradcf) >= 1000.0 * jnp.abs(gradf)
+        safe = jnp.where(gradf == 0.0, 1.0, gradf)
+        r = jnp.where(
+            big,
+            2.0 * 1000.0 * jnp.sign(gradcf) * jnp.sign(gradf) - 1.0,
+            2.0 * gradcf / safe - 1.0,
+        )
+        lim = jnp.clip(2.0 / k * r, 0.0, 1.0)
+        if bound01:
+            out = (
+                (jnp.maximum(psi_o, psi_n) > 1.0)
+                | (jnp.minimum(psi_o, psi_n) < 0.0)
+            )
+            lim = jnp.where(out, 0.0, lim)
+        return lim
+
+    if getattr(geom, "layout", "seg") == "dia":
+        # per-offset form: each offset's limiter is one fused [nC] pass
+        # (roll -> math); the only [K·nC] materialisation is the single
+        # output concat, instead of five gathered inputs
+        nC = geom.n_cells
+        K = len(geom.offsets)
+        d3 = d.reshape(K, nC, 3)
+        phi2 = phi_i.reshape(K, nC)
+        lims = []
+        for k2, o in enumerate(geom.offsets):
+            psi_n = jnp.roll(psi.i, -o, axis=0)
+            g_n = jnp.roll(g, -o, axis=0)
+            lims.append(
+                limiter_of(psi.i, psi_n, d3[k2], g, g_n, phi2[k2] >= 0)
+            )
+        return jnp.concatenate(lims)
+
+    return limiter_of(
+        geom.gather_own(psi.i), geom.gather_nei(psi.i), d,
+        geom.gather_own(g), geom.gather_nei(g), phi_i >= 0,
+    )
 
 
 def limiter_weights(geom: MeshGeometry, phi_i: jnp.ndarray, lim: jnp.ndarray) -> jnp.ndarray:
@@ -345,22 +397,38 @@ def filtered_linear2_limiter(
 
     if grad_psi is None:
         grad_psi = fvc.grad(geom, psi) if psi.i.ndim == 2 else fvc.grad_scalar(geom, psi)
-    d = geom.gather_nei(geom.C) - geom.gather_own(geom.C)
-    go = geom.gather_own(grad_psi)
-    gn = geom.gather_nei(grad_psi)
-    if psi.i.ndim == 2:  # filteredLinear2V: along the face-difference direction
-        dfV = geom.gather_nei(psi.i) - geom.gather_own(psi.i)
-        df = jnp.einsum("fi,fi->f", dfV, dfV)
-        dP = jnp.einsum("fi,fi->f", dfV, jnp.einsum("fi,fij->fj", d, go))
-        dN = jnp.einsum("fi,fi->f", dfV, jnp.einsum("fi,fij->fj", d, gn))
-    else:
-        df = geom.gather_nei(psi.i) - geom.gather_own(psi.i)
-        dP = jnp.einsum("fd,fd->f", d, go)
-        dN = jnp.einsum("fd,fd->f", d, gn)
-    ratio = jnp.maximum(jnp.abs(df - dP), jnp.abs(df - dN)) / (
-        jnp.abs(df) + small()
+    d = _d_face(geom)
+
+    def lim_of(psi_o, psi_n, d_k, g_o, g_n):
+        if psi.i.ndim == 2:  # filteredLinear2V: along the face difference
+            dfV = psi_n - psi_o
+            df = jnp.einsum("fi,fi->f", dfV, dfV)
+            dP = jnp.einsum("fi,fi->f", dfV, jnp.einsum("fi,fij->fj", d_k, g_o))
+            dN = jnp.einsum("fi,fi->f", dfV, jnp.einsum("fi,fij->fj", d_k, g_n))
+        else:
+            df = psi_n - psi_o
+            dP = jnp.einsum("fd,fd->f", d_k, g_o)
+            dN = jnp.einsum("fd,fd->f", d_k, g_n)
+        ratio = jnp.maximum(jnp.abs(df - dP), jnp.abs(df - dN)) / (
+            jnp.abs(df) + small()
+        )
+        return jnp.clip((l + 1.0) - k * ratio, 0.0, 1.0)
+
+    if getattr(geom, "layout", "seg") == "dia":
+        nC = geom.n_cells
+        K = len(geom.offsets)
+        d3 = d.reshape((K, nC) + d.shape[1:])
+        lims = []
+        for k2, o in enumerate(geom.offsets):
+            psi_n = jnp.roll(psi.i, -o, axis=0)
+            g_n = jnp.roll(grad_psi, -o, axis=0)
+            lims.append(lim_of(psi.i, psi_n, d3[k2], grad_psi, g_n))
+        return jnp.concatenate(lims)
+
+    return lim_of(
+        geom.gather_own(psi.i), geom.gather_nei(psi.i), d,
+        geom.gather_own(grad_psi), geom.gather_nei(grad_psi),
     )
-    return jnp.clip((l + 1.0) - k * ratio, 0.0, 1.0)
 
 
 def lust_div(
@@ -378,20 +446,37 @@ def lust_div(
     wu = upwind_weights(geom, phi.i)
     w = 0.75 * geom.w + 0.25 * wu
     up_own = (phi.i >= 0)
-    C_up = jnp.where(
-        up_own[:, None], geom.gather_own(geom.C), geom.gather_nei(geom.C)
-    )
-    d = geom.Cf - C_up
-    go = geom.gather_own(grad_psi)
-    gn = geom.gather_nei(grad_psi)
-    if psi.i.ndim == 2:
-        g_up = jnp.where(up_own[:, None, None], go, gn)
-        corr_i = 0.25 * jnp.einsum("fi,fij->fj", d, g_up)
-        corr_b = jnp.zeros_like(psi.b)
+    C_own = getattr(geom, "C_own_f", None)
+    if C_own is None:
+        C_own, C_nei = geom.gather_own(geom.C), geom.gather_nei(geom.C)
     else:
-        g_up = jnp.where(up_own[:, None], go, gn)
-        corr_i = 0.25 * jnp.einsum("fi,fi->f", d, g_up)
-        corr_b = jnp.zeros_like(psi.b)
+        C_nei = geom.C_nei_f
+    C_up = jnp.where(up_own[:, None], C_own, C_nei)
+    d = geom.Cf - C_up
+
+    def corr_of(d_k, g_o, g_n, up_k):
+        if psi.i.ndim == 2:
+            g_up = jnp.where(up_k[:, None, None], g_o, g_n)
+            return 0.25 * jnp.einsum("fi,fij->fj", d_k, g_up)
+        g_up = jnp.where(up_k[:, None], g_o, g_n)
+        return 0.25 * jnp.einsum("fi,fi->f", d_k, g_up)
+
+    if getattr(geom, "layout", "seg") == "dia":
+        nC = geom.n_cells
+        K = len(geom.offsets)
+        d3 = d.reshape(K, nC, 3)
+        up2 = up_own.reshape(K, nC)
+        corr_i = jnp.concatenate([
+            corr_of(
+                d3[k2], grad_psi, jnp.roll(grad_psi, -o, axis=0), up2[k2]
+            )
+            for k2, o in enumerate(geom.offsets)
+        ])
+    else:
+        corr_i = corr_of(
+            d, geom.gather_own(grad_psi), geom.gather_nei(grad_psi), up_own
+        )
+    corr_b = jnp.zeros_like(psi.b)
     return div(geom, phi, psi, w, vic, vbc, correction=SurfaceField(corr_i, corr_b))
 
 

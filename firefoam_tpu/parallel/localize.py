@@ -118,6 +118,23 @@ class ShardGeometry(MeshGeometry):
     def rcount(self):
         return jax.lax.psum(jnp.sum(self.cell_w), self.axis)
 
+    # batched per-column reductions (see MeshGeometry.rminc/rmaxc/rmeanc)
+    def rminc(self, x):
+        m = jnp.min(
+            jnp.where(self._wc(x) > 0, x, self._big(x)), axis=0
+        )
+        return jax.lax.pmin(m, self.axis)
+
+    def rmaxc(self, x):
+        m = jnp.max(
+            jnp.where(self._wc(x) > 0, x, -self._big(x)), axis=0
+        )
+        return jax.lax.pmax(m, self.axis)
+
+    def rmeanc(self, x):
+        s = jax.lax.psum(jnp.sum(self._masked(x), axis=0), self.axis)
+        return s / self.rcount()
+
     def _bv(self, x, sl):
         v = self.b_valid[sl] if sl is not None else self.b_valid
         y = x[sl] if sl is not None else x
