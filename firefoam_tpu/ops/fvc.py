@@ -56,7 +56,14 @@ def _dia_faces(geom: MeshGeometry, fn) -> jnp.ndarray:
 
 
 def _is_dia(geom) -> bool:
-    return getattr(geom, "layout", "seg") == "dia"
+    """Per-offset fast path: DIA with a small offset count. Banded-DIA
+    (RCM-renumbered unstructured, up to 64 offsets) keeps the gather
+    forms — unrolling 64 per-offset passes per op explodes compile
+    time for no traffic win."""
+    return (
+        getattr(geom, "layout", "seg") == "dia"
+        and len(getattr(geom, "offsets", ())) <= 8
+    )
 
 
 def interpolate(geom: MeshGeometry, f: VolField) -> SurfaceField:
