@@ -56,13 +56,17 @@ def _dia_faces(geom: MeshGeometry, fn) -> jnp.ndarray:
 
 
 def _is_dia(geom) -> bool:
-    """Per-offset fast path: DIA with a small offset count. Banded-DIA
-    (RCM-renumbered unstructured, up to 64 offsets) keeps the gather
-    forms — unrolling 64 per-offset passes per op explodes compile
-    time for no traffic win."""
+    """Per-offset fast path: DIA, small offset count, large mesh.
+    Banded-DIA (up to 64 offsets) keeps the gather forms (64 unrolled
+    passes explode compile time); small meshes keep them too (the extra
+    op count is a net loss when dispatch-latency-bound —
+    geometry.per_offset_enabled)."""
+    from .geometry import per_offset_enabled
+
     return (
         getattr(geom, "layout", "seg") == "dia"
         and len(getattr(geom, "offsets", ())) <= 8
+        and per_offset_enabled(geom)
     )
 
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .fields import SurfaceField, VolField
-from .geometry import MeshGeometry
+from .geometry import MeshGeometry, per_offset_enabled as _poe
 
 __all__ = [
     "FvMatrix",
@@ -169,7 +169,7 @@ class FvMatrix:
         DIA: per-offset rolls/shifts with no [K·nC] temporaries (the
         gather-concat forms materialise ~5 face-sized buffers each)."""
         g = self.geom
-        if getattr(g, "layout", "seg") == "dia" and len(g.offsets) <= 8 and self.upper.ndim == 1:
+        if getattr(g, "layout", "seg") == "dia" and len(g.offsets) <= 8 and _poe(g) and self.upper.ndim == 1:
             nC = g.n_cells
             K = len(g.offsets)
             up = self.upper.reshape(K, nC)
@@ -189,7 +189,7 @@ class FvMatrix:
         boundary internal_coeffs·x_own − boundary_coeffs (scalar psi only)."""
         g = self.geom
         x = self.psi.i
-        if getattr(g, "layout", "seg") == "dia" and len(g.offsets) <= 8 and self.upper.ndim == 1:
+        if getattr(g, "layout", "seg") == "dia" and len(g.offsets) <= 8 and _poe(g) and self.upper.ndim == 1:
             # per-offset: the only [K·nC] buffer is the output itself
             nC = g.n_cells
             K = len(g.offsets)
@@ -329,7 +329,7 @@ def limited_linear_limiter(
             lim = jnp.where(out, 0.0, lim)
         return lim
 
-    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8:
+    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8 and _poe(geom):
         # per-offset form: each offset's limiter is one fused [nC] pass
         # (roll -> math); the only [K·nC] materialisation is the single
         # output concat, instead of five gathered inputs
@@ -414,7 +414,7 @@ def filtered_linear2_limiter(
         )
         return jnp.clip((l + 1.0) - k * ratio, 0.0, 1.0)
 
-    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8:
+    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8 and _poe(geom):
         nC = geom.n_cells
         K = len(geom.offsets)
         d3 = d.reshape((K, nC) + d.shape[1:])
@@ -461,7 +461,7 @@ def lust_div(
         g_up = jnp.where(up_k[:, None], g_o, g_n)
         return 0.25 * jnp.einsum("fi,fi->f", d_k, g_up)
 
-    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8:
+    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8 and _poe(geom):
         nC = geom.n_cells
         K = len(geom.offsets)
         d3 = d.reshape(K, nC, 3)

@@ -141,6 +141,21 @@ def _lattice_blocks(idx: np.ndarray, n_cells: int, max_blocks: int = _MAX_LATTIC
     return tuple(blocks), int(cell_pad), int(val_pad)
 
 
+def per_offset_enabled(geom) -> bool:
+    """Whether the per-offset DIA fast paths (fvc/fvm) should serve this
+    mesh. They eliminate [K·nC] face materialisations — a ~1.3x win at
+    500k cells — but triple the op count per primitive, which is a net
+    LOSS on dispatch-latency-bound small meshes (9k headline measured
+    368 -> 227 M CUPS when applied unconditionally). Auto: >= 50k cells.
+    FIREFOAM_TPU_PER_OFFSET=0/1 overrides (tests force both paths)."""
+    v = os.environ.get("FIREFOAM_TPU_PER_OFFSET", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return getattr(geom, "n_cells", 0) >= 50000
+
+
 def _blocks_to_slabs(blocks, dims):
     """Re-express lattice boundary blocks as rectangular SLABS of the 3-D
     cell view [nz, ny, nx] (x fastest). A wall block (base + bp·i + s·j)
@@ -625,7 +640,7 @@ class MeshGeometry:
 
     def boundary_to_cell_sum(self, bv: jnp.ndarray) -> jnp.ndarray:
         """Σ of boundary-face values into their owner cells."""
-        if self._b_slabs is not None:
+        if self._b_slabs is not None and per_offset_enabled(self):
             return self._slab_scatter(bv)
         if self._b_blocks is not None:
             return self._lattice_scatter(bv)
@@ -744,7 +759,7 @@ class MeshGeometry:
         UEqn/kEqn/YEqn/pEqn per step); on lattice boundaries the inverse
         of _lattice_scatter expresses it as static slice/reshape ops at
         HBM speed. Falls back to the gather on non-lattice boundaries."""
-        if self._b_slabs is not None:
+        if self._b_slabs is not None and per_offset_enabled(self):
             return self._slab_gather(x)
         if self._b_blocks is None:
             return x[self.b_own]
