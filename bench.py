@@ -216,16 +216,24 @@ def main():
                 pert = 1.0 + 1e-6 * np.random.RandomState(0).randn(
                     sAB.geom.n_cells
                 )
-                stB = dict(stA0)
-                stB["T"] = VolField(
+                stB0 = dict(stA0)
+                stB0["T"] = VolField(
                     stA0["T"].i * jnp.asarray(pert, stA0["T"].i.dtype),
                     stA0["T"].b,
                 )
-                for _ in range(n_val):
-                    stB, _ = stepAB(stB)
-                TB = np.asarray(
-                    jax.device_get(stB["T"].i), dtype=np.float64
-                )
+                TB = None
+                for attempt in range(2):  # tunnel hiccups: one retry
+                    try:
+                        stB = stB0
+                        for _ in range(n_val):
+                            stB, _ = stepAB(stB)
+                        TB = np.asarray(
+                            jax.device_get(stB["T"].i), dtype=np.float64
+                        )
+                        break
+                    except Exception:
+                        if attempt == 1:
+                            raise
                 result["f32_chaos_floor"] = round(
                     float(np.max(np.abs(T32 - TB) / np.maximum(TB, 1.0))), 6
                 )
@@ -243,6 +251,10 @@ def main():
                     sp64 = FireFoamSolver(case)
                     stp64 = sp64.initial_state()
                 step_p64 = sp64.make_step()
+                # warm/compile OUTSIDE the timing (the first call compiles
+                # for minutes; timing it inflated the cost ratio ~100x)
+                stw, _ = step_p64(stp64)
+                jax.block_until_ready(stw["t"])
                 t0 = _t.perf_counter()
                 for _ in range(n_val):
                     stp64, _ = step_p64(stp64)
@@ -256,6 +268,7 @@ def main():
                     6,
                 )
                 # cost relative to the default path over the same window
+                # (step32 is already compiled+warm from the drift leg)
                 t0 = _t.perf_counter()
                 for _ in range(n_val):
                     st32, _ = step32(st32)
