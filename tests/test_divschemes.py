@@ -40,9 +40,13 @@ def test_filtered_linear2_smooth_is_linear():
     lam = _limiter(geom, psi, k=0.2, l=0.05, fn=fn)
     # faces with a roundoff-zero difference (z-faces here) see noise/noise
     # in the gradient ratio; their weight is irrelevant (the upwind/linear
-    # blend acts on df ~ 0) so only faces with a real difference must be 1
+    # blend acts on df ~ 0) so only REAL faces with a real difference must
+    # be 1 (DIA pad slots wrap in the raw gather and carry zero
+    # coefficients — their limiter value is meaningless by construction;
+    # the cached d_face is 0 there, r4)
     df = np.asarray(geom.gather_nei(psi) - geom.gather_own(psi))
-    assert (lam[np.abs(df) > 1e-8] == 1.0).all()
+    real = np.asarray(geom.face_mask) > 0
+    assert (lam[(np.abs(df) > 1e-8) & real] == 1.0).all()
 
 
 def test_filtered_linear2_k0_always_linear():
