@@ -193,6 +193,16 @@ class ReactingCloud:
         else:
             self.vapour_fracs = (1.0,) * len(self.vapour_indices)
         self.vapour_index = self.vapour_indices[0] if self.vapour_indices else gas.index("H2O")
+        # per-parcel multi-component liquid evaporation (ReactingParcel's
+        # per-parcel Y over the liquid phase + LiquidEvaporation's
+        # per-component vapour pressures, ReactingParcel.C:389-607): active
+        # when the mixture has >1 component and each maps to a carrier
+        # species; parcels then carry a "Yl" lane and components deplete
+        # at their own Raoult rates
+        self.n_liq = len(getattr(self.liquid, "components", (None,)))
+        self.multi_liq = (
+            self.n_liq > 1 and len(self.vapour_indices) == self.n_liq
+        )
 
         # ---- n-phase ledger + devolatilisation (ReactingMultiphase) ----
         # (reference phaseProperties gas/liquid/solid bookkeeping +
@@ -454,6 +464,13 @@ class ReactingCloud:
             "U": jnp.zeros((cap, 3), dtp),
             "d": jnp.full((cap,), 1e-4, dtp),
             "T": jnp.full((cap,), self.cfg.T0, dtp),
+            # per-parcel heat capacity (ThermoParcel::Cp_): seeded from
+            # constantProperties Cp0 or the lookup-table cp column
+            # (thermoParcelInjectionData.H:78, setParcelProperties);
+            # consumed on the constant-property heat paths — with the
+            # liquid law active cp follows cp(T) like the reference's
+            # composition-model update (ReactingParcel.C calc)
+            "cp0": jnp.full((cap,), self.cfg.cp0, dtp),
             "nP": jnp.zeros((cap,), dtp),  # particles per parcel
             "cell": jnp.zeros((cap,), INT_DTYPE),
             "alive": jnp.zeros((cap,), bool),
@@ -477,6 +494,17 @@ class ReactingCloud:
                 if self.ledger is not None
                 else {}
             ),
+            # per-parcel liquid composition lanes (ReactingParcel Y_ over
+            # the liquid phase — components deplete independently)
+            **(
+                {
+                    "Yl": jnp.tile(
+                        jnp.asarray(self.liquid.Y, dtp)[None, :], (cap, 1)
+                    )
+                }
+                if self.multi_liq
+                else {}
+            ),
             "inj": [inj.init_state() for inj in self.injectors],
             "coll": [c.init_state(dtp) for c in self.collectors],
             "cfo": [
@@ -496,7 +524,11 @@ class ReactingCloud:
 
     # ------------------------------------------------------------------
     def _mass(self, st) -> jnp.ndarray:
-        rho_l = self.liquid.rho(101325.0, st["T"])
+        rho_l = (
+            self.liquid.rho_Y(101325.0, st["T"], st["Yl"])
+            if self.multi_liq
+            else self.liquid.rho(101325.0, st["T"])
+        )
         return jnp.where(st["alive"], st["nP"] * _sphere_mass(rho_l, st["d"]), 0.0)
 
     # ------------------------------------------------------------------
@@ -537,7 +569,26 @@ class ReactingCloud:
         # (thermoParcelInjectionData.H:75, set in setParcelProperties);
         # every other injector seeds the cloud's T0
         T_new = cand.get("T", jnp.full((m,), self.cfg.T0, self.dtype))
-        rho_l = self.liquid.rho(101325.0, T_new)
+        yl = None
+        if self.multi_liq:
+            # per-parcel liquid split (reactingMultiphaseParcelInjectionData
+            # YLiquid_); other injectors seed the frozen mixture composition
+            yl = cand.get("YLiquid")
+            if yl is None:
+                yl = jnp.tile(
+                    jnp.asarray(self.liquid.Y, self.dtype)[None, :], (m, 1)
+                )
+            else:
+                K = self.n_liq
+                if yl.shape[1] < K:
+                    yl = jnp.concatenate(
+                        [yl, jnp.zeros((m, K - yl.shape[1]), self.dtype)], 1
+                    )
+                yl = yl[:, :K]
+                yl = yl / jnp.maximum(jnp.sum(yl, 1, keepdims=True), small())
+            rho_l = self.liquid.rho_Y(101325.0, T_new, yl)
+        else:
+            rho_l = self.liquid.rho(101325.0, T_new)
         nP = cand["mass"] / jnp.maximum(_sphere_mass(rho_l, cand["d"]), small())
 
         def put(a, v):
@@ -548,6 +599,14 @@ class ReactingCloud:
         st["U"] = put(st["U"], cand["U"])
         st["d"] = put(st["d"], cand["d"])
         st["T"] = put(st["T"], T_new)
+        # per-parcel cp from the thermo/reacting lookup tables
+        # (thermoParcelInjectionData cp column); cloud Cp0 otherwise
+        st["cp0"] = put(
+            st["cp0"],
+            cand.get("cp", jnp.full((m,), self.cfg.cp0, self.dtype)),
+        )
+        if yl is not None:
+            st["Yl"] = put(st["Yl"], yl)
         st["nP"] = put(st["nP"], nP)
         st["cell"] = st["cell"].at[tgt].set(jnp.where(ok, cand["cell"], st["cell"][tgt]))
         st["alive"] = st["alive"].at[tgt].set(ok | st["alive"][tgt])
@@ -635,10 +694,17 @@ class ReactingCloud:
 
         T_p = jnp.maximum(st["T"], cfg.T_min)
         d = jnp.maximum(st["d"], 1e-9)
-        rho_l = self.liquid.rho(p_c, T_p)
+        # bulk liquid properties: per-parcel composition-weighted when the
+        # mixture tracks per-parcel lanes (reference composition model
+        # re-evaluation each calc, ReactingParcel.C)
+        if self.multi_liq:
+            rho_l = self.liquid.rho_Y(p_c, T_p, st["Yl"])
+            cp_l = self.liquid.cp_Y(p_c, T_p, st["Yl"])
+        else:
+            rho_l = self.liquid.rho(p_c, T_p)
+            cp_l = self.liquid.cp(p_c, T_p)
         m1 = _sphere_mass(rho_l, d)  # single-particle mass
         mass0 = st["nP"] * m1
-        cp_l = self.liquid.cp(p_c, T_p)
 
         Urel = U_c - st["U"]
         magUr = jnp.sqrt(jnp.sum(Urel * Urel, axis=1))
@@ -647,7 +713,63 @@ class ReactingCloud:
 
         # ---- phase change (LiquidEvaporationBoil behaviour) -------------
         dm1 = jnp.zeros_like(d)  # evaporated mass per particle this substep
-        if cfg.phase_change:
+        dm_k = None  # per-component evaporated mass [N, K] (multi-liquid)
+        hl_evap = jnp.zeros_like(d)
+        if cfg.phase_change and self.multi_liq:
+            # per-component LiquidEvaporation(Boil): every liquid
+            # evaporates against its OWN saturation pressure, diffusivity
+            # and latent heat (LiquidEvaporation.C calculate loop over
+            # liquids; ReactingParcel.C:389-607 calcPhaseChange) — the
+            # parcel's Yl lane drifts as volatile components deplete first
+            Yl = st["Yl"]
+            Wk = jnp.asarray(self.liquid.comp_W(), self.dtype)
+            pvk = self.liquid.comp_pv(p_c, T_p)  # [N, K]
+            Dk = self.liquid.comp_D(p_c, T_p)
+            hlk = self.liquid.comp_hl(p_c, T_p)
+            xk = self.liquid.x_Y(Yl)  # liquid mole fractions (Raoult)
+            RR = 8314.47
+            Ts = (T_p + 2.0 * T_c) / 3.0  # two-thirds film temperature
+            Cs_k = xk * pvk / (RR * Ts)[:, None]
+            YvC = gas["YvC"][c]  # [N, K] carrier vapour mass fractions
+            W_mix = gas["W"][c]
+            Xv_k = YvC * W_mix[:, None] / Wk[None, :]
+            Cinf_k = Xv_k * (p_c / (RR * T_c))[:, None]
+            Sc_k = mu_c[:, None] / jnp.maximum(rho_c[:, None] * Dk, 1e-30)
+            Sh_k = 2.0 + 0.6 * jnp.sqrt(Re)[:, None] * Sc_k ** (1.0 / 3.0)
+            kc_k = Sh_k * Dk / d[:, None]
+            dmdt_k = jnp.maximum(
+                _PI * (d**2)[:, None] * kc_k * (Cs_k - Cinf_k)
+                * Wk[None, :],
+                0.0,
+            )
+            # boiling: heat-balance-limited TOTAL rate split over
+            # components by Raoult volatility x·pv·W (the boil branch)
+            wk = jnp.maximum(xk * pvk * Wk[None, :], 0.0)
+            wk = wk / jnp.maximum(jnp.sum(wk, 1, keepdims=True), small())
+            hl_mix = jnp.sum(wk * hlk, axis=1)
+            Nu0 = 2.0 + 0.6 * jnp.sqrt(Re) * Pr_c ** (1.0 / 3.0)
+            htc0 = Nu0 * kappa_c / d
+            dm_dt_boil = jnp.maximum(
+                htc0 * _PI * d**2 * (T_c - T_p), 0.0
+            ) / jnp.maximum(hl_mix, small())
+            boiling = T_p >= cfg.Tbp - 1e-6
+            dmdt_tot = jnp.sum(dmdt_k, axis=1)
+            dmdt_k = jnp.where(
+                (boiling & (dm_dt_boil > dmdt_tot))[:, None],
+                dm_dt_boil[:, None] * wk,
+                dmdt_k,
+            )
+            dmdt_k = jnp.where((T_p > cfg.Tvap)[:, None], dmdt_k, 0.0)
+            # per-component availability: a lane can't give more than the
+            # component mass it holds
+            dm_k = jnp.clip(dmdt_k * dt_sub, 0.0, Yl * m1[:, None])
+            dm1 = jnp.sum(dm_k, axis=1)
+            # effective latent heat of what ACTUALLY evaporated
+            hl_evap = jnp.sum(dm_k * hlk, axis=1) / jnp.maximum(
+                dm1, small()
+            )
+            hl_evap = jnp.where(dm1 > small(), hl_evap, hl_mix)
+        elif cfg.phase_change:
             pv = self.liquid.pv(p_c, T_p)
             Dab = self.liquid.D(p_c, T_p)
             Sc = mu_c / jnp.maximum(rho_c * Dab, 1e-30)
@@ -673,6 +795,7 @@ class ReactingCloud:
             dm_dt = jnp.where(boiling, jnp.maximum(dm_dt_evap, dm_dt_boil), dm_dt_evap)
             dm_dt = jnp.where(T_p > cfg.Tvap, dm_dt, 0.0)
             dm1 = jnp.clip(dm_dt * dt_sub, 0.0, m1)
+            hl_evap = hl
 
         m1_new = jnp.maximum(m1 - dm1, 0.0)
         evap_all = m1_new * st["nP"] <= cfg.min_mass
@@ -726,7 +849,9 @@ class ReactingCloud:
                 corr = jnp.where(beta > 1e-7, beta / jnp.expm1(beta), 1.0)
                 htc = htc * corr
             A = _PI * d**2
-            hl = self.liquid.hl(p_c, T_p) if cfg.phase_change else 0.0
+            # latent-heat sink of what evaporated (dm-weighted per
+            # component under multi-liquid lanes)
+            hl = hl_evap if cfg.phase_change else 0.0
             mcp = jnp.maximum(m1_new * cp_l, 1e-30)
             beta_T = htc * A / mcp
             # effective bath temperature incl. latent-heat sink and the
@@ -751,7 +876,7 @@ class ReactingCloud:
         if self.devol is not None and self.devol.L_devol != 0.0:
             # latent heat of devolatilisation drawn from the particle
             # (Sh −= dMassTot·LDevol/dt, ReactingMultiphaseParcel.C:566)
-            cp_here = cp_l if cfg.heat_transfer else self.cfg.cp0
+            cp_here = cp_l if cfg.heat_transfer else st["cp0"]
             T_new = T_new - dmv_tot * self.devol.L_devol / jnp.maximum(
                 m1_new * cp_here, small()
             )
@@ -843,8 +968,22 @@ class ReactingCloud:
             mom = -(w * m1_new)[:, None] * dU_drag + (dm)[:, None] * st["U"]
             src["UTrans"] = src["UTrans"] + seg(mom)
             # energy: gas loses convective heat, gains vapour enthalpy
-            hv = self.gas.hs_species(T_new)[:, self.vapour_index]
-            q = -w * q_conv1 + dm * hv
+            if dm_k is not None:
+                # per-component: each lane's mass enters its OWN carrier
+                # species with that species' enthalpy (parcels.SYi per
+                # liquid, YEEqn.H:52)
+                dmw_k = w[:, None] * dm_k
+                src["pcTrans"] = src["pcTrans"] + jnp.stack(
+                    [seg(dmw_k[:, i]) for i in range(self.n_liq)]
+                )
+                hs_all_v = self.gas.hs_species(T_new)
+                q = -w * q_conv1 + sum(
+                    dmw_k[:, i] * hs_all_v[:, vi]
+                    for i, vi in enumerate(self.vapour_indices)
+                )
+            else:
+                hv = self.gas.hs_species(T_new)[:, self.vapour_index]
+                q = -w * q_conv1 + dm * hv
             src["hsTrans"] = src["hsTrans"] + seg(q)
             if dmv is not None:
                 # devolatilised mass → per-volatile carrier species, its
@@ -889,6 +1028,16 @@ class ReactingCloud:
         if dmv is not None:
             st["mv"] = st["mv"] - dmv
             st["canCombust"] = can_new
+        if dm_k is not None:
+            # composition drift: remaining component masses renormalise;
+            # fully-evaporated parcels keep their last valid composition
+            # (they die via evap_all — guards NaN-free masked math)
+            mk_new = jnp.maximum(st["Yl"] * m1[:, None] - dm_k, 0.0)
+            tot = jnp.sum(mk_new, axis=1, keepdims=True)
+            Yl_new = jnp.where(
+                tot > small(), mk_new / jnp.maximum(tot, small()), st["Yl"]
+            )
+            st["Yl"] = jnp.where(mask[:, None], Yl_new, st["Yl"])
         st["T"] = jnp.where(mask, T_new, st["T"])
         st["U"] = jnp.where(mask[:, None], U_new, st["U"])
         st["d"] = jnp.where(mask, d_new, st["d"])
@@ -1048,6 +1197,10 @@ class ReactingCloud:
         if self.devol is not None:
             # per-volatile devolatilised mass to the carrier [nVol, nC]
             src["dvTrans"] = jnp.zeros((self.devol.n_vol, nC), dtp)
+        if self.multi_liq:
+            # per-component evaporated mass [nLiq, nC] — routed to each
+            # component's own carrier species by the solver
+            src["pcTrans"] = jnp.zeros((self.n_liq, nC), dtp)
         if self.cfg.radiation:
             nb = self.cfg.n_bands
             for k in ("radAp", "radSigp", "radAsy", "radEpT4"):
@@ -1148,8 +1301,8 @@ class ReactingCloud:
                 hslot = jnp.maximum(st["cell"] - pi.n_own, 0)
                 dest = jnp.where(in_halo, pi.halo_owner[hslot], -1).astype(jnp.int32)
                 soa_keys = ("x", "U", "d", "T", "nP", "cell", "age",
-                            "canCombust", "typeId") + tuple(
-                    k for k in ("mv", "mv0", "ms") if k in st
+                            "canCombust", "typeId", "cp0") + tuple(
+                    k for k in ("mv", "mv0", "ms", "Yl") if k in st
                 )
                 soa = {k: st[k] for k in soa_keys}
                 soa["cell"] = jnp.where(

@@ -338,10 +338,11 @@ def _find_rows(tree, min_scalars: int):
 class ThermoLookupTableInjection(KinematicLookupTableInjection):
     """ThermoLookupTableInjection.H:33-45: kinematic lookup-table rows
     extended with per-parcel T and cp
-    (thermoParcelInjectionDataIO.C: ((x) (U) d rho mDot T cp)). T seeds
-    the injected parcel temperature (reference setParcelProperties); cp
-    is parsed for parity but the parcel heat capacity follows the liquid
-    property law cp(T) thereafter (cloud.py thermo integration)."""
+    (thermoParcelInjectionDataIO.C: ((x) (U) d rho mDot T cp)). T and cp
+    seed the injected parcel temperature and heat capacity (reference
+    setParcelProperties → ThermoParcel T_/Cp_); with heat transfer on,
+    cp thereafter follows the liquid property law cp(T) — the same
+    composition-model update the reference's ReactingParcel applies."""
 
     @staticmethod
     def _read_table(path: str):
@@ -373,6 +374,7 @@ class ThermoLookupTableInjection(KinematicLookupTableInjection):
         row = (st["n_inj"] - jnp.sum(cand["valid"].astype(INT_DTYPE)) + idx) % self.n_pos
         cand = dict(cand)
         cand["T"] = jnp.asarray(self.T_rows, self.dtype)[row]
+        cand["cp"] = jnp.asarray(self.cp_rows, self.dtype)[row]
         return st, cand
 
 

@@ -274,3 +274,42 @@ class LiquidMixture:
             ]
         )
         return w / jnp.maximum(w.sum(0), small())
+
+    # ---- per-parcel composition support (ReactingParcel Y_ lanes) ----
+    # The reference's reacting parcels carry a per-parcel liquid mass-
+    # fraction vector and LiquidEvaporation(Boil) evaporates each
+    # component against its OWN vapour pressure/diffusivity
+    # (ReactingParcel.C:389-607, LiquidEvaporation.C calculate); these
+    # stacked evaluators give the cloud that path with [N, K] lanes.
+
+    def comp_W(self):
+        return [l.W for l in self.components]
+
+    def comp_pv(self, p, T):
+        """[N, K] per-component saturation pressure at (p, T)."""
+        return jnp.stack([l.pv(p, T) for l in self.components], axis=-1)
+
+    def comp_D(self, p, T, Wb: float = 28.96):
+        return jnp.stack(
+            [l.D(p, T, Wb) for l in self.components], axis=-1
+        )
+
+    def comp_hl(self, p, T):
+        return jnp.stack([l.hl(p, T) for l in self.components], axis=-1)
+
+    def rho_Y(self, p, T, Y):
+        """Volume-additive density with per-parcel mass fractions [N, K]."""
+        rhos = jnp.stack(
+            [l.rho(p, T) for l in self.components], axis=-1
+        )
+        return 1.0 / jnp.maximum(jnp.sum(Y / rhos, axis=-1), small())
+
+    def cp_Y(self, p, T, Y):
+        cps = jnp.stack([l.cp(p, T) for l in self.components], axis=-1)
+        return jnp.sum(Y * cps, axis=-1)
+
+    def x_Y(self, Y):
+        """Per-parcel liquid mole fractions from mass fractions [N, K]."""
+        W = jnp.asarray([l.W for l in self.components], Y.dtype)
+        n = Y / W
+        return n / jnp.maximum(jnp.sum(n, axis=-1, keepdims=True), small())

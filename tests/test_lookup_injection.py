@@ -140,6 +140,13 @@ def test_thermo_lookup_rows_and_parcel_T(tmp_path):
     # every injected parcel carries one of the TABLE temperatures, not T0
     assert set(np.round(T, 3)).issubset({342.0, 361.0}), T
     assert 342.0 in np.round(T, 3)
+    # ...and the TABLE cp seeds the per-parcel Cp0 lane (reference
+    # setParcelProperties -> ThermoParcel Cp_; PARITY honest item closed)
+    cp = np.asarray(st["cp0"])[a]
+    assert set(np.round(cp, 3)).issubset({4100.0, 4200.0}), cp
+    # row alignment: each parcel's (T, cp) pair comes from the SAME row
+    pairs = set(zip(np.round(T, 3), np.round(cp, 3)))
+    assert pairs.issubset({(342.0, 4100.0), (361.0, 4200.0)}), pairs
 
 
 def test_reacting_multiphase_lookup_seeds_ledger(tmp_path):
