@@ -328,6 +328,28 @@ class FireFoamSolver:
             from ..solvers.gmg import LatticeMG
 
             self.gmg = LatticeMG.build(g.offsets, g.n_cells)
+        # sharded lattice multigrid inside the EXPLICIT-SPMD step (the
+        # reference's GAMG-under-decomposePar production configuration,
+        # cases/steckler/system/fvSolution:63-71 + decompose.sh:2-4):
+        # when the partitioner decomposed a cuboid lattice in z-slabs,
+        # p_rgh dispatches to parallel/sharded_gmg.py — mesh-independent
+        # iterations with one ring-ppermute plane halo per matvec, vs the
+        # flat psum-Krylov's O(sqrt n) iteration cliff at pod scale.
+        self._sgmg = None
+        if local is not None and gmg_env != "0":
+            sl = local.slab_info()
+            n_glob = self.cm.mesh.n_cells
+            if sl is not None and (gmg_env == "1" or n_glob >= 50000):
+                from ..parallel.sharded_gmg import ShardedLatticeMG
+
+                dims, n_parts, maps = sl
+                mg = ShardedLatticeMG.build(dims, n_parts,
+                                            axis_name=local.axis)
+                if mg is not None:
+                    self._sgmg = (
+                        mg,
+                        {a: jnp.asarray(ix) for a, ix in maps.items()},
+                    )
         self.amg = None
         try:
             _pc = _solver_controls(self.fv_solution, "p_rgh")
@@ -1331,6 +1353,10 @@ class FireFoamSolver:
             "Yv": Y.i[:, self.cloud.vapour_index],
             "W": 8314.47 / self.gas.R(Y.i),
         }
+        if self.cloud.multi_liq:
+            # per-component carrier vapour fractions for the per-component
+            # evaporation driving force (LiquidEvaporation.C Xc per liquid)
+            gas_ctx["YvC"] = Y.i[:, jnp.asarray(self.cloud.vapour_indices)]
         if self.cloud.forces.needs_curl():
             gu = fvc.grad(g, state["U"])  # [nC,3,3], gu[c,i,j] = dU_j/dx_i
             gas_ctx["curlU"] = jnp.stack(
@@ -1388,6 +1414,18 @@ class FireFoamSolver:
             "filmMass": src["filmMass"],
             "filmEnthalpy": src["filmEnthalpy"],
         }
+        if "pcTrans" in src:
+            # per-component evaporation: each liquid's mass enters its OWN
+            # carrier species (ReactingParcel per-component dMassPC ->
+            # parcels.SYi, YEEqn.H:52), replacing the fixed-split SYv route
+            pc = src["pcTrans"]  # [nLiq, nC]
+            out["SYv"] = jnp.zeros_like(out["SYv"])
+            sy = dict(out.get("SY", {}))
+            for i, si in enumerate(self.cloud.vapour_indices):
+                sy[si] = sy.get(si, 0.0) + g.sync(
+                    cfg.relax_Yi * pc[i] * inv_vdt
+                )
+            out["SY"] = sy
         if "dvTrans" in src and self.cloud.devol is not None:
             # devolatilised volatiles: continuity + their OWN species
             # (parcels.Srho + SYi, YEEqn.H:52 — distinct from the
@@ -2030,8 +2068,9 @@ class FireFoamSolver:
             def mv64(x):
                 x = g.sync(x)
                 y = d64 * x
-                y = y + g.face_to_own_sum(up64 * g.gather_nei(x))
-                y = y + g.face_to_nei_sum(lo64 * g.gather_own(x))
+                y = y + g.face_to_both_sum(
+                    up64 * g.gather_nei(x), lo64 * g.gather_own(x)
+                )
                 return y
 
             sfn, dfn, mfn = g.solver_reducers()
@@ -2063,6 +2102,38 @@ class FireFoamSolver:
                 self.gmg, dtot, m.lower, m.upper, b, p_rgh.i,
                 tol=tols[sel], rel_tol=rels[sel],
             )
+        elif self._sgmg is not None:
+            # sharded lattice multigrid (parallel/sharded_gmg.py): the
+            # GAMG role INSIDE the explicit-SPMD step. The slab partition
+            # makes owned slots a [nz_p, ny, nx] sub-lattice; the six DIA
+            # coupling planes gather from the local face arrays through
+            # the precomputed slab maps (sentinel -> appended zero), and
+            # the solve's only cross-shard traffic is the per-matvec
+            # z-plane ring + psum dot products.
+            from ..parallel.sharded_gmg import sharded_gmg_pcg
+
+            mg, maps = self._sgmg
+            nz_p, ny_, nx_ = mg.shapes[0]
+            n_own = g.n_own_slots
+            zpad = jnp.zeros((1,), dtot.dtype)
+            ue = jnp.concatenate([m.upper, zpad])
+            le = jnp.concatenate([m.lower, zpad])
+            offd = {}
+            for a in (0, 1, 2):
+                ix = maps[a]
+                offd["u%d" % a] = ue[ix].reshape(nz_p, ny_, nx_)
+                offd["l%d" % a] = le[ix].reshape(nz_p, ny_, nx_)
+            shape3 = (nz_p, ny_, nx_)
+            r3 = sharded_gmg_pcg(
+                mg, dtot[:n_own].reshape(shape3), offd,
+                b[:n_own].reshape(shape3),
+                p_rgh.i[:n_own].reshape(shape3),
+                tol=tols[sel], rel_tol=rels[sel], max_iter=c0["maxIter"],
+            )
+            x_ext = g.sync(
+                jnp.concatenate([r3.x.reshape(-1), p_rgh.i[n_own:]])
+            )
+            res = r3._replace(x=x_ext)
         elif self.amg is not None:
             from ..solvers.amg import amg_pcg
 

@@ -81,6 +81,17 @@ class ShardGeometry(MeshGeometry):
     def face_to_nei_sum(self, fv):
         return self.sync(super().face_to_nei_sum(fv))
 
+    def face_to_both_sum(self, fv_own, fv_nei):
+        # ONE halo refresh for the own+nei scatter pair: the refresh only
+        # copies owner values into halo slots, so it is linear in the
+        # scattered sum — sync(a) + sync(b) == sync(a + b). This halves
+        # the ppermute traffic of every matvec/divergence (VERDICT r4
+        # item 5: the collective budget is the pod-scale cost driver).
+        return self.sync(
+            MeshGeometry.face_to_own_sum(self, fv_own)
+            + MeshGeometry.face_to_nei_sum(self, fv_nei)
+        )
+
     def boundary_to_cell_sum(self, bv):
         # where, not multiply: pad-slot BC coefficients may be NaN (they are
         # computed from sentinel geometry) and NaN*0 == NaN would scatter
@@ -215,21 +226,53 @@ class Localizer:
     bmap: np.ndarray  # [P, nB_loc] global boundary slot (-1 pad)
     b_own_ext: np.ndarray  # [P, nB_loc] ext owner index (0 pad)
     halo_plan_perm: Tuple  # static perms per step
+    # (nx, ny, nz) when the partition is a z-slab decomposition of a
+    # cuboid lattice (method="slab"/"auto") — the layout that unlocks the
+    # sharded lattice multigrid (parallel/sharded_gmg.py, the reference's
+    # GAMG-under-decomposePar role, cases/steckler/system/fvSolution:63-71)
+    slab_dims: Optional[Tuple[int, int, int]] = None
 
     # ------------------------------------------------------------ build
     @classmethod
-    def build(cls, geom: MeshGeometry, cm, n_parts: int) -> "Localizer":
+    def build(cls, geom: MeshGeometry, cm, n_parts: int,
+              method: str = "auto") -> "Localizer":
         """geom must be the GLOBAL geometry in SEG layout (DIA's padded
-        face list would partition wastefully); cm the global CaseMesh."""
+        face list would partition wastefully); cm the global CaseMesh.
+
+        method: "rcb" — recursive coordinate bisection (any mesh);
+        "slab" — z-slab lattice decomposition (error if not a lattice);
+        "auto" — slab when the mesh is a cuboid lattice whose nz divides
+        n_parts AND no coupled-patch colocation constraint interferes,
+        else rcb."""
+        from .partition import lattice_from_graph, slab_partition
+
         mesh = cm.mesh
         n_int = mesh.n_internal_faces
         owner = np.asarray(mesh.owner)
-        part = colocate_coupled_patches(
-            __import__(
-                "firefoam_tpu.parallel.partition", fromlist=["rcb_partition"]
-            ).rcb_partition(np.asarray(mesh.C), n_parts),
-            geom, n_int, owner,
-        )
+        slab_dims = None
+        part = None
+        if method in ("slab", "auto"):
+            dims = lattice_from_graph(owner, np.asarray(mesh.neighbour),
+                                      mesh.n_cells)
+            sp = slab_partition(dims, n_parts) if dims is not None else None
+            if sp is not None:
+                adj = colocate_coupled_patches(sp, geom, n_int, owner)
+                if (adj == sp).all():
+                    part, slab_dims = sp, dims
+            if part is None and method == "slab":
+                raise ValueError(
+                    "method='slab' needs a cuboid x-fastest lattice with "
+                    f"nz divisible by {n_parts} and no coupled-patch "
+                    "colocation constraints"
+                )
+        if part is None:
+            part = colocate_coupled_patches(
+                __import__(
+                    "firefoam_tpu.parallel.partition",
+                    fromlist=["rcb_partition"],
+                ).rcb_partition(np.asarray(mesh.C), n_parts),
+                geom, n_int, owner,
+            )
         mp = MeshPartition.build(
             np.asarray(mesh.C), owner, np.asarray(mesh.neighbour),
             n_parts, b_own=owner[n_int:], part_of_cell=part,
@@ -273,7 +316,39 @@ class Localizer:
             bmap=bmap,
             b_own_ext=b_own_ext,
             halo_plan_perm=perms,
+            slab_dims=slab_dims,
         )
+
+    # ---------------------------------------------------- slab face maps
+    def slab_face_maps(self, p: int, owner: np.ndarray,
+                       neighbour: np.ndarray) -> dict:
+        """For slab partitions: per-axis map [n_loc] from each owned cell's
+        slab slot to the LOCAL face index of its +axis face (sentinel
+        n_face_max where the face doesn't exist — lattice boundary, or a
+        z-face owned by the previous slab, which arrives by ppermute).
+
+        axis keys follow sharded_gmg's [z, y, x] view: 2 = +x (off 1),
+        1 = +y (off nx), 0 = +z (off nx*ny). Both u and l coefficients of
+        the face (c, c+off) live at cell c (sharded_gmg._matvec3_slab), so
+        ONE map per axis serves upper and lower gathers."""
+        assert self.slab_dims is not None
+        nx, ny, nz = self.slab_dims
+        mp = self.mp
+        n_loc = mp.n_loc_max
+        base = p * n_loc  # slab partitions are exact: slot i = base + i
+        fg = mp.face_gid[p]
+        valid = mp.face_valid[p] > 0
+        own_g = np.asarray(owner)[fg]
+        nei_g = np.asarray(neighbour)[fg]
+        diff = nei_g - own_g
+        mine = (own_g >= base) & (own_g < base + n_loc)
+        maps = {}
+        for ax, off in ((2, 1), (1, nx), (0, nx * ny)):
+            idx = np.full(n_loc, mp.n_face_max, np.int64)
+            sel = valid & mine & (diff == off)
+            idx[own_g[sel] - base] = np.nonzero(sel)[0]
+            maps[ax] = idx
+        return maps
 
     # --------------------------------------------------------- scatters
     def cells(self, x: np.ndarray, pad=None, halo=True) -> np.ndarray:
@@ -454,12 +529,26 @@ class LocalContext:
         return make_part_info(self.lz, self.p, axis=self.axis,
                               cap_send=cap_send)
 
+    def slab_info(self):
+        """(dims, n_parts, {axis: face map}) when this partition is a
+        z-slab of a lattice (see Localizer.slab_face_maps), else None —
+        everything FireFoamSolver needs to dispatch p_rgh to the sharded
+        lattice multigrid inside the SPMD step."""
+        if self.lz.slab_dims is None:
+            return None
+        mesh = self.cm.mesh
+        maps = self.lz.slab_face_maps(
+            self.p, np.asarray(mesh.owner[: mesh.n_internal_faces]),
+            np.asarray(mesh.neighbour),
+        )
+        return self.lz.slab_dims, self.lz.mp.n_parts, maps
+
     @classmethod
     def build_all(cls, cm, n_parts: int, dtype=None, axis: str = "cells",
-                  with_walk: bool = False):
+                  with_walk: bool = False, method: str = "auto"):
         """One SEG global geometry + localizer + P contexts."""
         gg = MeshGeometry.from_polymesh(cm.mesh, dtype=dtype, layout="seg")
-        lz = Localizer.build(gg, cm, n_parts)
+        lz = Localizer.build(gg, cm, n_parts, method=method)
         walk_g = None
         if with_walk:
             from ..lagrangian.tracking import WalkMesh

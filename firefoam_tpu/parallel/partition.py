@@ -28,7 +28,67 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["MeshPartition", "rcb_partition"]
+__all__ = ["MeshPartition", "rcb_partition", "lattice_from_graph",
+           "slab_partition"]
+
+
+def lattice_from_graph(
+    owner: np.ndarray, neighbour: np.ndarray, n_cells: int
+) -> Optional[Tuple[int, int, int]]:
+    """(nx, ny, nz) if the internal-face graph IS a full cuboid lattice in
+    x-fastest raveled numbering (blockMesh single-block order), else None.
+
+    Unlike solvers.gmg.lattice_dims this works from the raw owner/neighbour
+    lists (SEG layout — the layout the SPMD partitioner runs over), and it
+    VERIFIES the numbering: every face must connect c -> c+off with c not on
+    the +off lattice boundary, and the per-axis face counts must match the
+    full cuboid exactly."""
+    own = np.asarray(owner[: len(neighbour)], np.int64)
+    nei = np.asarray(neighbour, np.int64)
+    if len(own) == 0:
+        return None
+    diff = nei - own
+    if (diff <= 0).any():
+        return None
+    offs = tuple(int(o) for o in np.unique(diff))
+    from ..solvers.gmg import lattice_dims
+
+    dims = lattice_dims(offs, n_cells)
+    if dims is None:
+        return None
+    nx, ny, nz = dims
+    counts = {1: (nx - 1) * ny * nz, nx: nx * (ny - 1) * nz,
+              nx * ny: nx * ny * (nz - 1)}
+    expect = {o: n for o, n in counts.items() if n > 0}
+    if set(offs) != set(expect) or len(own) != sum(expect.values()):
+        return None
+    for o in offs:
+        c = own[diff == o]
+        if len(c) != expect[o]:
+            return None
+        if o == 1:
+            bad = (c % nx) == nx - 1
+        elif o == nx:
+            bad = ((c // nx) % ny) == ny - 1
+        else:
+            bad = (c // (nx * ny)) == nz - 1
+        if bad.any():
+            return None
+    return dims
+
+
+def slab_partition(
+    dims: Tuple[int, int, int], n_parts: int
+) -> Optional[np.ndarray]:
+    """Contiguous z-slab part_of_cell over an x-fastest lattice, or None if
+    nz doesn't divide. Slab decomposition keeps each partition's owned
+    cells a [nz/P, ny, nx] sub-lattice in local-slot order — the layout
+    parallel.sharded_gmg's semi-coarsening hierarchy requires."""
+    nx, ny, nz = dims
+    if nz % n_parts:
+        return None
+    idx = np.arange(nx * ny * nz, dtype=np.int64)
+    return (idx // (nx * ny)) // (nz // n_parts)
 
 
 def rcb_partition(C: np.ndarray, n_parts: int) -> np.ndarray:

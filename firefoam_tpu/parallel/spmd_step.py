@@ -73,6 +73,7 @@ class SpmdFireFoam:
         axis: str = "cells",
         devices=None,
         backend: str = "cpu",
+        partition: str = "auto",
     ):
         if devices is None:
             devices = jax.local_devices(backend=backend)[:n_devices]
@@ -117,11 +118,17 @@ class SpmdFireFoam:
 
         self.gg, self.lz, ctxs = LocalContext.build_all(
             self.ref.cm, n_devices, dtype=self.ref.dtype, axis=axis,
-            with_walk=self.ref.cloud is not None,
+            with_walk=self.ref.cloud is not None, method=partition,
         )
         self.locals: List[FireFoamSolver] = [
             FireFoamSolver(case_dir, dtype=dtype, local=c) for c in ctxs
         ]
+        # which p_rgh solver the partitioned step runs: the sharded lattice
+        # multigrid (GAMG role — slab lattice partitions at scale) or the
+        # flat psum-Krylov fallback
+        self.p_solver = (
+            "sharded_gmg" if self.locals[0]._sgmg is not None else "flat"
+        )
         self._n_c = self.gg.n_cells
         self._n_b = self.gg.n_boundary
         self._n_i = self.gg.n_internal
