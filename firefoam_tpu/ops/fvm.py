@@ -180,8 +180,8 @@ class FvMatrix:
                 lx = lo[k] * x
                 y = y + jnp.concatenate([jnp.zeros((o,), x.dtype), lx[:-o]])
             return y
-        return g.face_to_own_sum(self.upper * g.gather_nei(x)) + g.face_to_nei_sum(
-            self.lower * g.gather_own(x)
+        return g.face_to_both_sum(
+            self.upper * g.gather_nei(x), self.lower * g.gather_own(x)
         )
 
     def flux(self) -> SurfaceField:
@@ -211,9 +211,7 @@ class FvMatrix:
         (D_new − D_old)·psi so the converged solution is unchanged."""
         g = self.geom
         # sum of internal off-diagonal magnitudes per row
-        s = g.face_to_own_sum(jnp.abs(self.upper)) + g.face_to_nei_sum(
-            jnp.abs(self.lower)
-        )
+        s = g.face_to_both_sum(jnp.abs(self.upper), jnp.abs(self.lower))
         ic = self.internal_coeffs
         ics = ic if ic.ndim == 1 else jnp.mean(ic, axis=1)
         bdiag = g.boundary_to_cell_sum(ics)
@@ -516,7 +514,7 @@ def div(
     upper = lower + phi.i
     # negSumDiag: Diag[owner] -= Lower, Diag[neighbour] -= Upper — this makes
     # the assembly the exact Gauss sum Σ_f phi_f (w ψ_P + (1−w) ψ_N)
-    diag = -(geom.face_to_own_sum(lower) + geom.face_to_nei_sum(upper))
+    diag = -geom.face_to_both_sum(lower, upper)
     ic = _bcol(phi.b, vic) * vic
     bc = -_bcol(phi.b, vbc) * vbc
     m = replace(m, lower=lower, upper=upper, diag=diag, internal_coeffs=ic, boundary_coeffs=bc)
@@ -555,7 +553,7 @@ def laplacian(
     m = empty_matrix(geom, psi)
     dc = geom.dc if corr is None else geom.nodc
     gmsf = gamma.i * geom.magSf * dc
-    diag = -(geom.face_to_own_sum(gmsf) + geom.face_to_nei_sum(gmsf))
+    diag = -geom.face_to_both_sum(gmsf, gmsf)
     gb = gamma.b * geom.b_magSf
     ic = _bcol(gb, gic) * gic
     bc = -_bcol(gb, gbc) * gbc

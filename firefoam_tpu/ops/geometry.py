@@ -801,9 +801,17 @@ class MeshGeometry:
         return out[: self.n_boundary] if self._b_blocks_vpad else out
 
     # ------------------------------------------------------ scatter helpers
+    def face_to_both_sum(self, fv_own: jnp.ndarray, fv_nei: jnp.ndarray):
+        """own-scatter(fv_own) + nei-scatter(fv_nei) as ONE compound
+        scatter. Identity here; ShardGeometry overrides it to perform a
+        single ppermute halo refresh for the pair (the refresh is linear
+        in the scattered values), halving the halo traffic of every
+        matvec/divergence under SPMD."""
+        return self.face_to_own_sum(fv_own) + self.face_to_nei_sum(fv_nei)
+
     def cell_sum_internal(self, face_vals: jnp.ndarray) -> jnp.ndarray:
         """Σ over internal faces, signed outward per cell (owner +, nei −)."""
-        return self.face_to_own_sum(face_vals) - self.face_to_nei_sum(face_vals)
+        return self.face_to_both_sum(face_vals, -face_vals)
 
     def cell_sum_boundary(self, bface_vals: jnp.ndarray) -> jnp.ndarray:
         return self.boundary_to_cell_sum(bface_vals)
@@ -814,8 +822,7 @@ class MeshGeometry:
     def cell_sum_unsigned(self, face_vals: jnp.ndarray, bface_vals: jnp.ndarray):
         """Σ over all faces of each cell, unsigned (owner and neighbour +)."""
         return (
-            self.face_to_own_sum(face_vals)
-            + self.face_to_nei_sum(face_vals)
+            self.face_to_both_sum(face_vals, face_vals)
             + self.boundary_to_cell_sum(bface_vals)
         )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["write_box_fire_case"]
+__all__ = ["write_box_fire_case", "write_castellated_fire_case"]
 
 
 def _w(path, text):
@@ -334,6 +334,93 @@ sootModel none;
             for p in ("top", "sides", "base", "burner")
         },
     )
+    return root
+
+
+def write_castellated_fire_case(
+    root: str,
+    n=(30, 20, 30),
+    size=(1.0, 1.0, 1.0),
+    obstacle=((0.58, 0.30, 0.58), (0.82, 0.62, 0.82)),
+    **kw,
+) -> str:
+    """Box-fire case on a genuinely UNSTRUCTURED mesh: the blockMesh
+    background castellated around a searchableBox obstruction at
+    refinement level 1 (the singleBox mesh pipeline,
+    cases/singleBox/system/snappyHexMeshDict + mesh.sh:7-20). The 2:1
+    hanging-node transitions give cells with >6 faces and a face graph no
+    lattice/DIA fast path accepts — the scale-bench mesh for the paths
+    snappy-meshed production cases actually take (VERDICT r4 item 2)."""
+    write_box_fire_case(root, n=n, size=size, **kw)
+    lx, ly, lz = size
+    (ax, ay, az), (bx, by, bz) = obstacle
+    _w(
+        f"{root}/system/snappyHexMeshDict",
+        f"""FoamFile {{ version 2.0; format ascii; class dictionary; object snappyHexMeshDict; }}
+castellatedMesh true;
+snap false;
+addLayers false;
+geometry
+{{
+    box {{ type searchableBox;
+          min ({ax * lx} {ay * ly} {az * lz});
+          max ({bx * lx} {by * ly} {bz * lz}); }}
+}}
+castellatedMeshControls
+{{
+    maxLocalCells 2000000;
+    maxGlobalCells 4000000;
+    minRefinementCells 0;
+    nCellsBetweenLevels 1;
+    features ();
+    refinementSurfaces
+    {{
+        box {{ level (1 1); patchInfo {{ type wall; }} }}
+    }}
+    resolveFeatureAngle 30;
+    refinementRegions {{}}
+    locationInMesh ({0.1 * lx} {0.1 * ly} {0.1 * lz});
+    allowFreeStandingZoneFaces true;
+}}
+snapControls {{}}
+addLayersControls {{ layers {{}} }}
+meshQualityControls {{}}
+mergeTolerance 1e-6;
+""",
+    )
+    _w(
+        f"{root}/mesh.sh",
+        "runApplication blockMesh\n"
+        "runApplication snappyHexMesh -overwrite\n"
+        "runApplication topoSet -dict system/topoSetDictBurner\n"
+        "runApplication createPatch -overwrite\n",
+    )
+    # obstruction-wall BCs appended to every 0/ field (exposed faces form
+    # the 'box' patch, snappy.py step 3)
+    box_bc = {
+        "U": "type noSlip;",
+        "T": "type zeroGradient;",
+        "p_rgh": "type fixedFluxPressure;\n        value uniform 0;",
+        "p": "type calculated;\n        value uniform 101325;",
+        "k": "type zeroGradient;",
+        "alphat": "type zeroGradient;",
+        "nut": "type zeroGradient;",
+        "O2": "type zeroGradient;",
+        "C3H8": "type zeroGradient;",
+        "Ydefault": "type zeroGradient;",
+        "IDefault": (
+            "type greyDiffusiveRadiation;\n        T T;\n"
+            "        emissivityMode lookup;\n"
+            "        emissivity uniform 1;\n        value uniform 0;"
+        ),
+    }
+    for name, spec in box_bc.items():
+        path = f"{root}/0/{name}"
+        txt = open(path).read()
+        txt = txt.rstrip()
+        assert txt.endswith("}")
+        txt = txt[:-1] + f"    box {{\n        {spec}\n    }}\n}}\n"
+        open(path, "w").write(txt)
     return root
 
 
