@@ -91,7 +91,14 @@ class AMGHierarchy:
     n_coarsest: int
     pre_sweeps: int = 2
     post_sweeps: int = 2
-    damping: float = 0.7
+    damping: float = 0.7  # legacy damped-Jacobi fallback (smoother="jacobi")
+    # Chebyshev-Jacobi smoothing (AMGX/hypre practice, same recurrence as
+    # solvers/gmg._Cheby): targets the upper eigenvalue band
+    # [ratio*lmax, lmax] with a Gershgorin lmax per level — measurably
+    # fewer CG iterations than damped Jacobi at the same sweep count, and
+    # reduction-free (no dots inside the V-cycle)
+    smoother: str = "chebyshev"
+    cheby_ratio: float = 0.30
 
     # ------------------------------------------------------------------
     @classmethod
@@ -174,16 +181,19 @@ class AMGHierarchy:
 
     def prepare(self, diag, lower, upper):
         """Per-solve: coarsen the matrix through every level. Returns the
-        per-level (diag, lower, upper, own, nei) list + dense coarsest."""
+        per-level (diag, lower, upper, own, nei, lmax) list + dense
+        coarsest (lmax = Gershgorin bound for the Chebyshev smoother)."""
         mats = []
         own, nei = self.own0, self.nei0
         d, l, u = diag, lower, upper
+        n = self.n_cells0
         for lvl in self.levels:
             lvl._own_fine = own  # static chain (trace-time attribute)
-            mats.append((d, l, u, own, nei))
+            mats.append((d, l, u, own, nei, self._lmax(d, l, u, own, nei, n)))
             d, l, u = self._coarsen(lvl, d, l, u)
             own, nei = lvl.c_own, lvl.c_nei
-        mats.append((d, l, u, own, nei))
+            n = lvl.n_coarse
+        mats.append((d, l, u, own, nei, self._lmax(d, l, u, own, nei, n)))
         # dense coarsest
         n = self.n_coarsest
         A = jnp.zeros((n, n), d.dtype)
@@ -198,6 +208,34 @@ class AMGHierarchy:
         y = y + jax.ops.segment_sum(u * x[nei], own, num_segments=n)
         y = y + jax.ops.segment_sum(l * x[own], nei, num_segments=n)
         return y
+
+    def _lmax(self, d, l, u, own, nei, n):
+        """Gershgorin bound on lambda_max(D^-1 A): 1 + max rowsum|off|/d,
+        clamped to [1, 2.2] like solvers/gmg (SPD M-matrix territory)."""
+        s = jax.ops.segment_sum(jnp.abs(u), own, num_segments=n)
+        s = s + jax.ops.segment_sum(jnp.abs(l), nei, num_segments=n)
+        return jnp.minimum(jnp.max(s / d) + 1.0, jnp.asarray(2.2, d.dtype))
+
+    def _cheby(self, d, l, u, own, nei, n, lmax, x, b, degree):
+        """Chebyshev-Jacobi over [ratio*lmax, lmax] (hypre three-term
+        recurrence) — no reductions inside the V-cycle body."""
+        rD = 1.0 / d
+        beta = 1.1 * lmax
+        alpha = jnp.asarray(self.cheby_ratio, d.dtype) * lmax
+        theta = 0.5 * (beta + alpha)
+        delta = 0.5 * (beta - alpha)
+        r = b - self._matvec(d, l, u, own, nei, n, x)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        z = rD * r / theta
+        x = x + z
+        for _ in range(degree - 1):
+            r = b - self._matvec(d, l, u, own, nei, n, x)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            z = rho_new * rho * z + (2.0 * rho_new / delta) * (rD * r)
+            x = x + z
+            rho = rho_new
+        return x
 
     def _smooth(self, d, l, u, own, nei, n, x, b, sweeps):
         # keep the compute dtype of the system (the damping attribute may be
@@ -214,10 +252,17 @@ class AMGHierarchy:
         """One V(pre,post) cycle for M⁻¹·b (zero initial guess)."""
         sizes = [self.n_cells0] + [lvl.n_coarse for lvl in self.levels]
 
-        def down(i, b_i):
-            d, l, u, own, nei = mats[i]
+        def sm(i, x, b_i, sweeps):
+            d, l, u, own, nei, lmax = mats[i]
             n = sizes[i]
-            x = self._smooth(d, l, u, own, nei, n, jnp.zeros_like(b_i), b_i, self.pre_sweeps)
+            if self.smoother == "chebyshev":
+                return self._cheby(d, l, u, own, nei, n, lmax, x, b_i, sweeps)
+            return self._smooth(d, l, u, own, nei, n, x, b_i, sweeps)
+
+        def down(i, b_i):
+            d, l, u, own, nei, _ = mats[i]
+            n = sizes[i]
+            x = sm(i, jnp.zeros_like(b_i), b_i, self.pre_sweeps)
             r = b_i - self._matvec(d, l, u, own, nei, n, x)
             if i == len(self.levels):
                 return x
@@ -228,7 +273,7 @@ class AMGHierarchy:
             else:
                 e_c = down(i + 1, b_c)
             x = x + e_c[lvl.restrict]
-            x = self._smooth(d, l, u, own, nei, n, x, b_i, self.post_sweeps)
+            x = sm(i, x, b_i, self.post_sweeps)
             return x
 
         return down(0, b)
@@ -242,7 +287,7 @@ def amg_pcg(
     """CG preconditioned with one AMG V-cycle per iteration — OpenFOAM
     convergence semantics (normFactor, tol/relTol) like solvers.linear.pcg."""
     mats, A_coarse = hier.prepare(diag, lower, upper)
-    d0, l0, u0, own, nei = mats[0]
+    d0, l0, u0, own, nei, _ = mats[0]
     n = hier.n_cells0
 
     def matvec(x):

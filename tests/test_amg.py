@@ -68,12 +68,12 @@ def test_amg_galerkin_consistency():
     own, nei, w, diag, b, nC = _poisson(12, 10, 8)
     hier = AMGHierarchy.build(own, nei, np.abs(w), nC)
     mats, A = hier.prepare(jnp.asarray(diag), jnp.asarray(w), jnp.asarray(w))
-    d0, l0, u0, o0, n0 = mats[0]
+    d0, l0, u0, o0, n0, _ = mats[0]
     ones = jnp.ones(nC)
     fine = AMGHierarchy._matvec(d0, l0, u0, o0, n0, nC, ones)
     lvl = hier.levels[0]
     restricted = jax.ops.segment_sum(fine, lvl.restrict, num_segments=lvl.n_coarse)
-    d1, l1, u1, o1, n1 = mats[1]
+    d1, l1, u1, o1, n1, _ = mats[1]
     coarse = AMGHierarchy._matvec(
         d1, l1, u1, o1, n1, lvl.n_coarse, jnp.ones(lvl.n_coarse)
     )
