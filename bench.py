@@ -98,12 +98,19 @@ def main():
     elapsed = statistics.median(samples)
 
     cups = n_cells * n_bench / elapsed
+    # honest-record spread (VERDICT r4 item 4): the TPU tunnel shows
+    # 10-20x dispatch hiccups on individual calls; quote the sample
+    # spread next to the median so docs and driver captures reconcile
+    spread_pct = round(
+        100.0 * (max(samples) - min(samples)) / max(elapsed, 1e-9), 1
+    )
     baseline_16core = 3.4e4 * 16  # BASELINE.md: implied single-core x 16
     result = {
         "metric": "steckler cell-updates/sec/chip (full physics step)",
         "value": round(cups, 1),
         "unit": "cell-updates/s",
         "vs_baseline": round(cups / baseline_16core, 3),
+        "sample_spread_pct": spread_pct,
     }
     # sanity: state must still be finite or the number is meaningless
     ok = bool(jnp.isfinite(state["T"].i).all()) and bool(
@@ -160,6 +167,53 @@ def main():
                 del s_l, st_l, chunk_l
         except Exception as e:
             result["scale_error"] = str(e)[:200]
+
+    # ---- UNSTRUCTURED-mesh scale row (VERDICT r4 item 2): the same full
+    # step on a >=100k-cell snappy-castellated mesh (searchableBox
+    # obstruction, 2:1 hanging-node refinement — the mesh class three of
+    # the five bundled cases use, which no lattice fast path accepts).
+    # Runs the hybrid top-offset layout + banded kernels (ops/banded.py).
+    # Disable with FIREFOAM_BENCH_UNSTRUCTURED=0.
+    if ok and os.environ.get("FIREFOAM_BENCH_UNSTRUCTURED", "1") == "1":
+        try:
+            import statistics as _st
+            import tempfile
+
+            from firefoam_tpu.utils.synthcase import (
+                write_castellated_fire_case,
+            )
+
+            croot = write_castellated_fire_case(
+                os.path.join(
+                    tempfile.mkdtemp(prefix="fftpu_benchU_"), "box"
+                ),
+                n=(54, 40, 54), size=(2.0, 1.5, 2.0), mdot=0.01,
+            )
+            with _cpu_staging():
+                s_u = FireFoamSolver(croot)
+                st_u = s_u.initial_state()
+            st_u = jax.device_put(st_u, jax.devices()[0])
+            nc_u = s_u.geom.n_cells
+            n_chunk = 10
+            chunk_u = s_u.make_chunk_hoisted(n_chunk, st_u)
+            st_u, _ = chunk_u(st_u)
+            float(st_u["t"])
+            ts_u = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                st_u, _ = chunk_u(st_u)
+                float(st_u["t"])
+                ts_u.append(time.perf_counter() - t0)
+            cups_u = nc_u * n_chunk / _st.median(ts_u)
+            result["scale_unstructured_cells"] = nc_u
+            result["scale_unstructured_layout"] = s_u.geom.layout
+            result["scale_unstructured_cups"] = round(cups_u, 1)
+            result["scale_unstructured_vs_baseline"] = round(
+                cups_u / baseline_16core, 2
+            )
+            del s_u, st_u, chunk_u
+        except Exception as e:
+            result["scale_unstructured_error"] = str(e)[:200]
 
     # f32-solution validation (VERDICT item 10): re-run a short window from
     # the initial state in BOTH the accelerator's f32 and CPU f64 and bound

@@ -377,6 +377,13 @@ class FireFoamSolver:
                     and (_pc["solver"] == "GAMG" or self._ldu is None)
                 )
             )
+            # hybrid-layout meshes: the AMG hierarchy's own matvecs are
+            # still segment_sum-serialized on TPU (~12 ms/level-0 apply at
+            # 117k), which makes the V-cycle SLOWER than flat CG through
+            # the layout's banded primitives; keep flat Krylov until the
+            # hierarchy runs on per-level banded plans (env =1 overrides)
+            if getattr(g, "layout", "seg") == "hybrid" and amg_env != "1":
+                want_amg = False
         except KeyError:
             want_amg = False
         if local is not None or self.gmg is not None:

@@ -423,6 +423,46 @@ class MeshGeometry:
                 + (" — renumber first (mesh/renumber.py)" if layout == "banded" else "")
             )
 
+        # ---- hybrid top-offset layout for UNSTRUCTURED meshes ----
+        # Meshes whose face graph has DOMINANT offsets but an irregular
+        # remainder (snappy-castellated: top-12 offsets cover ~99% of
+        # faces, hanging-node transitions supply the rest) get the DIA
+        # roll/reshape fast paths for the top-K offsets plus banded
+        # mask-reduce kernels (ops/banded.py) for the tail — replacing
+        # XLA:TPU's serialized segment_sum/gather (measured 10.5 ms ->
+        # 0.7 ms per matvec at 117k cells / 343k faces on v5e).
+        hybrid = None
+        if not use_dia and n_int > 0 and layout in ("auto", "hybrid"):
+            env = os.environ.get("FIREFOAM_TPU_HYBRID", "auto")
+            want = layout == "hybrid" or env == "1" or (
+                layout == "auto"
+                and env == "auto"
+                and nC >= 20000
+                and jax.default_backend() == "tpu"
+            )
+            if want and env != "0":
+                d = nei - own
+                if len(d) and (d > 0).all():
+                    uniq, cnt = np.unique(d, return_counts=True)
+                    order = np.argsort(-cnt)
+                    # each DIA lane costs nC slots of face math on EVERY
+                    # scheme/scatter op, so only offsets filling >= 25%
+                    # of a lane earn one; the rest ride the banded tail
+                    # lane threshold 1/32: the rest tail is hit ~4x per
+                    # Krylov iteration, so shrinking it outweighs lane
+                    # padding on every face op
+                    sel = [i for i in order if cnt[i] * 32 >= nC][:8]
+                    if sel:
+                        top = np.sort(uniq[sel])
+                        is_top = np.isin(d, top)
+                        if is_top.mean() >= 0.5:
+                            hybrid = (top, is_top)
+        if layout == "hybrid" and hybrid is None:
+            raise ValueError(
+                "mesh has no dominant-offset structure for the hybrid "
+                "layout (top-16 offsets cover < 50% of faces)"
+            )
+
         r = lambda a: jnp.asarray(a, dtype=dtype)
 
         if use_dia:
@@ -458,6 +498,48 @@ class MeshGeometry:
                 face_mask=r(mask),
                 layout="dia",
                 offsets=offs,
+            )
+        elif hybrid is not None:
+            top, is_top = hybrid
+            nK = len(top)
+            nTop = nK * nC
+            o_idx_t = np.searchsorted(top, (nei - own)[is_top])
+            n_r = int((~is_top).sum())
+            nIp = nTop + n_r
+            slot = np.empty(n_int, np.int64)
+            slot[is_top] = o_idx_t * nC + own[is_top]
+            slot[~is_top] = nTop + np.arange(n_r)
+            assert len(np.unique(slot)) == n_int, "hybrid slot collision"
+
+            def pack(a, pad=0.0):
+                out = np.full((nIp,) + a.shape[1:], pad, dtype=np.float64)
+                out[slot] = a
+                return out
+
+            own_p = np.concatenate(
+                [np.tile(np.arange(nC, dtype=np.int64), nK), own[~is_top]]
+            )
+            nei_p = own_p.copy()
+            nei_p[slot] = nei
+            mask = np.zeros(nIp)
+            mask[slot] = 1.0
+            cf_p = pack(mesh.Cf[:n_int])
+            cf_p[mask == 0.0] = mesh.C[own_p[mask == 0.0]]
+
+            geo = dict(
+                face_perm=slot,
+                n_internal=nIp,
+                own=jnp.asarray(own_p, INT_DTYPE),
+                nei=jnp.asarray(nei_p, INT_DTYPE),
+                w=r(pack(w)),
+                Sf=r(pack(mesh.Sf[:n_int])),
+                magSf=r(pack(mesh.magSf[:n_int])),
+                dc=r(pack(dc_i)),
+                nodc=r(pack(nodc_i)),
+                Cf=r(cf_p),
+                face_mask=r(mask),
+                layout="hybrid",
+                offsets=tuple(int(o) for o in top),
             )
         else:
             geo = dict(
@@ -560,6 +642,45 @@ class MeshGeometry:
         object.__setattr__(obj, "C_own_f", r(_C[_ow]))
         object.__setattr__(obj, "C_nei_f", r(_C[_ne]))
         object.__setattr__(obj, "d_face", r(_C[_ne] - _C[_ow]))
+        if geo["layout"] == "hybrid":
+            # banded mask-reduce plans for the rest tail (None entries
+            # fall back to the serialized gather/segment_sum)
+            from .banded import plan_gather, plan_scatter
+
+            top, is_top = hybrid
+            own_r = own[~is_top]
+            nei_r = nei[~is_top]
+            object.__setattr__(
+                obj,
+                "_hybrid_rest",
+                (
+                    plan_gather(own_r, nC),
+                    plan_gather(nei_r, nC),
+                    plan_scatter(own_r, nC),
+                    plan_scatter(nei_r, nC),
+                    jnp.asarray(own_r, INT_DTYPE),
+                    jnp.asarray(nei_r, INT_DTYPE),
+                ),
+            )
+            if blocks is None and nB > 0:
+                # banded per-patch boundary plans (owners ascend within a
+                # patch on these meshes; a patch whose plan refuses falls
+                # back to its serialized path)
+                bb = []
+                for p in patches:
+                    if p.n == 0:
+                        continue
+                    sl = slice(p.start, p.start + p.n)
+                    po = b_own[sl]
+                    bb.append(
+                        (
+                            sl,
+                            plan_scatter(po, nC),
+                            plan_gather(po, nC),
+                            jnp.asarray(po, INT_DTYPE),
+                        )
+                    )
+                object.__setattr__(obj, "_b_banded", bb)
         return obj
 
     def patch(self, name: str) -> PatchInfo:
@@ -588,6 +709,11 @@ class MeshGeometry:
         if self.layout == "dia":
             reps = (len(self.offsets),) + (1,) * (x.ndim - 1)
             return jnp.tile(x, reps)
+        if self.layout == "hybrid":
+            reps = (len(self.offsets),) + (1,) * (x.ndim - 1)
+            g = self._hybrid_rest[0]
+            rest = g(x) if g is not None else x[self._hybrid_rest[4]]
+            return jnp.concatenate([jnp.tile(x, reps), rest], axis=0)
         return x[self.own]
 
     def gather_nei(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -598,6 +724,13 @@ class MeshGeometry:
         if self.layout == "dia":
             return jnp.concatenate(
                 [jnp.roll(x, -o, axis=0) for o in self.offsets], axis=0
+            )
+        if self.layout == "hybrid":
+            g = self._hybrid_rest[1]
+            rest = g(x) if g is not None else x[self._hybrid_rest[5]]
+            return jnp.concatenate(
+                [jnp.roll(x, -o, axis=0) for o in self.offsets] + [rest],
+                axis=0,
             )
         return x[self.nei]
 
@@ -624,6 +757,19 @@ class MeshGeometry:
             nC = self.n_cells
             parts = fv.reshape((len(self.offsets), nC) + fv.shape[1:])
             return jnp.sum(parts, axis=0)
+        if self.layout == "hybrid":
+            nC = self.n_cells
+            nTop = len(self.offsets) * nC
+            parts = fv[:nTop].reshape((len(self.offsets), nC) + fv.shape[1:])
+            y = jnp.sum(parts, axis=0)
+            s = self._hybrid_rest[2]
+            rest = fv[nTop:]
+            if s is not None:
+                return y + s(rest)
+            return y + jax.ops.segment_sum(
+                rest, self._hybrid_rest[4], num_segments=nC,
+                indices_are_sorted=True,
+            )
         return jax.ops.segment_sum(
             fv, self.own, num_segments=self.n_cells, indices_are_sorted=True
         )
@@ -635,6 +781,21 @@ class MeshGeometry:
             parts = fv.reshape((len(self.offsets), nC) + fv.shape[1:])
             return sum(
                 self._shift_down(parts[k], o) for k, o in enumerate(self.offsets)
+            )
+        if self.layout == "hybrid":
+            nC = self.n_cells
+            nTop = len(self.offsets) * nC
+            parts = fv[:nTop].reshape((len(self.offsets), nC) + fv.shape[1:])
+            y = sum(
+                self._shift_down(parts[k], o)
+                for k, o in enumerate(self.offsets)
+            )
+            s = self._hybrid_rest[3]
+            rest = fv[nTop:]
+            if s is not None:
+                return y + s(rest)
+            return y + jax.ops.segment_sum(
+                rest, self._hybrid_rest[5], num_segments=nC
             )
         return jax.ops.segment_sum(fv, self.nei, num_segments=self.n_cells)
 
@@ -648,6 +809,18 @@ class MeshGeometry:
             if bv.ndim == 2:
                 return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
             return (self._b_onehot @ bv.astype(jnp.float32)).astype(bv.dtype)
+        bb = getattr(self, "_b_banded", None)
+        if bb is not None:
+            out = jnp.zeros((self.n_cells,) + bv.shape[1:], bv.dtype)
+            for sl, s, _, po in bb:
+                seg = bv[sl]
+                if s is not None:
+                    out = out + s(seg)
+                else:
+                    out = out + jax.ops.segment_sum(
+                        seg, po, num_segments=self.n_cells
+                    )
+            return out
         # note: a maxK-gather formulation (padded[bf_of_cell_k]) was tried
         # and measured 8x SLOWER at 500k cells — XLA:TPU lowers large
         # arbitrary-index gathers as serialized loops too; segment_sum's
@@ -762,6 +935,13 @@ class MeshGeometry:
         if self._b_slabs is not None and per_offset_enabled(self):
             return self._slab_gather(x)
         if self._b_blocks is None:
+            bb = getattr(self, "_b_banded", None)
+            if bb is not None:
+                parts = [
+                    (g(x) if g is not None else x[po])
+                    for sl, _, g, po in bb
+                ]
+                return jnp.concatenate(parts, axis=0)
             return x[self.b_own]
         feat = x.shape[1:]
         fpad = ((0, 0),) * len(feat)
