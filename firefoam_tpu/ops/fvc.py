@@ -42,30 +42,32 @@ def _wmul(w, x):
     return w * x
 
 
-def _dia_faces(geom: MeshGeometry, fn) -> jnp.ndarray:
-    """Per-offset face-array builder for DIA layouts: fn(k, x_nei_k) maps
+def _dia_faces(geom: MeshGeometry, fn, rest=None) -> jnp.ndarray:
+    """Per-offset face-array builder for DIA/hybrid layouts: fn(k, o) maps
     one offset's [nC(,d)] part; the ONLY [K·nC] materialisation is the
     final concat (the gather-concat forms materialise every gathered
     input — measured ~10 ms/step of anonymous dynamic-update-slices at
-    500k cells)."""
+    500k cells). Hybrid layouts append the rest-tail part."""
     import jax.numpy as _jnp
 
-    return _jnp.concatenate(
-        [fn(k, o) for k, o in enumerate(geom.offsets)]
-    )
+    parts = [fn(k, o) for k, o in enumerate(geom.offsets)]
+    if rest is not None:
+        parts.append(rest)
+    return _jnp.concatenate(parts)
 
 
 def _is_dia(geom) -> bool:
-    """Per-offset fast path: DIA, small offset count, large mesh.
-    Banded-DIA (up to 64 offsets) keeps the gather forms (64 unrolled
-    passes explode compile time); small meshes keep them too (the extra
-    op count is a net loss when dispatch-latency-bound —
-    geometry.per_offset_enabled)."""
+    """Per-offset fast path: DIA (<= 8 offsets) or hybrid (<= 16 lanes +
+    rest tail), large mesh. Banded-DIA (up to 64 offsets) keeps the
+    gather forms (64 unrolled passes explode compile time); small meshes
+    keep them too (the extra op count is a net loss when
+    dispatch-latency-bound — geometry.per_offset_enabled)."""
     from .geometry import per_offset_enabled
 
+    lay = getattr(geom, "layout", "seg")
+    offs = len(getattr(geom, "offsets", ()))
     return (
-        getattr(geom, "layout", "seg") == "dia"
-        and len(getattr(geom, "offsets", ())) <= 8
+        ((lay == "dia" and offs <= 8) or (lay == "hybrid" and offs <= 16))
         and per_offset_enabled(geom)
     )
 
@@ -79,13 +81,19 @@ def interpolate_weighted(geom: MeshGeometry, f: VolField, w: jnp.ndarray) -> Sur
     """Interpolation with caller-supplied internal-face weights (schemes)."""
     if _is_dia(geom):
         nC = geom.n_cells
-        w2 = w.reshape((len(geom.offsets), nC) + w.shape[1:])
+        nTop = len(geom.offsets) * nC
+        w2 = w[:nTop].reshape((len(geom.offsets), nC) + w.shape[1:])
 
         def part(k, o):
             wk = w2[k]
             return _wmul(wk, f.i) + _wmul(1.0 - wk, jnp.roll(f.i, -o, axis=0))
 
-        return SurfaceField(_dia_faces(geom, part), f.b)
+        rest = None
+        if getattr(geom, "layout", "seg") == "hybrid":
+            xo, xn = geom.hybrid_rest_gathers(f.i)
+            w_r = w[nTop:]
+            rest = _wmul(w_r, xo) + _wmul(1.0 - w_r, xn)
+        return SurfaceField(_dia_faces(geom, part, rest), f.b)
     xo = geom.gather_own(f.i)
     xn = geom.gather_nei(f.i)
     return SurfaceField(_wmul(w, xo) + _wmul(1.0 - w, xn), f.b)
@@ -96,10 +104,16 @@ def sn_grad(geom: MeshGeometry, f: VolField, b_grad: jnp.ndarray = None) -> Surf
     dc*(b_value - cell_value); pass b_grad to override (fixedGradient BCs)."""
     if _is_dia(geom):
         nC = geom.n_cells
-        dc2 = geom.dc.reshape(len(geom.offsets), nC)
+        nTop = len(geom.offsets) * nC
+        dc2 = geom.dc[:nTop].reshape(len(geom.offsets), nC)
+        rest = None
+        if getattr(geom, "layout", "seg") == "hybrid":
+            xo, xn = geom.hybrid_rest_gathers(f.i)
+            rest = _wmul(geom.dc[nTop:], xn - xo)
         gi = _dia_faces(
             geom,
             lambda k, o: _wmul(dc2[k], jnp.roll(f.i, -o, axis=0) - f.i),
+            rest,
         )
     else:
         gi = _wmul(geom.dc, geom.gather_nei(f.i) - geom.gather_own(f.i))

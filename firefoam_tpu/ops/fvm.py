@@ -27,6 +27,17 @@ import jax.numpy as jnp
 from .fields import SurfaceField, VolField
 from .geometry import MeshGeometry, per_offset_enabled as _poe
 
+
+def _po_lanes(geom) -> bool:
+    """Per-offset scheme fast paths: DIA (<= 8 offsets) or hybrid
+    (lanes + rest tail) layouts above the small-mesh crossover."""
+    lay = getattr(geom, "layout", "seg")
+    if lay == "dia":
+        return len(geom.offsets) <= 8 and _poe(geom)
+    if lay == "hybrid":
+        return len(geom.offsets) <= 16 and _poe(geom)
+    return False
+
 __all__ = [
     "FvMatrix",
     "ddt",
@@ -169,7 +180,8 @@ class FvMatrix:
         DIA: per-offset rolls/shifts with no [K·nC] temporaries (the
         gather-concat forms materialise ~5 face-sized buffers each)."""
         g = self.geom
-        if getattr(g, "layout", "seg") == "dia" and len(g.offsets) <= 8 and _poe(g) and self.upper.ndim == 1:
+        lay = getattr(g, "layout", "seg")
+        if lay == "dia" and len(g.offsets) <= 8 and _poe(g) and self.upper.ndim == 1:
             nC = g.n_cells
             K = len(g.offsets)
             up = self.upper.reshape(K, nC)
@@ -180,6 +192,37 @@ class FvMatrix:
                 lx = lo[k] * x
                 y = y + jnp.concatenate([jnp.zeros((o,), x.dtype), lx[:-o]])
             return y
+        if lay == "hybrid" and self.upper.ndim == 1:
+            # per-lane rolls/shifts (no [K·nC] temporaries — the generic
+            # gather-concat form materialises ~82 MB per vmapped radiation
+            # matvec at 117k cells / 16 rays) + the irregular tail
+            nC = g.n_cells
+            K = len(g.offsets)
+            nTop = K * nC
+            up = self.upper[:nTop].reshape(K, nC)
+            lo = self.lower[:nTop].reshape(K, nC)
+            y = jnp.zeros_like(x)
+            for k, o in enumerate(g.offsets):
+                y = y + up[k] * jnp.roll(x, -o, axis=0)
+                lx = lo[k] * x
+                y = y + jnp.concatenate([jnp.zeros((o,), x.dtype), lx[:-o]])
+            go, gn, so, sn, own_r, nei_r = g._hybrid_rest
+            u_r = self.upper[nTop:]
+            l_r = self.lower[nTop:]
+            yo = u_r * (gn(x) if gn is not None else x[nei_r])
+            yn = l_r * (go(x) if go is not None else x[own_r])
+            y = y + (
+                so(yo)
+                if so is not None
+                else jax.ops.segment_sum(
+                    yo, own_r, num_segments=nC, indices_are_sorted=True
+                )
+            )
+            return y + (
+                sn(yn)
+                if sn is not None
+                else jax.ops.segment_sum(yn, nei_r, num_segments=nC)
+            )
         return g.face_to_both_sum(
             self.upper * g.gather_nei(x), self.lower * g.gather_own(x)
         )
@@ -189,7 +232,8 @@ class FvMatrix:
         boundary internal_coeffs·x_own − boundary_coeffs (scalar psi only)."""
         g = self.geom
         x = self.psi.i
-        if getattr(g, "layout", "seg") == "dia" and len(g.offsets) <= 8 and _poe(g) and self.upper.ndim == 1:
+        lay = getattr(g, "layout", "seg")
+        if lay == "dia" and len(g.offsets) <= 8 and _poe(g) and self.upper.ndim == 1:
             # per-offset: the only [K·nC] buffer is the output itself
             nC = g.n_cells
             K = len(g.offsets)
@@ -199,6 +243,25 @@ class FvMatrix:
                 up[k] * jnp.roll(x, -o, axis=0) - lo[k] * x
                 for k, o in enumerate(g.offsets)
             ])
+        elif lay == "hybrid" and self.upper.ndim == 1:
+            nC = g.n_cells
+            K = len(g.offsets)
+            nTop = K * nC
+            up = self.upper[:nTop].reshape(K, nC)
+            lo = self.lower[:nTop].reshape(K, nC)
+            go, gn, _, _, own_r, nei_r = g._hybrid_rest
+            fi = jnp.concatenate(
+                [
+                    up[k] * jnp.roll(x, -o, axis=0) - lo[k] * x
+                    for k, o in enumerate(g.offsets)
+                ]
+                + [
+                    self.upper[nTop:]
+                    * (gn(x) if gn is not None else x[nei_r])
+                    - self.lower[nTop:]
+                    * (go(x) if go is not None else x[own_r])
+                ]
+            )
         else:
             fi = self.upper * g.gather_nei(x) - self.lower * g.gather_own(x)
         fb = self.internal_coeffs * g.cell_to_boundary(x) - self.boundary_coeffs
@@ -327,20 +390,28 @@ def limited_linear_limiter(
             lim = jnp.where(out, 0.0, lim)
         return lim
 
-    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8 and _poe(geom):
+    if _po_lanes(geom):
         # per-offset form: each offset's limiter is one fused [nC] pass
         # (roll -> math); the only [K·nC] materialisation is the single
-        # output concat, instead of five gathered inputs
+        # output concat, instead of five gathered inputs. Hybrid layouts
+        # append the rest tail evaluated on its (small) gathered slices.
         nC = geom.n_cells
         K = len(geom.offsets)
-        d3 = d.reshape(K, nC, 3)
-        phi2 = phi_i.reshape(K, nC)
+        nTop = K * nC
+        d3 = d[:nTop].reshape(K, nC, 3)
+        phi2 = phi_i[:nTop].reshape(K, nC)
         lims = []
         for k2, o in enumerate(geom.offsets):
             psi_n = jnp.roll(psi.i, -o, axis=0)
             g_n = jnp.roll(g, -o, axis=0)
             lims.append(
                 limiter_of(psi.i, psi_n, d3[k2], g, g_n, phi2[k2] >= 0)
+            )
+        if getattr(geom, "layout", "seg") == "hybrid":
+            po, pn = geom.hybrid_rest_gathers(psi.i)
+            go_r, gn_r = geom.hybrid_rest_gathers(g)
+            lims.append(
+                limiter_of(po, pn, d[nTop:], go_r, gn_r, phi_i[nTop:] >= 0)
             )
         return jnp.concatenate(lims)
 
@@ -412,15 +483,20 @@ def filtered_linear2_limiter(
         )
         return jnp.clip((l + 1.0) - k * ratio, 0.0, 1.0)
 
-    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8 and _poe(geom):
+    if _po_lanes(geom):
         nC = geom.n_cells
         K = len(geom.offsets)
-        d3 = d.reshape((K, nC) + d.shape[1:])
+        nTop = K * nC
+        d3 = d[:nTop].reshape((K, nC) + d.shape[1:])
         lims = []
         for k2, o in enumerate(geom.offsets):
             psi_n = jnp.roll(psi.i, -o, axis=0)
             g_n = jnp.roll(grad_psi, -o, axis=0)
             lims.append(lim_of(psi.i, psi_n, d3[k2], grad_psi, g_n))
+        if getattr(geom, "layout", "seg") == "hybrid":
+            po, pn = geom.hybrid_rest_gathers(psi.i)
+            go_r, gn_r = geom.hybrid_rest_gathers(grad_psi)
+            lims.append(lim_of(po, pn, d[nTop:], go_r, gn_r))
         return jnp.concatenate(lims)
 
     return lim_of(
@@ -459,17 +535,22 @@ def lust_div(
         g_up = jnp.where(up_k[:, None], g_o, g_n)
         return 0.25 * jnp.einsum("fi,fi->f", d_k, g_up)
 
-    if getattr(geom, "layout", "seg") == "dia" and len(geom.offsets) <= 8 and _poe(geom):
+    if _po_lanes(geom):
         nC = geom.n_cells
         K = len(geom.offsets)
-        d3 = d.reshape(K, nC, 3)
-        up2 = up_own.reshape(K, nC)
-        corr_i = jnp.concatenate([
+        nTop = K * nC
+        d3 = d[:nTop].reshape(K, nC, 3)
+        up2 = up_own[:nTop].reshape(K, nC)
+        parts = [
             corr_of(
                 d3[k2], grad_psi, jnp.roll(grad_psi, -o, axis=0), up2[k2]
             )
             for k2, o in enumerate(geom.offsets)
-        ])
+        ]
+        if getattr(geom, "layout", "seg") == "hybrid":
+            go_r, gn_r = geom.hybrid_rest_gathers(grad_psi)
+            parts.append(corr_of(d[nTop:], go_r, gn_r, up_own[nTop:]))
+        corr_i = jnp.concatenate(parts)
     else:
         corr_i = corr_of(
             d, geom.gather_own(grad_psi), geom.gather_nei(grad_psi), up_own

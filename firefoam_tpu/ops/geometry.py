@@ -448,10 +448,15 @@ class MeshGeometry:
                     # each DIA lane costs nC slots of face math on EVERY
                     # scheme/scatter op, so only offsets filling >= 25%
                     # of a lane earn one; the rest ride the banded tail
-                    # lane threshold 1/32: the rest tail is hit ~4x per
-                    # Krylov iteration, so shrinking it outweighs lane
-                    # padding on every face op
-                    sel = [i for i in order if cnt[i] * 32 >= nC][:8]
+                    # lane threshold 1/256 (cap 16): the rest tail is hit
+                    # ~4x per Krylov iteration while a lane only adds one
+                    # nC-slot pass to the once-per-step face ops, so deep
+                    # lanes win — on the 117k castellated mesh 11 lanes
+                    # cover 99.3% and the serialized remainder drops to
+                    # ~2.3k faces (~70 us/op)
+                    sel = [
+                        i for i in order if cnt[i] * 256 >= nC and cnt[i] >= 64
+                    ][:16]
                     if sel:
                         top = np.sort(uniq[sel])
                         is_top = np.isin(d, top)
@@ -703,6 +708,14 @@ class MeshGeometry:
         """y[c] = x[c−o] (zero before the start)."""
         pad = jnp.zeros((o,) + x.shape[1:], x.dtype)
         return jnp.concatenate([pad, x[:-o]], axis=0)
+
+    def hybrid_rest_gathers(self, x: jnp.ndarray):
+        """(x_own, x_nei) over the hybrid rest tail only — the piece the
+        per-offset scheme fast paths append after their lane passes."""
+        go, gn, _, _, own_r, nei_r = self._hybrid_rest
+        xo = go(x) if go is not None else x[own_r]
+        xn = gn(x) if gn is not None else x[nei_r]
+        return xo, xn
 
     def gather_own(self, x: jnp.ndarray) -> jnp.ndarray:
         """Face array of the owner-cell values of x ([nC(,d)] → [nI(,d)])."""

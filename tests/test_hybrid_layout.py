@@ -94,7 +94,10 @@ def test_split_plans_on_refinement_band_density():
     np.add.at(ref, idx, v)
     assert np.allclose(np.asarray(sp(jnp.asarray(v))), ref)
 
-    gp = plan_gather(idx, nC)
+    # plan_gather itself only returns VPU-friendly single plans (split
+    # plans multiply XLA compile time — docs/PERF.md); the split builder
+    # remains available and exact for offline/host-side uses
+    gp = plan_gather(idx, nC) or SplitGather.build(idx, nC)
     assert gp is not None
     assert np.allclose(np.asarray(gp(jnp.asarray(x))), x[idx])
 
@@ -153,13 +156,17 @@ def test_hybrid_geometry_equivalence(castel):
 
 
 @pytest.mark.slow
-def test_hybrid_full_solver_trajectory(castel):
+@pytest.mark.parametrize("per_offset", ["0", "1"])
+def test_hybrid_full_solver_trajectory(castel, per_offset):
     """3 full steps on the castellated case: hybrid == seg to f64
-    roundoff-accumulation level, identical solver iteration counts."""
+    roundoff-accumulation level, identical solver iteration counts —
+    with the per-offset lane fast paths both off and FORCED on (they
+    auto-gate at >= 50k cells, above this test size)."""
     from firefoam_tpu.models.firefoam import FireFoamSolver
 
     case, cm = castel
     out = {}
+    os.environ["FIREFOAM_TPU_PER_OFFSET"] = per_offset
     for lay in ("seg", "hybrid"):
         os.environ["FIREFOAM_TPU_LAYOUT"] = lay
         try:
@@ -171,6 +178,7 @@ def test_hybrid_full_solver_trajectory(castel):
             out[lay] = (st, log)
         finally:
             os.environ.pop("FIREFOAM_TPU_LAYOUT", None)
+    os.environ.pop("FIREFOAM_TPU_PER_OFFSET", None)
     st_s, log_s = out["seg"]
     st_h, log_h = out["hybrid"]
     for f, tol in (("T", 1e-8), ("p_rgh", 1e-9), ("U", 1e-10),
