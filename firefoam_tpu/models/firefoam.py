@@ -327,7 +327,16 @@ class FireFoamSolver:
         ):
             from ..solvers.gmg import LatticeMG
 
-            self.gmg = LatticeMG.build(g.offsets, g.n_cells)
+            # level-schedule knob: a larger dense coarsest (solved by one
+            # Newton-Schulz-inverse matmul — MXU work) trades away the
+            # smallest V-cycle levels, whose many tiny kernels are
+            # dispatch-latency-bound at mid mesh sizes
+            self.gmg = LatticeMG.build(
+                g.offsets, g.n_cells,
+                n_coarsest=int(
+                    os.environ.get("FIREFOAM_TPU_GMG_COARSEST", "64")
+                ),
+            )
         # sharded lattice multigrid inside the EXPLICIT-SPMD step (the
         # reference's GAMG-under-decomposePar production configuration,
         # cases/steckler/system/fvSolution:63-71 + decompose.sh:2-4):
