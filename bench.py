@@ -111,6 +111,9 @@ def main():
         "unit": "cell-updates/s",
         "vs_baseline": round(cups / baseline_16core, 3),
         "sample_spread_pct": spread_pct,
+        # tunnel hiccups only ADD time, so the fastest sample is the
+        # least-contaminated estimate of the chip's actual throughput
+        "value_best_sample": round(n_cells * n_bench / min(samples), 1),
     }
     # sanity: state must still be finite or the number is meaningless
     ok = bool(jnp.isfinite(state["T"].i).all()) and bool(
