@@ -359,6 +359,24 @@ class FireFoamSolver:
                         mg,
                         {a: jnp.asarray(ix) for a, ix in maps.items()},
                     )
+        # index-pair (lane-preserving) multigrid — the GAMG role for
+        # UNSTRUCTURED meshes on the hybrid layout (solvers/pairmg.py):
+        # pairs cells along lane offsets so every V-cycle level keeps the
+        # roll/shift + banded-rest fast paths (pairwise agglomeration AMG
+        # collapses the lane structure and serializes — docs/PERF.md).
+        # Mesh-independent p_rgh iterations vs the flat CG's 41-90 at
+        # 117k castellated cells.
+        self.pairmg = None
+        pmg_env = os.environ.get("FIREFOAM_TPU_PAIRMG", "auto")
+        if (
+            pmg_env != "0"
+            and local is None
+            and getattr(g, "layout", "seg") == "hybrid"
+            and (pmg_env == "1" or g.n_cells >= 50000)
+        ):
+            from ..solvers.pairmg import PairMG
+
+            self.pairmg = PairMG.from_geom(g)
         self.amg = None
         try:
             _pc = _solver_controls(self.fv_solution, "p_rgh")
@@ -2150,6 +2168,18 @@ class FireFoamSolver:
                 jnp.concatenate([r3.x.reshape(-1), p_rgh.i[n_own:]])
             )
             res = r3._replace(x=x_ext)
+        elif self.pairmg is not None:
+            # index-pair lane-preserving multigrid (solvers/pairmg.py):
+            # the GAMG role on unstructured hybrid-layout meshes —
+            # mesh-independent iterations with every level on the
+            # roll/shift + banded-rest fast paths
+            from ..solvers.pairmg import pairmg_pcg
+
+            res = pairmg_pcg(
+                self.pairmg, lambda x: m.matvec(x, dtot), dtot, m.upper,
+                b, p_rgh.i, tol=tols[sel], rel_tol=rels[sel],
+                max_iter=c0["maxIter"],
+            )
         elif self.amg is not None:
             from ..solvers.amg import amg_pcg
 
