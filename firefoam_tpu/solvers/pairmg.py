@@ -246,13 +246,14 @@ def _make_level(n, lane_valid, own_r, nei_r) -> _Level:
 
 # ------------------------------------------------------------- level algebra
 def _lane_mv(level: _Level, d, lanes_w, rest_w, x):
-    """Symmetric matvec: y = d*x + Σ_o w_o·(x shifted ±o) + rest."""
+    """Symmetric matvec: y = d*x + Σ_o w_o·(x shifted ±o) + rest.
+    rest_w None = lane-only (the lumped smoother operator)."""
     y = d * x
     for w, o in zip(lanes_w, level.offsets):
         y = y + w * jnp.roll(x, -o, axis=0)
         wx = w * x
         y = y + jnp.concatenate([jnp.zeros((o,), x.dtype), wx[:-o]])
-    if len(level.own_r):
+    if rest_w is not None and len(level.own_r):
         go, gn, so, sn = level.plans
         xo = go(x) if go is not None else x[level.own_j]
         xn = gn(x) if gn is not None else x[level.nei_j]
@@ -269,12 +270,17 @@ def _lane_mv(level: _Level, d, lanes_w, rest_w, x):
     return y
 
 
-def _rowsum_off(level: _Level, lanes_w, rest_w, d):
+def _rowsum_lane(level: _Level, lanes_w, d):
     rs = jnp.zeros_like(d)
     for w, o in zip(lanes_w, level.offsets):
         aw = jnp.abs(w)
         rs = rs + aw
         rs = rs + jnp.concatenate([jnp.zeros((o,), d.dtype), aw[:-o]])
+    return rs
+
+
+def _rowsum_rest(level: _Level, rest_w, d):
+    rs = jnp.zeros_like(d)
     if len(level.own_r):
         _, _, so, sn = level.plans
         ar = jnp.abs(rest_w)
@@ -290,7 +296,17 @@ def _rowsum_off(level: _Level, lanes_w, rest_w, d):
 
 
 class _Cheby:
-    """Chebyshev-Jacobi smoother (reduction-free; see gmg._Cheby)."""
+    """Chebyshev-Jacobi smoother (reduction-free; see gmg._Cheby).
+
+    rest_w None = the LUMPED level operator: the irregular rest
+    couplings are dropped and their |w| added to the diagonal (SPD-safe
+    diagonal-dominance lumping). On meshes whose rest maps refuse the
+    banded plans (refinement-shell density), the exact rest channel
+    serializes on XLA:TPU and dominates the whole V-cycle (measured
+    ~10 ms/cycle at 117k); the lumped smoother keeps every level on
+    pure roll/shift lanes at a small iteration cost. The HIERARCHY
+    coefficients stay exact Galerkin either way — only the per-level
+    smoother/residual operator is lumped."""
 
     def __init__(self, level, d, lanes_w, rest_w, lmax, degree=2,
                  ratio=0.30):
@@ -448,14 +464,23 @@ class PairMG:
         mats = [(diag, list(lanes_w), rest_w)]
         for i, tr in enumerate(self.transitions):
             mats.append(self._coarsen(tr, self.levels[i + 1], *mats[-1]))
+        lump = os.environ.get("FIREFOAM_TPU_PAIRMG_LUMP", "1") == "1"
         smooths = []
         for (d, lw, rw), lvl in zip(mats, self.levels):
+            rs_l = _rowsum_lane(lvl, lw, d)
+            rs_r = _rowsum_rest(lvl, rw, d)
+            if lump:
+                # lumped level operator: rest |w| into the diagonal —
+                # V-cycle stays on pure roll/shift lanes (see _Cheby)
+                d_eff, rw_eff = d + rs_r, None
+            else:
+                d_eff, rw_eff = d, rw
             lam = jnp.minimum(
-                jnp.max(_rowsum_off(lvl, lw, rw, d) / d) + 1.0,
+                jnp.max((rs_l + (0.0 if lump else rs_r)) / d_eff) + 1.0,
                 jnp.asarray(2.2, d.dtype),
             )
             smooths.append(
-                _Cheby(lvl, d, lw, rw, lam, self.pre_degree,
+                _Cheby(lvl, d_eff, lw, rw_eff, lam, self.pre_degree,
                        self.cheby_ratio)
             )
         return mats, smooths, self._coarsest_inv(mats[-1])

@@ -38,16 +38,16 @@ upper = jax.device_put(
                 jnp.float32), dev)
 b = jax.device_put(jnp.asarray(rng.randn(nC), jnp.float32), dev)
 
-prep = jax.jit(lambda d, u: mg.prepare(d, u))
-t0 = time.time(); out = prep(diag, upper); jax.block_until_ready(out[0][0][0])
-print(f"prepare compile {time.time()-t0:.1f}s")
+prep = jax.jit(lambda d, u: mg.prepare(d, u)[0])
+t0 = time.time(); out = prep(diag, upper); jax.block_until_ready(out[0][0])
+print(f"prepare compile {time.time()-t0:.1f}s", flush=True)
 ts = []
 for _ in range(5):
     t0 = time.perf_counter()
     out = prep(diag, upper)
-    jax.block_until_ready(out[-1])
+    jax.block_until_ready(out[-1][0])
     ts.append(time.perf_counter() - t0)
-print(f"prepare ms={1e3*st.median(ts):.2f}")
+print(f"prepare ms={1e3*st.median(ts):.2f}", flush=True)
 
 
 def vc(d, u, bb):
@@ -57,14 +57,14 @@ def vc(d, u, bb):
 
 jvc = jax.jit(vc)
 t0 = time.time(); r = jvc(diag, upper, b); jax.block_until_ready(r)
-print(f"prepare+vcycle compile {time.time()-t0:.1f}s")
+print(f"prepare+vcycle compile {time.time()-t0:.1f}s", flush=True)
 ts = []
 for _ in range(5):
     t0 = time.perf_counter()
     r = jvc(diag, upper, b)
     jax.block_until_ready(r)
     ts.append(time.perf_counter() - t0)
-print(f"prepare+1vcycle ms={1e3*st.median(ts):.2f}")
+print(f"prepare+1vcycle ms={1e3*st.median(ts):.2f}", flush=True)
 
 
 def vc10(d, u, bb):
@@ -77,7 +77,7 @@ def vc10(d, u, bb):
 
 jvc10 = jax.jit(vc10)
 t0 = time.time(); r = jvc10(diag, upper, b); jax.block_until_ready(r)
-print(f"10-vcycle compile {time.time()-t0:.1f}s")
+print(f"10-vcycle compile {time.time()-t0:.1f}s", flush=True)
 ts = []
 for _ in range(3):
     t0 = time.perf_counter()
@@ -88,7 +88,7 @@ t10 = 1e3 * st.median(ts)
 print(f"prepare+10vcycle ms={t10:.2f}")
 
 # per-level matvec cost (10x each)
-mats, sm, Ainv = prep(diag, upper)
+mats = prep(diag, upper)
 for i, lv in enumerate(mg.levels):
     d, lw, rw = mats[i]
 
